@@ -1,0 +1,174 @@
+"""Stage 6 — entity canonicalization: MinHash-LSH blocking + connected components.
+
+The reference collapses duplicate entities via Neo4j MERGE on exact unique keys
+(reference ``tools/graph_builder.py:69-75,120-128``). Web entities have no exact
+keys, so per the north rule this becomes fuzzy dedup:
+
+  1. candidate pairs via banded MinHash-LSH over character-3-gram sets of the
+     normalized defined surfaces (deterministic seeded hashes -> same output at
+     any parallelism; SURVEY.md §7.4),
+  2. verification by exact 3-gram Jaccard >= CANON_JACCARD_THRESHOLD and
+     same entity type,
+  3. connected components by iterative min-label propagation (driver loop of
+     DataFrame self-joins, ``localCheckpoint`` per iteration to cut lineage),
+  4. cluster label = lexicographically-min normalized surface; entity_id =
+     md5(label) — content-addressed, stable across cluster sizes.
+
+Everything is JVM-side Catalyst expressions (sequence/transform/array_min over
+md5 strings); the LSH band count is the web-scale knob (more bands = higher
+recall, more candidate pairs). The min-label groupBy aggregates partially
+map-side, so hub-entity skew (one label with millions of members) is absorbed
+by partial aggregation + AQE skew handling rather than a hot reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..datagen.vocab import CANON_JACCARD_THRESHOLD
+
+N_MINHASH = 32  # bands of size 1: P(block | J) = 1-(1-J)^32  (>0.999996 at J=0.45)
+
+
+def norm_expr(col):
+    """Spark twin of vocab.norm_surface (lower + whitespace collapse)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def grams_expr(col):
+    """array<string> of distinct character 3-grams (JVM: sequence+transform)."""
+    n = F.greatest(F.length(col) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, 3))
+    )
+
+
+def minhash_expr(grams, seed: int):
+    """One minhash value = min over grams of md5(seed:gram) — a deterministic
+    string-valued hash family (md5 is stable everywhere, incl. the DuckDB
+    oracle side)."""
+    return F.array_min(
+        F.transform(grams, lambda g: F.md5(F.concat(F.lit(f"{seed}:"), g)))
+    )
+
+
+def _jaccard_cols(g1, g2):
+    inter = F.size(F.array_intersect(g1, g2))
+    return inter / (F.size(g1) + F.size(g2) - inter)
+
+
+def candidate_pairs(surfaces: DataFrame) -> DataFrame:
+    """surfaces(surface, etype) -> verified merge pairs (a, b), a < b.
+
+    LSH blocking: explode (band_id, band_hash) per surface, self-join on the
+    band key. Verification re-computes exact Jaccard on the blocked pairs only.
+    """
+    s = surfaces.select(
+        F.col("surface"), F.col("etype"), grams_expr(F.col("surface")).alias("grams")
+    )
+    bands = F.array(
+        *[
+            F.struct(F.lit(k).alias("band"), minhash_expr(F.col("grams"), k).alias("sig"))
+            for k in range(N_MINHASH)
+        ]
+    )
+    keyed = s.select(
+        "surface", "etype", "grams", F.explode(bands).alias("b")
+    ).select("surface", "etype", "grams", "b.band", "b.sig")
+
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=(
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col("l.etype") == F.col("r.etype"))
+                & (F.col("l.surface") < F.col("r.surface"))
+            ),
+        )
+        .select(
+            F.col("l.surface").alias("a"),
+            F.col("r.surface").alias("b"),
+            F.col("l.grams").alias("ga"),
+            F.col("r.grams").alias("gb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs.where(_jaccard_cols(F.col("ga"), F.col("gb")) >= CANON_JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over string ids.
+
+    vertices: (surface); edges: (a, b) undirected pairs.
+    Returns (surface, label) where label = min surface of the component.
+
+    Driver loop; each iteration is one shuffle (groupBy min). localCheckpoint
+    truncates lineage so plans stay O(1) per iteration. Convergence for our
+    alias clusters (diameter <= ~3) is a handful of iterations; max_iter caps
+    pathological chains (SURVEY.md §7.4.3).
+    """
+    sym = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    )
+    labels = vertices.select(F.col("surface"), F.col("surface").alias("label"))
+    for _ in range(max_iter):
+        # neighbor label min: join labels onto edge source, min per target
+        nbr = (
+            sym.join(labels.withColumnRenamed("surface", "x"), on="x")
+            .groupBy(F.col("y").alias("surface"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, on="surface", how="left")
+            .select(
+                "surface",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="surface")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_entities(defs: DataFrame) -> DataFrame:
+    """defs(url, sent_id, surface, etype) ->
+    canon(surface, etype, label, entity_id) for every *defined* surface.
+
+    entity_id = md5(cluster label): content-addressed (no
+    monotonically_increasing_id — deterministic under any parallelism).
+    """
+    surfaces = (
+        defs.select(norm_expr(F.col("surface")).alias("surface"), "etype").distinct()
+    )
+    # conflicting type declarations for one surface: keep the min type (rare;
+    # deterministic tie-break)
+    surfaces = surfaces.groupBy("surface").agg(F.min("etype").alias("etype"))
+    pairs = candidate_pairs(surfaces)
+    labels = connected_components(surfaces.select("surface"), pairs)
+    return (
+        surfaces.join(labels, on="surface")
+        .select(
+            "surface",
+            "etype",
+            "label",
+            F.md5("label").alias("entity_id"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Stage 7 — graph materialization: deduplicated node + edge tables.
+
+The Spark transposition of the reference's Neo4j MERGE sinks
+(``graph_builder.py:115-256``): uniqueness-constraint MERGE becomes
+``dropDuplicates`` / groupBy on the unique key at write time.
+
+Node table (unioned, typed):
+    nodes(node_id, node_type, name, etype, lang, prop_count)
+      Page:   node_id = url            (reference File.path key, :70)
+      Entity: node_id = entity_id      (reference Function/Class keys, :72-73)
+      Domain: node_id = domain         (reference Module.name key, :75)
+
+Edge table (the (subj, pred, obj) triple table of the north rule):
+    edges(subj_id, pred, obj_id, n_occurrences, first_url, first_sent_id)
+      MENTIONS  Page -> Entity    (reference CONTAINS, :180-192)
+      LINKS_TO  Page -> Domain    (reference IMPORTS, :211-243)
+      <open>    Entity -> Entity  (reference CALLS/INHERITS, :302-329,389-399)
+
+Provenance (first_url, first_sent_id) = min by (url, sent_id) — deterministic
+under any parallelism (no "first seen" nondeterminism; SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def materialize_graph(
+    docs: DataFrame,
+    triples: DataFrame,
+    linked: DataFrame,
+    canon: DataFrame,
+    links: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges)."""
+    # ---- nodes ----
+    page_nodes = docs.select(
+        F.col("url").alias("node_id"),
+        F.lit("Page").alias("node_type"),
+        F.col("url").alias("name"),
+        F.lit(None).cast("string").alias("etype"),
+        F.col("lang"),
+    )
+    entity_nodes = (
+        canon.groupBy("entity_id")
+        .agg(F.min("label").alias("name"), F.min("etype").alias("etype"))
+        .select(
+            F.col("entity_id").alias("node_id"),
+            F.lit("Entity").alias("node_type"),
+            "name",
+            "etype",
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    domain_nodes = links.select("domain").distinct().select(
+        F.col("domain").alias("node_id"),
+        F.lit("Domain").alias("node_type"),
+        F.col("domain").alias("name"),
+        F.lit(None).cast("string").alias("etype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    nodes = page_nodes.unionByName(entity_nodes).unionByName(domain_nodes)
+
+    # ---- edges ----
+    resolved = linked.where(F.col("entity_id").isNotNull())
+    mentions_e = resolved.select(
+        F.col("url").alias("subj_id"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("entity_id").alias("obj_id"),
+        "url",
+        "sent_id",
+    )
+    links_e = links.select(
+        F.col("url").alias("subj_id"),
+        F.lit("LINKS_TO").alias("pred"),
+        F.col("domain").alias("obj_id"),
+        "url",
+        F.lit(0).alias("sent_id"),
+    )
+    # open-predicate edges: join the triple rows back to their two resolved slots
+    subj_r = resolved.where(F.col("role") == "subj").select(
+        "url", "sent_id", F.col("entity_id").alias("subj_eid")
+    )
+    obj_r = resolved.where(F.col("role") == "obj").select(
+        "url", "sent_id", F.col("entity_id").alias("obj_eid")
+    )
+    open_e = (
+        triples.join(subj_r, on=["url", "sent_id"])
+        .join(obj_r, on=["url", "sent_id"])
+        .select(
+            F.col("subj_eid").alias("subj_id"),
+            "pred",
+            F.col("obj_eid").alias("obj_id"),
+            "url",
+            "sent_id",
+        )
+    )
+    all_e = mentions_e.unionByName(links_e).unionByName(open_e)
+    edges = all_e.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min(F.struct("url", "sent_id")).alias("_prov"),
+    ).select(
+        "subj_id", "pred", "obj_id", "n_occurrences",
+        F.col("_prov.url").alias("first_url"),
+        F.col("_prov.sent_id").alias("first_sent_id"),
+    )
+    return nodes, edges

@@ -1,0 +1,62 @@
+"""End-to-end P/R gate (north rule: triple P/R >= 0.95 vs reference-emitted
+triples, known-miss rows excluded from the denominator exactly as the
+reference documents its recall limits via pytest.mark.skip,
+tests/test_graph_indexing.py:112-188)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import golden
+
+OPEN_PREDS = ("MENTIONS", "LINKS_TO")
+
+
+def test_open_edge_precision_recall(spark, corpus_dir, pipeline_out):
+    got = (
+        pipeline_out["edges"]
+        .where(~F.col("pred").isin(*OPEN_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    exp = golden(spark, corpus_dir, "edges").distinct()
+    n_got, n_exp = got.count(), exp.count()
+    inter = got.intersect(exp).count()
+    precision = inter / max(n_got, 1)
+    recall = inter / max(n_exp, 1)
+    assert precision >= 0.95, f"precision {precision:.4f} ({n_got} emitted)"
+    assert recall >= 0.95, f"recall {recall:.4f} ({n_exp} golden)"
+
+
+def test_nodes_cover_all_types(spark, pipeline_out):
+    types = {
+        r.node_type
+        for r in pipeline_out["nodes"].select("node_type").distinct().collect()
+    }
+    assert types == {"Page", "Entity", "Domain"}
+
+
+def test_node_ids_unique(spark, pipeline_out):
+    nodes = pipeline_out["nodes"]
+    assert nodes.count() == nodes.select("node_id", "node_type").distinct().count()
+
+
+def test_edges_unique_on_triple_key(spark, pipeline_out):
+    e = pipeline_out["edges"]
+    assert e.count() == e.select("subj_id", "pred", "obj_id").distinct().count()
+
+
+def test_mentions_edges_reference_existing_nodes(spark, pipeline_out):
+    """Referential integrity: every edge endpoint resolves to a node
+    (the reference guarantees this via its two-pass build, L5)."""
+    nodes = pipeline_out["nodes"].select("node_id")
+    edges = pipeline_out["edges"]
+    dangling = (
+        edges.select(F.col("subj_id").alias("node_id"))
+        .union(edges.select(F.col("obj_id").alias("node_id")))
+        .distinct()
+        .join(nodes, on="node_id", how="left_anti")
+        .count()
+    )
+    assert dangling == 0
