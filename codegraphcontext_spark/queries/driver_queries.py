@@ -1,0 +1,794 @@
+"""Driver-contract queries: every operator exposed via __spark_entry__.queries()
+with a DuckDB oracle twin in oracle_sql().
+
+These run over the driver-provided tables at /root/testdata/sf*/ (documents,
+embeddings, events, lineitem, ...). The documents table plays the role of the
+corpus: the KG operators (term dictionary, mentions, co-occurrence, closure)
+are the SQL-expressible transposition of the reference's query surface
+(reference tools/code_finder.py; SURVEY.md §2.4 Q1-Q23), and the dedup /
+similarity / text-quality operators are the training-data-pipeline extensions.
+
+Determinism rules for oracle parity:
+  * integer or string outputs only — floats are scaled to *_x1e6 bigints,
+  * every LIMIT has a total tie-break ordering, identical on both sides,
+  * cross-engine hashing uses md5 (identical lowercase hex in Spark & DuckDB),
+  * no engine-specific float summation orders feeding unrounded outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# closed term dictionary — the E11-analog entity dictionary over documents
+DICT_TERMS = [
+    "spark", "join", "filter", "window", "hash",
+    "merge", "sort", "scan", "agg", "stream",
+]
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in DICT_TERMS) + ")"
+
+STOPWORDS = ["the", "a"]
+_STOP_SQL = "('the', 'a')"
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence."""
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+
+
+def _mentions(docs: DataFrame) -> DataFrame:
+    """distinct (doc_id, term) restricted to the dictionary."""
+    return _tokens(docs).where(F.col("term").isin(DICT_TERMS)).distinct()
+
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents)"
+)
+_MENT_CTE = (
+    _TOKS_CTE
+    + f", mentions AS (SELECT DISTINCT doc_id, term FROM toks WHERE term IN {_TERMS_SQL})"
+)
+
+
+# =============================================================================
+# KG query surface over documents (reference code_finder.py analogs)
+# =============================================================================
+
+@_q(
+    "kg_term_stats",
+    f"""{_TOKS_CTE}
+    SELECT term, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM toks WHERE term IN {_TERMS_SQL} GROUP BY term""",
+)
+def kg_term_stats(spark, sf_dir):
+    """Dictionary build (E11 analog): per dictionary term, document frequency
+    and occurrence count."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    return (
+        toks.where(F.col("term").isin(DICT_TERMS))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+
+
+@_q(
+    "kg_top_terms",
+    f"""{_TOKS_CTE}
+    SELECT term, COUNT(*) AS n_occ FROM toks GROUP BY term
+    ORDER BY n_occ DESC, term ASC LIMIT 20""",
+)
+def kg_top_terms(spark, sf_dir):
+    """Top-k aggregation (Q22 analog: TakeOrderedAndProject)."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_mentions",
+    f"{_MENT_CTE} SELECT doc_id, term FROM mentions",
+)
+def kg_mentions(spark, sf_dir):
+    """The MENTIONS edge table: distinct (doc, dictionary term)."""
+    return _mentions(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "kg_cooccurrence",
+    f"""{_MENT_CTE}
+    SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+    FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term""",
+)
+def kg_cooccurrence(spark, sf_dir):
+    """Module co-occurrence (Q18 analog, code_finder.py:522-553): term pairs
+    sharing documents, with counts."""
+    m = _mentions(_t(spark, sf_dir, "documents"))
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q(
+    "kg_who_references",
+    f"""{_TOKS_CTE}
+    SELECT doc_id, COUNT(*) AS n_occ FROM toks WHERE term = 'spark'
+    GROUP BY doc_id ORDER BY n_occ DESC, doc_id ASC LIMIT 20""",
+)
+def kg_who_references(spark, sf_dir):
+    """find_callers analog (Q8, code_finder.py:170-234): documents referencing
+    the 'spark' entity, heaviest first."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    return (
+        toks.where(F.col("term") == "spark")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_doc_references",
+    f"""{_TOKS_CTE}
+    SELECT term, COUNT(*) AS n_occ FROM toks
+    WHERE doc_id = 7 AND term IN {_TERMS_SQL} GROUP BY term""",
+)
+def kg_doc_references(spark, sf_dir):
+    """find_callees analog (Q9): what dictionary entities does doc 7 reference."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    return (
+        toks.where((F.col("doc_id") == 7) & F.col("term").isin(DICT_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+@_q(
+    "kg_most_referenced",
+    f"""{_MENT_CTE}
+    SELECT term, COUNT(*) AS n_docs FROM mentions GROUP BY term
+    ORDER BY n_docs DESC, term ASC LIMIT 5""",
+)
+def kg_most_referenced(spark, sf_dir):
+    """most-complex-functions analog (Q22): top-5 dictionary terms by reach."""
+    m = _mentions(_t(spark, sf_dir, "documents"))
+    return (
+        m.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term"))
+        .limit(5)
+    )
+
+
+@_q(
+    "kg_dead_terms",
+    f"""{_MENT_CTE}
+    SELECT DISTINCT term FROM mentions
+    WHERE term <> 'spark' AND term NOT IN (
+      SELECT DISTINCT m.term FROM mentions m
+      JOIN mentions s ON m.doc_id = s.doc_id AND s.term = 'spark')""",
+)
+def kg_dead_terms(spark, sf_dir):
+    """dead-code analog (Q14, code_finder.py:414-447): dictionary terms never
+    co-occurring with 'spark' — an anti-join."""
+    m = _mentions(_t(spark, sf_dir, "documents"))
+    spark_docs = m.where(F.col("term") == "spark").select("doc_id")
+    co = (
+        m.join(spark_docs, on="doc_id")
+        .where(F.col("term") != "spark")
+        .select("term")
+        .distinct()
+    )
+    return (
+        m.where(F.col("term") != "spark")
+        .select("term")
+        .distinct()
+        .join(co, on="term", how="left_anti")
+    )
+
+
+@_q(
+    "kg_search_content",
+    """SELECT doc_id, lang, n_chars FROM documents
+    WHERE text LIKE '%window%' AND text LIKE '%merge%'""",
+)
+def kg_search_content(spark, sf_dir):
+    """full-text search analog (Q4): conjunctive substring search."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").contains("window") & F.col("text").contains("merge")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "kg_rank_fusion",
+    """SELECT doc_id, search_type, relevance FROM (
+      SELECT doc_id, 'spark' AS search_type,
+             90 - CASE WHEN lang <> 'en' THEN 20 ELSE 0 END AS relevance
+        FROM documents WHERE text LIKE '%spark%'
+      UNION ALL
+      SELECT doc_id, 'join', 80 - CASE WHEN lang <> 'en' THEN 20 ELSE 0 END
+        FROM documents WHERE text LIKE '%join%'
+      UNION ALL
+      SELECT doc_id, 'filter', 70 - CASE WHEN lang <> 'en' THEN 20 ELSE 0 END
+        FROM documents WHERE text LIKE '%filter%')
+    ORDER BY relevance DESC, doc_id ASC, search_type ASC LIMIT 15""",
+)
+def kg_rank_fusion(spark, sf_dir):
+    """find_related_code analog (Q5, code_finder.py:81-118): three tagged
+    searches with static weights (non-primary-language docs penalized, the
+    is_dependency analog), fused by global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    dep_pen = F.when(F.col("lang") != "en", 20).otherwise(0)
+
+    def branch(term: str, weight: int) -> DataFrame:
+        return docs.where(F.col("text").contains(term)).select(
+            "doc_id",
+            F.lit(term).alias("search_type"),
+            (F.lit(weight) - dep_pen).alias("relevance"),
+        )
+
+    u = branch("spark", 90).unionByName(branch("join", 80)).unionByName(
+        branch("filter", 70)
+    )
+    return u.orderBy(
+        F.desc("relevance"), F.asc("doc_id"), F.asc("search_type")
+    ).limit(15)
+
+
+@_q(
+    "kg_sources_of_term",
+    f"""{_MENT_CTE}
+    SELECT d.source, COUNT(DISTINCT d.doc_id) AS n_docs
+    FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE m.term = 'merge' GROUP BY d.source""",
+)
+def kg_sources_of_term(spark, sf_dir):
+    """who-imports-module analog (Q10): sources whose docs mention 'merge'."""
+    docs = _t(spark, sf_dir, "documents")
+    m = _mentions(docs).where(F.col("term") == "merge")
+    return (
+        m.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@_q(
+    "kg_usage_scope",
+    f"""{_MENT_CTE}
+    SELECT CASE WHEN d.lang = 'en' THEN 'english'
+                WHEN d.lang = 'de' THEN 'german'
+                ELSE 'other' END AS scope,
+           COUNT(*) AS n_docs
+    FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE m.term = 'hash' GROUP BY 1""",
+)
+def kg_usage_scope(spark, sf_dir):
+    """variable-usage-scope analog (Q11/Q19, code_finder.py:555-586): CASE
+    scope classification of 'hash' mentions."""
+    docs = _t(spark, sf_dir, "documents")
+    m = _mentions(docs).where(F.col("term") == "hash")
+    scope = (
+        F.when(F.col("lang") == "en", "english")
+        .when(F.col("lang") == "de", "german")
+        .otherwise("other")
+    )
+    return (
+        m.join(docs.select("doc_id", "lang"), on="doc_id")
+        .groupBy(scope.alias("scope"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- adjacency graph + bounded closure (Q15-Q17 analogs) ---------------------
+_ADJ_CTE = (
+    "WITH pos AS (SELECT doc_id, t.term, t.i FROM (SELECT doc_id, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "LATERAL (SELECT unnest(toks) AS term, generate_subscripts(toks, 1) AS i) t), "
+    f"adj AS (SELECT DISTINCT a.term AS src, b.term AS dst FROM pos a "
+    f"JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+    f"WHERE a.term IN {_TERMS_SQL} AND b.term IN {_TERMS_SQL} AND a.term <> b.term)"
+)
+
+
+def _adjacency(docs: DataFrame) -> DataFrame:
+    """distinct (src, dst) edges between consecutive dictionary terms."""
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "term")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .where(
+            F.col("a.term").isin(DICT_TERMS)
+            & F.col("b.term").isin(DICT_TERMS)
+            & (F.col("a.term") != F.col("b.term"))
+        )
+        .select(F.col("a.term").alias("src"), F.col("b.term").alias("dst"))
+        .distinct()
+    )
+
+
+@_q("kg_term_adjacency", f"{_ADJ_CTE} SELECT src, dst FROM adj")
+def kg_term_adjacency(spark, sf_dir):
+    """The CALLS-edge analog: direct adjacency between dictionary terms."""
+    return _adjacency(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "kg_closure_from_spark",
+    f"""{_ADJ_CTE},
+    r AS (
+      SELECT 'spark' AS term, 0 AS depth
+      UNION ALL
+      SELECT adj.dst, r.depth + 1 FROM r JOIN adj ON adj.src = r.term
+      WHERE r.depth < 3)
+    SELECT term, MIN(depth) AS min_depth FROM r GROUP BY term""".replace(
+        "WITH pos", "WITH RECURSIVE pos"
+    ),
+)
+def kg_closure_from_spark(spark, sf_dir):
+    """Transitive closure analog (Q15-Q17, code_finder.py:449-520): BFS to
+    depth 3 from 'spark' over the adjacency graph — driver loop of frontier
+    joins with min-depth accumulation."""
+    adj = _adjacency(_t(spark, sf_dir, "documents")).cache()
+    spark_sess = spark
+    frontier = spark_sess.createDataFrame(
+        [("spark", 0)], "term string, depth int"
+    )
+    seen = frontier
+    for depth in range(1, 4):
+        frontier = (
+            adj.join(frontier.where(F.col("depth") == depth - 1),
+                     on=adj["src"] == F.col("term"))
+            .select(F.col("dst").alias("term"), F.lit(depth).alias("depth"))
+            .distinct()
+        )
+        seen = seen.unionByName(frontier)
+    return seen.groupBy("term").agg(F.min("depth").alias("min_depth"))
+
+
+# =============================================================================
+# Dedup operators (training-data pipeline)
+# =============================================================================
+
+@_q(
+    "dedup_exact_hash",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup key: content hash per document (groupBy this at scale)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
+_SHINGLE_CTE = (
+    "WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+    "FROM s0, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i) g)"
+)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """distinct word-3-gram shingles per doc (JVM-side: sequence+element_at)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+@_q(
+    "dedup_shingle_pairs",
+    f"""{_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           CAST(p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared) AS BIGINT)
+             AS jaccard_x1e6
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_shared >= 2""",
+)
+def dedup_shingle_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup candidates via inverted shingle index
+    (the exact-verification side of MinHash-LSH)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr("CAST(n_shared * 1000000 DIV (na + nb - n_shared) AS BIGINT)")
+            .alias("jaccard_x1e6"),
+        )
+    )
+
+
+_N_MINHASH_Q = 4
+
+
+def _minhash_cols():
+    return [
+        F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+            )
+        ).alias(f"h{k}")
+        for k in range(_N_MINHASH_Q)
+    ]
+
+
+_MINHASH_SQL_COLS = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{k}:' || s))) AS h{k}"
+    for k in range(_N_MINHASH_Q)
+)
+
+
+@_q(
+    "dedup_minhash_sig",
+    f"""{_SHINGLE_CTE},
+    agg AS (SELECT doc_id, list(shingle) AS shingles FROM sh GROUP BY doc_id)
+    SELECT doc_id, {_MINHASH_SQL_COLS} FROM agg""",
+)
+def dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (4 seeded md5-min hashes over word-3-gram shingles) —
+    deterministic across engines because md5 hex strings compare identically."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    agg = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    return agg.select("doc_id", *_minhash_cols())
+
+
+@_q(
+    "dedup_lsh_buckets",
+    f"""{_SHINGLE_CTE},
+    agg AS (SELECT doc_id, list(shingle) AS shingles FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM agg),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT {k} AS band, h{k} AS sig_v, doc_id FROM sig" for k in range(_N_MINHASH_Q))}
+    )
+    SELECT band, sig_v, COUNT(*) AS n_docs FROM bands
+    GROUP BY band, sig_v HAVING COUNT(*) >= 2""",
+)
+def dedup_lsh_buckets(spark, sf_dir):
+    """LSH banding stats: bucket sizes per (band, signature) — the blocking
+    step of MinHash-LSH dedup (bounded output; the pair join happens inside
+    buckets at full scale)."""
+    sig = dedup_minhash_sig(spark, sf_dir)
+    bands = None
+    for k in range(_N_MINHASH_Q):
+        b = sig.select(
+            F.lit(k).alias("band"), F.col(f"h{k}").alias("sig_v"), "doc_id"
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return (
+        bands.groupBy("band", "sig_v")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@_q("dedup_simhash", None)  # bit-twiddling not cleanly portable to the oracle
+def dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit) per doc: per-token md5 nibbles vote per bit position.
+    Rows-only driver check (no oracle); pinned by tests/test_driver_contract.py
+    determinism assertions instead."""
+    toks = _tokens(_t(spark, sf_dir, "documents")).distinct()
+    # bit b of token hash = nibble (b//4) of md5, bit (b%4)
+    bits = [
+        (
+            F.conv(F.substring(F.md5("term"), b // 4 + 1, 1), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(1 << (b % 4)))
+            > 0
+        ).cast("int").alias(f"bit{b}")
+        for b in range(16)
+    ]
+    per_tok = toks.select("doc_id", *bits)
+    votes = per_tok.groupBy("doc_id").agg(
+        *[F.sum(f"bit{b}").alias(f"s{b}") for b in range(16)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    sim = None
+    for b in range(16):
+        contrib = (F.col(f"s{b}") * 2 > F.col("n")).cast("bigint") * (1 << b)
+        sim = contrib if sim is None else sim + contrib
+    return votes.select("doc_id", sim.alias("simhash16"))
+
+
+# =============================================================================
+# Similarity search over embeddings
+# =============================================================================
+
+_EMB_CTE = (
+    "WITH e AS (SELECT vec_id, unnest(embedding) AS x, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings)"
+)
+
+
+@_q(
+    "embed_norms",
+    f"""{_EMB_CTE}
+    SELECT vec_id,
+           CAST(ROUND(SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6) AS BIGINT)
+             AS norm_x1e6
+    FROM e GROUP BY vec_id""",
+)
+def embed_norms(spark, sf_dir):
+    """L2 norms (scaled-int for float-safe hashing)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(dot) * 1e6).cast("bigint").alias("norm_x1e6"),
+    )
+
+
+@_q(
+    "embed_topk_cosine",
+    f"""{_EMB_CTE},
+    dots AS (
+      SELECT b.vec_id,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+      GROUP BY b.vec_id)
+    SELECT vec_id, CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM dots ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 10""",
+)
+def embed_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): query = vec_id 0.
+
+    Spark side: broadcast the query vector, zip_with + aggregate (JVM
+    higher-order functions — no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    return (
+        cand.select(
+            "vec_id", F.round(cos * 1e6).cast("bigint").alias("cos_x1e6")
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# =============================================================================
+# Text analysis operators
+# =============================================================================
+
+@_q(
+    "text_stats",
+    f"""{_TOKS_CTE}
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT term) AS n_distinct,
+           CAST(SUM(length(term)) * 100 // COUNT(*) AS BIGINT) AS avg_len_x100,
+           CAST(SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS stop_x1000
+    FROM toks GROUP BY doc_id""",
+)
+def text_stats(spark, sf_dir):
+    """Token counting + quality signals: counts, distinct, avg token length,
+    stopword ratio (scaled ints)."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.expr("CAST(SUM(length(term)) * 100 DIV COUNT(*) AS BIGINT)").alias(
+            "avg_len_x100"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("stop_x1000"),
+    )
+
+
+@_q(
+    "text_langid",
+    f"""{_TOKS_CTE},
+    v AS (SELECT doc_id,
+                 SUM(CASE WHEN term IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS en_hits,
+                 SUM(CASE WHEN term IN ('der', 'die', 'und') THEN 1 ELSE 0 END) AS de_hits,
+                 SUM(CASE WHEN term IN ('le', 'la', 'et') THEN 1 ELSE 0 END) AS fr_hits
+          FROM toks GROUP BY doc_id)
+    SELECT doc_id,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+    FROM v""",
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-list voting with a deterministic
+    priority tie-break (en > de > fr > unknown)."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(F.col("term").isin("the", "a", "of").cast("int")).alias("en_hits"),
+        F.sum(F.col("term").isin("der", "die", "und").cast("int")).alias("de_hits"),
+        F.sum(F.col("term").isin("le", "la", "et").cast("int")).alias("fr_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0), "de")
+        .when(F.col("fr_hits") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return hits.select("doc_id", pred.alias("lang_pred"))
+
+
+@_q(
+    "text_fingerprint",
+    f"""{_SHINGLE_CTE}
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: min-hash over word-3-gram shingles (winnowing-
+    style content fingerprint, cross-engine-stable via md5)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+# =============================================================================
+# Event / relational operators (lifecycle + aggregation semantics coverage)
+# =============================================================================
+
+@_q(
+    "events_by_type",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_x100
+    FROM events GROUP BY event_type""",
+)
+def events_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_x100"),
+    )
+
+
+@_q(
+    "events_top_users",
+    """SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 10""",
+)
+def events_top_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@_q(
+    "lineitem_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
+              CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_x100,
+              COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate — exercises multi-key groupBy with partial
+    (map-side) aggregation; scaled-int sums for float-stable hashing."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity") * 100).cast("bigint").alias("sum_qty_x100"),
+        F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("sum_price_x100"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# =============================================================================
+# flagship
+# =============================================================================
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """entry() target: who-references over the documents corpus."""
+    return kg_who_references(spark, sf_dir)
