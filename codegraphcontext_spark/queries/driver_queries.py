@@ -792,3 +792,276 @@ def lineitem_pricing(spark, sf_dir):
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() target: who-references over the documents corpus."""
     return kg_who_references(spark, sf_dir)
+
+
+# =============================================================================
+# Call-chain paths (Q17 analog: find_function_call_chain)
+# =============================================================================
+
+@_q(
+    "kg_call_chain",
+    f"""{_ADJ_CTE.replace("WITH pos", "WITH RECURSIVE pos")},
+    r AS (
+      SELECT 'spark' AS term, 'spark' AS path, 0 AS hops
+      UNION ALL
+      SELECT adj.dst, r.path || '->' || adj.dst, r.hops + 1
+      FROM r JOIN adj ON adj.src = r.term
+      WHERE r.hops < 3 AND r.term <> 'scan'
+        AND position(adj.dst IN r.path) = 0)
+    SELECT path, hops FROM r WHERE term = 'scan'
+    ORDER BY hops ASC, path ASC LIMIT 10""",
+)
+def kg_call_chain(spark, sf_dir):
+    """Bounded simple-path enumeration 'spark' -> 'scan' over the term
+    adjacency graph (reference ``code_finder.py:495-520`` shortestPath with
+    depth cap, ordered by length, LIMIT 10). Driver loop of frontier joins
+    carrying the path as an array column; cycle-free via array_contains.
+    The frontier is tiny (dictionary-sized) regardless of corpus size — the
+    scale-bearing work is the adjacency derivation, which shuffles once."""
+    adj = _adjacency(_t(spark, sf_dir, "documents"))
+    frontier = spark.createDataFrame(
+        [(["spark"], "spark", 0)], "path array<string>, term string, hops int"
+    )
+    done = None
+    for _ in range(3):
+        frontier = (
+            adj.join(
+                F.broadcast(frontier.where(F.col("term") != "scan")),
+                on=adj["src"] == F.col("term"),
+            )
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.concat("path", F.array("dst")).alias("path"),
+                F.col("dst").alias("term"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        hit = frontier.where(F.col("term") == "scan").select(
+            F.array_join("path", "->").alias("path"), "hops"
+        )
+        done = hit if done is None else done.unionByName(hit)
+    return done.orderBy(F.asc("hops"), F.asc("path")).limit(10)
+
+
+# =============================================================================
+# Embedding near-dup + LSH-bucketed ANN
+# =============================================================================
+
+def _dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+@_q(
+    "dedup_embed_cosine",
+    f"""{_EMB_CTE},
+    d AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT vec_a, vec_b, CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM d WHERE dot / (na * nb) >= 0.35""",
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos >= 0.35 on this synthetic data).
+
+    Brute-force all-pairs is the sf-test baseline; at 100 TB the same
+    verification runs only on LSH-bucketed candidates (embed_ann_lsh's
+    bucketing), keeping the pair count near-linear."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, on=F.col("vec_a") < F.col("vec_b"))
+    cos = _dot_expr(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot_expr(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot_expr(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.select(
+            "vec_a", "vec_b", cos.alias("cos")
+        )
+        .where(F.col("cos") >= 0.35)
+        .select(
+            "vec_a", "vec_b",
+            F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_x1e6"),
+        )
+    )
+
+
+# Deterministic sign-projection hyperplanes (4 planes x 64 dims of +-1 derived
+# from md5 parity — same constants on the Spark and DuckDB sides).
+import hashlib as _hashlib  # noqa: E402
+
+_LSH_PLANES = [
+    [
+        1.0 if int(_hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+        for i in range(64)
+    ]
+    for b in range(4)
+]
+_HP_SQL = ", ".join(
+    f"({b}, {i + 1}, {s})"
+    for b, plane in enumerate(_LSH_PLANES)
+    for i, s in enumerate(plane)
+)
+
+
+@_q(
+    "embed_ann_lsh",
+    f"""{_EMB_CTE},
+    hp AS (SELECT * FROM (VALUES {_HP_SQL}) AS t(b, i, s)),
+    proj AS (
+      SELECT e.vec_id, hp.b, SUM(CAST(e.x AS DOUBLE) * hp.s) AS dot
+      FROM e JOIN hp ON e.i = hp.i GROUP BY 1, 2),
+    buck AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN POW(2, b) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY 1),
+    qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+    cand AS (SELECT bk.vec_id FROM buck bk JOIN qb ON bk.bucket = qb.bucket
+             WHERE bk.vec_id <> 0),
+    d AS (
+      SELECT b.vec_id,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a
+      JOIN e b ON a.i = b.i AND a.vec_id = 0
+      JOIN cand c ON b.vec_id = c.vec_id
+      GROUP BY 1)
+    SELECT vec_id, CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM d ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 5""",
+)
+def embed_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path next to embed_topk_cosine's brute
+    force): sign-random-projection buckets (16), exact cosine re-rank only
+    within the query's bucket. At 100 TB the bucket column is the shuffle
+    key — candidates co-partition with the query, cutting the scan by ~16x
+    per probe (more planes = finer buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = F.array(
+        *[F.array(*[F.lit(s) for s in plane]) for plane in _LSH_PLANES]
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            planes,
+            F.sequence(F.lit(0), F.lit(len(_LSH_PLANES) - 1)),
+            lambda p, b: F.when(
+                _dot_expr(F.col("embedding"), p) > 0, F.pow(F.lit(2.0), b)
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cand = bucketed.where(F.col("vec_id") != 0).join(
+        F.broadcast(q), on=F.col("bucket") == F.col("q_bucket")
+    )
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(_dot_expr(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot_expr(F.col("q_emb"), F.col("q_emb")))
+    )
+    return (
+        cand.select(
+            "vec_id", F.round(cos * 1e6).cast("bigint").alias("cos_x1e6")
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# =============================================================================
+# Text: BPE-ish tokenization + quality score
+# =============================================================================
+
+@_q(
+    "text_token_bpe",
+    """WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+      FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens FROM t""",
+)
+def text_token_bpe(spark, sf_dir):
+    """BPE-ish token counting: alpha runs, digit runs, and single
+    punctuation marks as separate tokens (regexp, fully JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    return docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+@_q(
+    "text_quality",
+    f"""{_TOKS_CTE},
+    m AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(length(term)) AS chars,
+             SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) AS stops,
+             SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$') THEN 1 ELSE 0 END)
+               AS alpha
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(LEAST(n_tokens, 200) * 2
+                + alpha * 300 // n_tokens
+                + CASE WHEN stops * 100 // n_tokens BETWEEN 2 AND 40
+                       THEN 300 ELSE 0 END AS BIGINT) AS quality_x1000
+    FROM m""",
+)
+def text_quality(spark, sf_dir):
+    """Document quality score (integer-stable): length credit (<=400) +
+    alpha-token ratio (<=300) + in-band stopword-ratio bonus (300) — the
+    filter column a pretraining pipeline thresholds on."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("term")).alias("chars"),
+        F.sum(F.col("term").isin(STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+    )
+    return m.select(
+        "doc_id",
+        F.expr(
+            "CAST(LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens "
+            "+ CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40 "
+            "THEN 300 ELSE 0 END AS BIGINT)"
+        ).alias("quality_x1000"),
+    )
+
+
+# =============================================================================
+# Multimodal binary-column plumbing (stubbed decode, real Spark path)
+# =============================================================================
+
+@_q(
+    "mm_decode_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+              md5(text) AS checksum,
+              CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+              CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+              'stub-v1' AS decoder
+    FROM documents""",
+)
+def mm_decode_meta(spark, sf_dir):
+    """Multimodal decode plumbing: text bytes stand in for an opaque media
+    blob; mapInPandas (Arrow-batched) runs the (stubbed) decoder and emits
+    typed feature columns. The oracle recomputes the deterministic fake
+    features in SQL. See functions/multimodal.py for the real-decoder seam."""
+    from ..functions.multimodal import decode_stage
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_stage(docs)
