@@ -33,7 +33,22 @@ from .vocab import (
     resolve_mention,
 )
 
-SCALES = {"smoke": 200, "correctness": 5000, "bench": 100_000}
+SCALES = {
+    "smoke": 200,
+    "correctness": 5000,
+    "bench": 100_000,
+    "bench_heavy": 50_000,
+    "bench_heavy_xl": 150_000,
+}
+# extra per-page filler sentences per scale (realistic page weight for the
+# throughput/scaling benches; goldens unaffected — see generate_corpus)
+SCALE_FILLERS = {
+    "smoke": 0,
+    "correctness": 0,
+    "bench": 0,
+    "bench_heavy": 120,
+    "bench_heavy_xl": 120,
+}
 
 DOMAINS = [f"ref{i}.example.org" for i in range(20)]
 
@@ -128,9 +143,20 @@ def _para_text(sentences: list[str], anchors: list[str]) -> str:
 
 
 # -- generation ---------------------------------------------------------------
-def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> dict:
-    """Generate pages + golden fixtures into out_dir. Returns manifest dict."""
+def generate_corpus(
+    out_dir: str, n_pages: int, seed: int = 42, filler_sentences: int = 0
+) -> dict:
+    """Generate pages + golden fixtures into out_dir. Returns manifest dict.
+
+    filler_sentences: extra entity-free filler sentences appended to each
+    page's last paragraph — sizes pages realistically (~100+ sentences like
+    real web pages) for throughput/scaling benchmarks WITHOUT changing any
+    golden fact: fillers are drawn from a SEPARATE rng stream and appended
+    after sent_id assignment, so the main seed-42 stream (and every golden
+    row) is byte-identical to filler_sentences=0.
+    """
     rng = random.Random(seed)
+    rng_fill = random.Random(seed + 7)
     ent_keys = [e[0] for e in ENTITIES]
     weights = _zipf_weights(len(ent_keys))
     by_type: dict[str, list[int]] = {}
@@ -270,6 +296,12 @@ def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> dict:
             anchor_per_para[rng.randrange(len(paras))].append(d)
             links_rows.append((url, d))
 
+        if filler_sentences:
+            paras[-1] = paras[-1] + [
+                f"{rng_fill.choice(FILLERS)} in week {rng_fill.randrange(1000)} of the archive."
+                for _ in range(filler_sentences)
+            ]
+
         para_htmls = [_para_html(p, a) for p, a in zip(paras, anchor_per_para)]
         text = "\n".join(_para_text(p, a) for p, a in zip(paras, anchor_per_para))
         html = _render_html(f"page {i}", para_htmls, i % 5)
@@ -299,7 +331,28 @@ def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> dict:
     def _write(name: str, table: pa.Table) -> None:
         pq.write_table(table, os.path.join(out_dir, name))
 
-    _write("pages.parquet", pa.table({
+    def _write_sharded(name: str, table: pa.Table, rows_per_shard: int = 5000) -> None:
+        """Write as a DIRECTORY of shard files (row groups capped too): the
+        Common-Crawl shape — many WARC-sized files — and what makes the
+        first Spark scan parallel. A single-file corpus with one giant row
+        group serializes the whole initial read onto one task."""
+        path = os.path.join(out_dir, name)
+        if os.path.isdir(path):
+            for f in os.listdir(path):
+                os.remove(os.path.join(path, f))
+        elif os.path.exists(path):
+            os.remove(path)
+        os.makedirs(path, exist_ok=True)
+        n = table.num_rows
+        shards = max(1, (n + rows_per_shard - 1) // rows_per_shard)
+        for s in range(shards):
+            pq.write_table(
+                table.slice(s * rows_per_shard, rows_per_shard),
+                os.path.join(path, f"part-{s:05d}.parquet"),
+                row_group_size=1024,
+            )
+
+    _write_sharded("pages.parquet", pa.table({
         "url": pa.array([r[0] for r in pages_rows], pa.string()),
         "warc_ts": pa.array([r[1] for r in pages_rows], pa.timestamp("us")),
         "html": pa.array([r[2] for r in pages_rows], pa.binary()),

@@ -115,6 +115,37 @@ def connected_components(
     alias clusters (diameter <= ~3) is a handful of iterations; max_iter caps
     pathological chains (SURVEY.md §7.4.3).
     """
+    # Small-graph fast path: below this many merge pairs, collect and run
+    # driver-side union-find — identical labels (min surface per component),
+    # ~10 Spark jobs fewer. The DataFrame loop below is the web-scale path
+    # (pair count >> driver memory); the threshold is the cutover knob.
+    SMALL = 100_000
+    head = edges.limit(SMALL + 1).collect()
+    if len(head) <= SMALL:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in head:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo  # min-label root, same as the loop's fixpoint
+        spark = edges.sparkSession
+        rows = [(s, find(s)) for s in set(parent)]
+        labels_df = spark.createDataFrame(rows, "surface string, label string") \
+            if rows else spark.createDataFrame([], "surface string, label string")
+        return (
+            vertices.join(F.broadcast(labels_df), on="surface", how="left")
+            .select(
+                "surface", F.coalesce("label", "surface").alias("label")
+            )
+        )
+
     sym = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))

@@ -77,16 +77,20 @@ def materialize_graph(
         "url",
         F.lit(0).alias("sent_id"),
     )
-    # open-predicate edges: join the triple rows back to their two resolved slots
+    # open-predicate edges: join the triple rows back to their two resolved
+    # slots. Join keys include the surface so a sentence holding several
+    # triples never cross-products its subjects with another triple's objects.
     subj_r = resolved.where(F.col("role") == "subj").select(
-        "url", "sent_id", F.col("entity_id").alias("subj_eid")
-    )
+        "url", "sent_id", F.col("surface").alias("subj_surface"),
+        F.col("entity_id").alias("subj_eid"),
+    ).distinct()
     obj_r = resolved.where(F.col("role") == "obj").select(
-        "url", "sent_id", F.col("entity_id").alias("obj_eid")
-    )
+        "url", "sent_id", F.col("surface").alias("obj_surface"),
+        F.col("entity_id").alias("obj_eid"),
+    ).distinct()
     open_e = (
-        triples.join(subj_r, on=["url", "sent_id"])
-        .join(obj_r, on=["url", "sent_id"])
+        triples.join(subj_r, on=["url", "sent_id", "subj_surface"])
+        .join(obj_r, on=["url", "sent_id", "obj_surface"])
         .select(
             F.col("subj_eid").alias("subj_id"),
             "pred",

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -41,6 +42,11 @@ from .triples import defs_stage, links_stage, patterns_df, triples_stage
 STAGES = ["docs", "sentences", "triples", "defs", "links", "canon", "linked", "nodes", "edges"]
 
 
+# stages always committed, even under checkpoint="minimal": the expensive
+# Python-extraction output, the linked mention table, and the graph itself.
+_MINIMAL_COMMITS = frozenset({"docs", "linked", "nodes", "edges"})
+
+
 class PipelineRunner:
     def __init__(
         self,
@@ -48,28 +54,66 @@ class PipelineRunner:
         pages_path: str,
         workdir: str,
         n_partitions: int | None = None,
+        checkpoint: str = "all",
     ) -> None:
+        """checkpoint: "all" commits every stage (finest resume granularity,
+        the production default per the north rule) — "minimal" commits only
+        docs/linked/nodes/edges and FUSES the narrow JVM stages (segment,
+        triple/def/link extraction, canon) into their consumers' plans,
+        roughly halving the job count and write barriers. Resume still works
+        from each committed snapshot, just at coarser granularity.
+        run_incremental requires an "all" build (it merges per-stage data)."""
+        assert checkpoint in ("all", "minimal")
         self.spark = spark
         self.pages_path = pages_path
         self.workdir = workdir
         self.n_partitions = n_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        self.checkpoint = checkpoint
         self.metrics: dict[str, dict] = {}
 
     # -- checkpoint plumbing --------------------------------------------------
     def _dir(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
-    def _fingerprint(self) -> str:
-        """Input fingerprint: pages path + mtime-ish + extractor version.
-        On Iceberg this is the input snapshot id."""
+    @staticmethod
+    def _path_sig(path: str) -> str:
         try:
-            stat = os.stat(self.pages_path)
-            sig = f"{self.pages_path}:{stat.st_mtime_ns}:{stat.st_size}"
+            if os.path.isdir(path):  # sharded corpus dir: fold every file in
+                parts = sorted(os.listdir(path))
+                stats = [os.stat(os.path.join(path, p)) for p in parts]
+                tot = sum(s.st_size for s in stats)
+                mt = max(
+                    [os.stat(path).st_mtime_ns] + [s.st_mtime_ns for s in stats]
+                )
+                return f"{path}:{len(parts)}:{tot}:{mt}"
+            stat = os.stat(path)
+            return f"{path}:{stat.st_mtime_ns}:{stat.st_size}"
         except OSError:
-            sig = self.pages_path
-        return f"v{EXTRACTOR_VERSION}:{sig}"
+            return path
+
+    def _ingested(self) -> list[str]:
+        """Signatures of delta snapshots already folded in via incremental."""
+        p = os.path.join(self.workdir, "_ingested.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return []
+
+    def _record_ingested(self, sig: str) -> None:
+        sigs = self._ingested() + [sig]
+        os.makedirs(self.workdir, exist_ok=True)
+        with open(os.path.join(self.workdir, "_ingested.json"), "w") as f:
+            json.dump(sigs, f)
+
+    def _fingerprint(self) -> str:
+        """Input fingerprint: pages path + mtime-ish + extractor version +
+        every ingested delta snapshot. On Iceberg this is the input snapshot
+        id chain."""
+        base = f"v{EXTRACTOR_VERSION}:{self._path_sig(self.pages_path)}"
+        deltas = self._ingested()
+        return base + ("+" + "+".join(deltas) if deltas else "")
 
     def _committed(self, stage: str) -> bool:
         mpath = os.path.join(self._dir(stage), "manifest.json")
@@ -89,17 +133,7 @@ class PipelineRunner:
             df = df.repartition(self.n_partitions, F.xxhash64("url"))
         df.write.mode("overwrite").parquet(out)
         committed = self.spark.read.parquet(out)
-        # per-partition lineage: one row per output file (partition) with count
-        lineage = (
-            committed.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .select(
-                F.xxhash64("file").alias("partition_id"),
-                F.col("count").alias("n_rows"),
-            )
-        )
-        lineage.write.mode("overwrite").parquet(os.path.join(d, "lineage"))
-        n = committed.count()
+        n = self._write_lineage(d)
         wall_ms = int((time.time() - t0) * 1000)
         manifest = {
             "stage": stage,
@@ -113,6 +147,41 @@ class PipelineRunner:
         self.metrics[stage] = manifest
         return committed
 
+    def _write_lineage(self, stage_dir: str) -> int:
+        """Per-partition lineage rows (partition_id, n_rows) from the parquet
+        FOOTERS of the just-written files — driver-side metadata reads, zero
+        Spark jobs (the old groupBy(input_file_name) cost a full re-scan +
+        shuffle per stage; at 100 TB footers are the only sane source).
+        Returns the total row count."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(stage_dir, "data")
+        parts = sorted(
+            f for f in os.listdir(data_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        ids, counts = [], []
+        for fname in parts:
+            meta = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
+            # stable partition id: hash of the partition index encoded in the
+            # file name (part-00017-...) — survives re-listing order
+            idx = fname.split("-")[1]
+            ids.append(int(idx))
+            counts.append(meta.num_rows)
+        lineage_dir = os.path.join(stage_dir, "lineage")
+        os.makedirs(lineage_dir, exist_ok=True)
+        for old in os.listdir(lineage_dir):
+            os.remove(os.path.join(lineage_dir, old))
+        pq.write_table(
+            pa.table({
+                "partition_id": pa.array(ids, pa.int64()),
+                "n_rows": pa.array(counts, pa.int64()),
+            }),
+            os.path.join(lineage_dir, "lineage.parquet"),
+        )
+        return sum(counts)
+
     def _load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(stage), "data"))
 
@@ -120,6 +189,12 @@ class PipelineRunner:
         if self._committed(stage):
             self.metrics[stage] = {"stage": stage, "resumed": True}
             return self._load(stage)
+        if self.checkpoint == "minimal" and stage not in _MINIMAL_COMMITS:
+            # fused: no parquet commit / manifest / url-hash shuffle. The lazy
+            # localCheckpoint materializes the stage ONCE on first use (most
+            # fused stages feed two consumers) without a commit barrier.
+            self.metrics[stage] = {"stage": stage, "fused": True}
+            return build().localCheckpoint(eager=False)
         return self._commit(stage, build())
 
     # -- the pipeline ----------------------------------------------------------
@@ -174,7 +249,137 @@ class PipelineRunner:
         }
 
 
+    # -- incremental (W3 analog) ----------------------------------------------
+    def _swap_write(self, stage: str, df: DataFrame) -> None:
+        """Replace a committed stage's data with df (which may READ the old
+        files — writing the tmp dir materializes it fully first, so the
+        directory swap is safe). Iceberg equivalent: MERGE INTO / snapshot
+        replace."""
+        d = self._dir(stage)
+        tmp = os.path.join(d, "data_new")
+        if "url" in df.columns:
+            df = df.repartition(self.n_partitions, F.xxhash64("url"))
+        df.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(d, "data")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(tmp, old)
+
+    def _refresh_manifest(self, stage: str) -> DataFrame:
+        """Recompute lineage + manifest for a swapped stage from its files."""
+        d = self._dir(stage)
+        committed = self.spark.read.parquet(os.path.join(d, "data"))
+        manifest = {
+            "stage": stage,
+            "input_fingerprint": self._fingerprint(),
+            "n_rows": self._write_lineage(d),
+            "wall_ms": 0,
+            "extractor_version": EXTRACTOR_VERSION,
+            "incremental": True,
+        }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        self.metrics[stage] = manifest
+        return committed
+
+    def run_incremental(self, delta_pages_path: str) -> dict[str, DataFrame]:
+        """Fold a delta snapshot of pages into a committed workdir.
+
+        The reference's watcher re-parses the WHOLE repo on any change
+        (reference ``core/watcher.py:84-119``); here the O(corpus) extraction
+        stages are delta-only — only the url-hash partitions whose urls the
+        delta touches are rewritten — and only the cheap global stages
+        (dictionary, linking, canonicalization, materialize) recompute, i.e.
+        O(delta + graph), not O(corpus). Latest-wins on (url, warc_ts), ties
+        to the delta. Idempotent: an already-ingested delta is a no-op resume.
+        """
+        spark = self.spark
+        delta_sig = f"v{EXTRACTOR_VERSION}:{self._path_sig(delta_pages_path)}"
+        if delta_sig in self._ingested():
+            return self.run()
+        narrow = ("docs", "sentences", "triples", "defs", "links")
+        if not all(self._committed(s) for s in narrow):
+            raise RuntimeError(
+                "run_incremental() needs a base build with checkpoint='all' "
+                "(per-stage snapshots to merge into); run() must commit first"
+            )
+
+        delta_pages = spark.read.parquet(delta_pages_path)
+        w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+        delta_latest = (
+            delta_pages.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        delta_docs = extract_stage(delta_latest).select(
+            "url", "warc_ts", "lang", "text_extracted"
+        )
+
+        # decide winners: delta wins unless the base row is strictly newer.
+        # localCheckpoint BEFORE any directory swap — these plans read the
+        # committed docs files, which the swaps below delete.
+        old_docs = self._load("docs")
+        base_ts = old_docs.select("url", F.col("warc_ts").alias("_base_ts"))
+        delta_win = (
+            delta_docs.join(base_ts, on="url", how="left")
+            .where(
+                F.col("_base_ts").isNull()
+                | (F.col("warc_ts") >= F.col("_base_ts"))
+            )
+            .drop("_base_ts")
+            .localCheckpoint(eager=True)
+        )
+        win_urls = delta_win.select("url").distinct().localCheckpoint(eager=True)
+
+        # delta-only narrow stages over the winning delta pages
+        delta_pages_win = delta_latest.join(win_urls, on="url", how="left_semi")
+        delta_sent = segment_stage(delta_win)
+        pats = patterns_df(spark)
+        new_narrow = {
+            "docs": delta_win,
+            "sentences": delta_sent,
+            "triples": triples_stage(delta_sent, pats),
+            "defs": defs_stage(delta_sent),
+            "links": links_stage(delta_pages_win.select("url", "html")),
+        }
+        for stage, delta_df in new_narrow.items():
+            old = self._load(stage)
+            merged = old.join(win_urls, on="url", how="left_anti").unionByName(
+                delta_df.select(*old.columns)
+            )
+            self._swap_write(stage, merged)
+            self.spark.catalog.refreshByPath(os.path.join(self._dir(stage), "data"))
+
+        # fingerprint now advances to include this delta; refresh manifests
+        self._record_ingested(delta_sig)
+        for stage in new_narrow:
+            self._refresh_manifest(stage)
+
+        # global stages recompute from the merged narrow outputs
+        docs = self._load("docs")
+        triples = self._load("triples")
+        defs = self._load("defs")
+        links = self._load("links")
+        canon = self._commit("canon", canonicalize_entities(defs))
+        linked = self._commit(
+            "linked", link_mentions(mentions_long(triples, defs), build_dictionary(canon))
+        )
+        nodes, edges = materialize_graph(docs, triples, linked, canon, links)
+        nodes = self._commit("nodes", nodes, by_url=False)
+        edges = self._commit("edges", edges, by_url=False)
+        return {
+            "docs": docs, "sentences": self._load("sentences"), "triples": triples,
+            "defs": defs, "links": links, "canon": canon, "linked": linked,
+            "nodes": nodes, "edges": edges,
+        }
+
+
 def run_pipeline(
     spark: SparkSession, pages_path: str, workdir: str, **kw
 ) -> dict[str, DataFrame]:
     return PipelineRunner(spark, pages_path, workdir, **kw).run()
+
+
+def run_incremental(
+    spark: SparkSession, pages_path: str, delta_path: str, workdir: str, **kw
+) -> dict[str, DataFrame]:
+    return PipelineRunner(spark, pages_path, workdir, **kw).run_incremental(delta_path)

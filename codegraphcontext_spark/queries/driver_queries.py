@@ -374,7 +374,7 @@ def kg_closure_from_spark(spark, sf_dir):
     """Transitive closure analog (Q15-Q17, code_finder.py:449-520): BFS to
     depth 3 from 'spark' over the adjacency graph — driver loop of frontier
     joins with min-depth accumulation."""
-    adj = _adjacency(_t(spark, sf_dir, "documents")).cache()
+    adj = _adjacency(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     spark_sess = spark
     frontier = spark_sess.createDataFrame(
         [("spark", 0)], "term string, depth int"
@@ -553,17 +553,15 @@ def dedup_simhash(spark, sf_dir):
     Rows-only driver check (no oracle); pinned by tests/test_driver_contract.py
     determinism assertions instead."""
     toks = _tokens(_t(spark, sf_dir, "documents")).distinct()
-    # bit b of token hash = nibble (b//4) of md5, bit (b%4)
-    bits = [
+    # one md5 per token; all 16 bits unpacked from its first 4 hex chars
+    # (bit b = nibble b//4, bit b%4 — same layout as the per-nibble form)
+    h16 = F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int")
+    per_tok = toks.select("doc_id", h16.alias("h16")).select("doc_id", *[
         (
-            F.conv(F.substring(F.md5("term"), b // 4 + 1, 1), 16, 10)
-            .cast("int")
-            .bitwiseAND(F.lit(1 << (b % 4)))
-            > 0
-        ).cast("int").alias(f"bit{b}")
+            F.shiftright(F.col("h16"), (3 - b // 4) * 4 + (b % 4)).bitwiseAND(F.lit(1))
+        ).alias(f"bit{b}")
         for b in range(16)
-    ]
-    per_tok = toks.select("doc_id", *bits)
+    ])
     votes = per_tok.groupBy("doc_id").agg(
         *[F.sum(f"bit{b}").alias(f"s{b}") for b in range(16)],
         F.count(F.lit(1)).alias("n"),
@@ -584,6 +582,41 @@ _EMB_CTE = (
     "generate_subscripts(embedding, 1) AS i FROM embeddings)"
 )
 
+# Vector math runs as Arrow-batched pandas UDFs (numpy BLAS), NOT interpreted
+# higher-order-function lambdas: F.aggregate/F.zip_with evaluate one
+# interpreted expression tree per array element, ~100x slower than a
+# vectorized batch for 64-dim math. (The "UDFs are the slow path" rule is
+# about per-row Python; Arrow-batch numpy is the sanctioned fast path here.)
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
+# pandas_udf registration needs an active session -> create lazily, memoized.
+_UDF_CACHE: dict[str, Callable] = {}
+
+
+def _norm_udf(*cols):
+    if "norm" not in _UDF_CACHE:
+        @pandas_udf("double")
+        def norm(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype("float64")
+            return pd.Series(np.sqrt((m * m).sum(axis=1)))
+
+        _UDF_CACHE["norm"] = norm
+    return _UDF_CACHE["norm"](*cols)
+
+
+def _dot_udf(*cols):
+    if "dot" not in _UDF_CACHE:
+        @pandas_udf("double")
+        def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+            ma = np.stack(a.to_numpy()).astype("float64")
+            mb = np.stack(b.to_numpy()).astype("float64")
+            return pd.Series((ma * mb).sum(axis=1))
+
+        _UDF_CACHE["dot"] = dot
+    return _UDF_CACHE["dot"](*cols)
+
 
 @_q(
     "embed_norms",
@@ -594,16 +627,11 @@ _EMB_CTE = (
     FROM e GROUP BY vec_id""",
 )
 def embed_norms(spark, sf_dir):
-    """L2 norms (scaled-int for float-safe hashing)."""
+    """L2 norms (scaled-int for float-safe hashing); Arrow-batched numpy."""
     emb = _t(spark, sf_dir, "embeddings")
-    dot = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
     return emb.select(
         "vec_id",
-        F.round(F.sqrt(dot) * 1e6).cast("bigint").alias("norm_x1e6"),
+        F.round(_norm_udf("embedding") * 1e6).cast("bigint").alias("norm_x1e6"),
     )
 
 
@@ -623,24 +651,15 @@ def embed_norms(spark, sf_dir):
 def embed_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): query = vec_id 0.
 
-    Spark side: broadcast the query vector, zip_with + aggregate (JVM
-    higher-order functions — no UDF)."""
+    Broadcast the query vector; Arrow-batched numpy dot/norm; Spark's
+    TakeOrderedAndProject for the top-k (no full sort)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
     cand = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
-    cos = dot(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
     )
     return (
         cand.select(
@@ -817,8 +836,10 @@ def kg_call_chain(spark, sf_dir):
     depth cap, ordered by length, LIMIT 10). Driver loop of frontier joins
     carrying the path as an array column; cycle-free via array_contains.
     The frontier is tiny (dictionary-sized) regardless of corpus size — the
-    scale-bearing work is the adjacency derivation, which shuffles once."""
-    adj = _adjacency(_t(spark, sf_dir, "documents"))
+    scale-bearing work is the adjacency derivation, which localCheckpoint
+    materializes exactly once (otherwise each of the 3 frontier joins and
+    3 hit branches would recompute the full corpus scan)."""
+    adj = _adjacency(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     frontier = spark.createDataFrame(
         [(["spark"], "spark", 0)], "path array<string>, term string, hops int"
     )
@@ -847,14 +868,6 @@ def kg_call_chain(spark, sf_dir):
 # Embedding near-dup + LSH-bucketed ANN
 # =============================================================================
 
-def _dot_expr(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
-
-
 @_q(
     "dedup_embed_cosine",
     f"""{_EMB_CTE},
@@ -869,29 +882,63 @@ def _dot_expr(a, b):
     FROM d WHERE dot / (na * nb) >= 0.35""",
 )
 def dedup_embed_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos >= 0.35 on this synthetic data).
+    """Embedding-cosine near-dup pairs (cos >= 0.35 on this synthetic data)
+    via a BLOCK-MATRIX self-join: vectors are hashed into _NB_BLOCKS blocks,
+    each of the (B*(B+1))/2 block pairs ships both blocks to one task, and the
+    task runs one numpy GEMM (normalized rows -> the full cosine submatrix),
+    emitting only above-threshold pairs.
 
-    Brute-force all-pairs is the sf-test baseline; at 100 TB the same
-    verification runs only on LSH-bucketed candidates (embed_ann_lsh's
-    bucketing), keeping the pair count near-linear."""
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, on=F.col("vec_a") < F.col("vec_b"))
-    cos = _dot_expr(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot_expr(F.col("ea"), F.col("ea")))
-        * F.sqrt(_dot_expr(F.col("eb"), F.col("eb")))
+    This is the 100 TB shape for all-pairs similarity: per-task work is a
+    dense BLAS matmul on two bounded blocks (block size = the memory knob),
+    shuffle volume is n_vectors * B rows instead of n^2 pair rows, and skew
+    is impossible because blocks are hash-balanced. The exhaustive scan is
+    the recall baseline; embed_ann_lsh's bucketing is the sub-linear path."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = emb.withColumn("blk", (F.col("vec_id") % _NB_BLOCKS).cast("int"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(_NB_BLOCKS) for j in range(i, _NB_BLOCKS)],
+        "pi int, pj int",
     )
+    left = v.join(F.broadcast(bp), v["blk"] == bp["pi"]).select(
+        "pi", "pj", F.lit("L").alias("side"), "vec_id", "embedding"
+    )
+    right = v.join(F.broadcast(bp), v["blk"] == bp["pj"]).select(
+        "pi", "pj", F.lit("R").alias("side"), "vec_id", "embedding"
+    )
+
+    def gemm(key, pdf):
+        pi, pj = key
+        lhs = pdf[pdf["side"] == "L"]
+        rhs = pdf[pdf["side"] == "R"]
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_x1e6": []})
+        if len(lhs) == 0 or len(rhs) == 0:
+            return empty
+        ml = np.stack(lhs["embedding"].to_numpy()).astype("float64")
+        mr = np.stack(rhs["embedding"].to_numpy()).astype("float64")
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        cos = ml @ mr.T
+        ia, jb = np.nonzero(cos >= 0.35)
+        va = lhs["vec_id"].to_numpy()[ia]
+        vb = rhs["vec_id"].to_numpy()[jb]
+        if pi == pj:  # same block appears on both sides: keep lower triangle
+            keep = va < vb
+            ia, jb, va, vb = ia[keep], jb[keep], va[keep], vb[keep]
+        cs = cos[ia, jb]
+        return pd.DataFrame({
+            "vec_a": np.minimum(va, vb),
+            "vec_b": np.maximum(va, vb),
+            "cos_x1e6": np.rint(cs * 1e6).astype("int64"),
+        })
+
     return (
-        pairs.select(
-            "vec_a", "vec_b", cos.alias("cos")
-        )
-        .where(F.col("cos") >= 0.35)
-        .select(
-            "vec_a", "vec_b",
-            F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_x1e6"),
-        )
+        left.unionByName(right)
+        .groupBy("pi", "pj")
+        .applyInPandas(gemm, "vec_a long, vec_b long, cos_x1e6 long")
     )
+
+
+_NB_BLOCKS = 8
 
 
 # Deterministic sign-projection hyperplanes (4 planes x 64 dims of +-1 derived
@@ -910,6 +957,20 @@ _HP_SQL = ", ".join(
     for b, plane in enumerate(_LSH_PLANES)
     for i, s in enumerate(plane)
 )
+_PLANES_NP = np.array(_LSH_PLANES)  # (n_planes, 64)
+
+
+def _lsh_bucket_udf(*cols):
+    if "lsh_bucket" not in _UDF_CACHE:
+        @pandas_udf("long")
+        def lsh_bucket(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype("float64")
+            bits = (m @ _PLANES_NP.T) > 0  # sign of each plane projection
+            weights = 1 << np.arange(bits.shape[1])
+            return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+
+        _UDF_CACHE["lsh_bucket"] = lsh_bucket
+    return _UDF_CACHE["lsh_bucket"](*cols)
 
 
 @_q(
@@ -946,30 +1007,17 @@ def embed_ann_lsh(spark, sf_dir):
     key — candidates co-partition with the query, cutting the scan by ~16x
     per probe (more planes = finer buckets)."""
     emb = _t(spark, sf_dir, "embeddings")
-    planes = F.array(
-        *[F.array(*[F.lit(s) for s in plane]) for plane in _LSH_PLANES]
+    bucketed = emb.select(
+        "vec_id", "embedding", _lsh_bucket_udf("embedding").alias("bucket")
     )
-    bucket = F.aggregate(
-        F.zip_with(
-            planes,
-            F.sequence(F.lit(0), F.lit(len(_LSH_PLANES) - 1)),
-            lambda p, b: F.when(
-                _dot_expr(F.col("embedding"), p) > 0, F.pow(F.lit(2.0), b)
-            ).otherwise(F.lit(0.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ).cast("bigint")
-    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
     q = bucketed.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
     cand = bucketed.where(F.col("vec_id") != 0).join(
         F.broadcast(q), on=F.col("bucket") == F.col("q_bucket")
     )
-    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(_dot_expr(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot_expr(F.col("q_emb"), F.col("q_emb")))
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
     )
     return (
         cand.select(

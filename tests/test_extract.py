@@ -25,7 +25,7 @@ def test_direct_extraction_byte_identical(corpus_dir):
 
 def test_spark_stage_matches_direct(spark, corpus_dir):
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
-    out = extract_stage(pages)
+    out = extract_stage(pages, keep=("url", "text"))
     bad = out.where(F.col("text_extracted") != F.col("text"))
     assert bad.count() == 0
 
