@@ -1113,3 +1113,42 @@ def mm_decode_meta(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return decode_stage(docs)
+
+
+# =============================================================================
+# Aggregation-semantics coverage: COLLECT (Q10 shape) + time bucketing
+# =============================================================================
+
+@_q(
+    "kg_doc_terms",
+    f"""{_MENT_CTE}
+    SELECT doc_id, string_agg(term, ',' ORDER BY term) AS terms
+    FROM mentions GROUP BY doc_id""",
+)
+def kg_doc_terms(spark, sf_dir):
+    """COLLECT semantics (reference ``code_finder.py:287-291`` collects import
+    structs per file): per-doc sorted dictionary-term list, serialized so the
+    cross-engine value hash is order-stable."""
+    m = _mentions(_t(spark, sf_dir, "documents"))
+    return m.groupBy("doc_id").agg(
+        F.array_join(F.sort_array(F.collect_set("term")), ",").alias("terms")
+    )
+
+
+@_q(
+    "events_daily",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_x100
+    FROM events GROUP BY 1, 2""",
+)
+def events_daily(spark, sf_dir):
+    """Time-bucketed aggregate (the events-table analog of watcher-era
+    activity metrics): day x type counts with partial aggregation. Day is a
+    string on both sides (pandas date-vs-timestamp types would hash-differ)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_x100"),
+    )
