@@ -203,16 +203,44 @@ class PipelineRunner:
         pages = spark.read.parquet(self.pages_path)
 
         def build_docs() -> DataFrame:
-            # latest-wins dedup on url (duplicate-snapshot edge case), then
-            # deterministic extraction. The window shuffle doubles as the
-            # url-hash repartitioning for every downstream narrow stage.
-            w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
-            deduped = (
-                pages.withColumn("_rn", F.row_number().over(w))
+            # EXTRACT FIRST (narrow map over the scan partitions — the raw
+            # html blobs never cross a shuffle), then latest-wins dedup that
+            # only shuffles rows whose url actually HAS duplicate snapshots:
+            #   1. dup_urls from a pruned url-only scan of the raw pages
+            #      (columnar, no extraction, shuffles bare urls),
+            #   2. non-dup rows pass through NARROW (no shuffle at all),
+            #   3. dup rows (the tiny recrawled subset) window-dedup with a
+            #      deterministic tie-break (warc_ts, then md5(text) — ts-ties
+            #      alone would be partition-order-dependent).
+            # The naive window-over-everything alternative shuffles the whole
+            # corpus text (measured: the one flat-cost stage at any core
+            # count). If a crawl has a LARGE dup fraction, dup_urls outgrows
+            # the broadcast — swap the hint for a shuffle join; rows shuffled
+            # are still only the dup subset.
+            dup_urls = (
+                pages.groupBy("url")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .select("url")
+            )
+            # split the RAW pages on the broadcast so each page is extracted
+            # exactly once (splitting after extraction would run the Python
+            # stage twice over the corpus)
+            no_dup = extract_stage(
+                pages.join(F.broadcast(dup_urls), "url", "left_anti")
+            )
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc(), F.md5("text_extracted").desc()
+            )
+            dup_latest = (
+                extract_stage(
+                    pages.join(F.broadcast(dup_urls), "url", "left_semi")
+                )
+                .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            return extract_stage(deduped).select(
+            return no_dup.unionByName(dup_latest).select(
                 "url", "warc_ts", "lang", "text_extracted"
             )
 
@@ -304,7 +332,9 @@ class PipelineRunner:
             )
 
         delta_pages = spark.read.parquet(delta_pages_path)
-        w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.md5("html").desc()
+        )
         delta_latest = (
             delta_pages.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

@@ -45,6 +45,10 @@ def get_spark(
         # Arrow for all pandas UDF / mapInPandas stages (the extraction path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Smaller input splits: html-heavy page corpora need scan-side
+        # parallelism for the (narrow) extraction stage; 128 MB splits leave
+        # cores idle on medium corpora. 32 MB is right for ~10 KB documents.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # Deterministic session timezone so timestamp round-trips are stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
