@@ -17,6 +17,8 @@ from codegraphcontext_spark.datagen.vocab import (
     norm_surface,
 )
 from codegraphcontext_spark.pipeline.canon import (
+    blocked_pairs,
+    candidate_pairs,
     canonicalize_entities,
     connected_components,
 )
@@ -81,6 +83,39 @@ def test_canon_deterministic_across_parallelism(spark, pipeline_out):
     a = canonicalize_entities(defs.repartition(1)).select("surface", "entity_id")
     b = canonicalize_entities(defs.repartition(16)).select("surface", "entity_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_banding_blocks_all_golden_variant_pairs(spark):
+    """Every intra-entity canonical-variant pair (J >= threshold by
+    construction, test above) must survive LSH blocking + verification —
+    recall at the merge threshold is the correctness edge of b x r banding."""
+    rows = [(norm_surface(v), t) for _, t, vs, _ in ENTITIES for v in vs]
+    surfaces = spark.createDataFrame(rows, "surface string, etype string")
+    got = {
+        (r.a, r.b) for r in candidate_pairs(surfaces).collect()
+    }
+    for _, _, variants, _ in ENTITIES:
+        norm = sorted(norm_surface(v) for v in variants)
+        for i in range(len(norm)):
+            for j in range(i + 1, len(norm)):
+                assert (norm[i], norm[j]) in got, (norm[i], norm[j])
+
+
+def test_banding_selectivity_on_common_shingle(spark):
+    """A corpus of dissimilar surfaces sharing one common token ("the") must
+    produce >=10x fewer blocked candidate pairs under b=16 x r=2 banding than
+    under round 1's 32 size-1 bands (the quadratic-hazard fix: one hot 3-gram
+    shared by millions of docs must not make every pair a candidate)."""
+    import hashlib
+
+    rows = [
+        (hashlib.md5(str(i).encode()).hexdigest()[:30] + " the", "org")
+        for i in range(60)
+    ]
+    surfaces = spark.createDataFrame(rows, "surface string, etype string")
+    n_r1 = blocked_pairs(surfaces, n_bands=32, n_rows=1).count()
+    n_r2 = blocked_pairs(surfaces).count()
+    assert n_r2 * 10 <= n_r1, (n_r1, n_r2)
 
 
 def test_entity_id_is_content_addressed():
