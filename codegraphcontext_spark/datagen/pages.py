@@ -307,7 +307,9 @@ def generate_corpus(
         html = _render_html(f"page {i}", para_htmls, i % 5)
         pages_rows.append((url, warc_ts, html.encode("utf-8"), text, lang))
 
-    pages_rows.extend(_edge_case_rows())
+    edge_rows, edge_links = _edge_case_rows()
+    pages_rows.extend(edge_rows)
+    links_rows.extend(edge_links)
 
     # golden rows for the self-referential edge-case page (the analog of the
     # reference's recursive factorial->factorial call check,
@@ -409,9 +411,21 @@ def generate_corpus(
     return manifest
 
 
-def _edge_case_rows() -> list[tuple]:
-    """FIXTURES.md §4 edge cases (analog of reference tests/sample_project/edge_cases/)."""
+def _edge_case_rows() -> tuple[list[tuple], list[tuple]]:
+    """FIXTURES.md §4 edge cases (analog of reference tests/sample_project/edge_cases/).
+
+    Returns (page rows, expected winner links). The dup-url cases pin the
+    snapshot winner rule end-to-end: latest warc_ts wins, equal-warc_ts ties
+    break on md5(html) descending — for BOTH the extracted text and the
+    outlink edges (docs and links must come from the SAME winning snapshot)."""
     ts = _EPOCH
+
+    def _link_page(body: str, domain: str) -> bytes:
+        return (
+            f'<html><body><p>{body} <a href="https://{domain}/ref">'
+            f"see {domain}</a></p></body></html>"
+        ).encode()
+
     rows = [
         ("https://edge.example/empty", ts, b"", "", "en"),
         ("https://edge.example/boilerplate", ts,
@@ -430,8 +444,32 @@ def _edge_case_rows() -> list[tuple]:
          b"<html><body><p>Old snapshot body.</p></body></html>", "Old snapshot body.", "en"),
         ("https://edge.example/dup", ts + timedelta(days=1),
          b"<html><body><p>New snapshot body.</p></body></html>", "New snapshot body.", "en"),
+        # duplicate url whose snapshots carry DIFFERENT outlinks — only the
+        # newest snapshot's links may survive
+        ("https://edge.example/duplinks", ts,
+         _link_page("Old link body.", "ref1.example.org"),
+         "Old link body. see ref1.example.org", "en"),
+        ("https://edge.example/duplinks", ts + timedelta(days=1),
+         _link_page("New link body.", "ref2.example.org"),
+         "New link body. see ref2.example.org", "en"),
     ]
-    return rows
+    # equal-warc_ts tie: winner = lexicographically-max md5(html)
+    tie_a = _link_page("Tie body alpha.", "ref3.example.org")
+    tie_b = _link_page("Tie body beta.", "ref4.example.org")
+    rows.append(("https://edge.example/tie", ts, tie_a,
+                 "Tie body alpha. see ref3.example.org", "en"))
+    rows.append(("https://edge.example/tie", ts, tie_b,
+                 "Tie body beta. see ref4.example.org", "en"))
+    tie_winner_domain = (
+        "ref3.example.org"
+        if hashlib.md5(tie_a).hexdigest() > hashlib.md5(tie_b).hexdigest()
+        else "ref4.example.org"
+    )
+    links = [
+        ("https://edge.example/duplinks", "ref2.example.org"),
+        ("https://edge.example/tie", tie_winner_domain),
+    ]
+    return rows, links
 
 
 def main() -> None:

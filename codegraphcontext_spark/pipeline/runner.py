@@ -72,6 +72,13 @@ class PipelineRunner:
         )
         self.checkpoint = checkpoint
         self.metrics: dict[str, dict] = {}
+        # delta signatures folded in by an in-flight run_incremental but not
+        # yet durably recorded in _ingested.json — the fingerprint includes
+        # them so manifests are written delta-inclusive, while the on-disk
+        # record lands only after EVERY stage committed (crash anywhere in
+        # between -> retry redoes the merge, which _swap_write tolerates;
+        # recording first would silently drop the delta on crash).
+        self._pending_sigs: list[str] = []
 
     # -- checkpoint plumbing --------------------------------------------------
     def _dir(self, stage: str) -> str:
@@ -112,7 +119,7 @@ class PipelineRunner:
         every ingested delta snapshot. On Iceberg this is the input snapshot
         id chain."""
         base = f"v{EXTRACTOR_VERSION}:{self._path_sig(self.pages_path)}"
-        deltas = self._ingested()
+        deltas = self._ingested() + self._pending_sigs
         return base + ("+" + "+".join(deltas) if deltas else "")
 
     def _committed(self, stage: str) -> bool:
@@ -161,13 +168,25 @@ class PipelineRunner:
             f for f in os.listdir(data_dir)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
+        import hashlib
+        import re
+
         ids, counts = [], []
         for fname in parts:
             meta = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
-            # stable partition id: hash of the partition index encoded in the
-            # file name (part-00017-...) — survives re-listing order
-            idx = fname.split("-")[1]
-            ids.append(int(idx))
+            # stable partition id: the partition index encoded in Spark's
+            # part-00017-<uuid> naming — survives re-listing order. Files
+            # from other committers / compaction don't match the pattern;
+            # fall back to a stable filename hash instead of failing the
+            # whole stage commit.
+            m = re.match(r"part-(\d+)-", fname)
+            if m:
+                idx = int(m.group(1))
+            else:
+                idx = int.from_bytes(
+                    hashlib.md5(fname.encode()).digest()[:8], "big"
+                ) >> 1
+            ids.append(idx)
             counts.append(meta.num_rows)
         lineage_dir = os.path.join(stage_dir, "lineage")
         os.makedirs(lineage_dir, exist_ok=True)
@@ -198,6 +217,29 @@ class PipelineRunner:
         return self._commit(stage, build())
 
     # -- the pipeline ----------------------------------------------------------
+    # Snapshot winner rule, shared by EVERY path that picks one snapshot per
+    # url (full docs build, full links build, incremental delta fold):
+    # latest warc_ts wins; ties break on md5(html) descending. One rule means
+    # incremental == full rebuild for any dup/tie layout (round-1 used
+    # md5(text_extracted) in one path and md5(html) in another, so equal-ts
+    # snapshots could diverge between the two paths).
+    @staticmethod
+    def _winner_order():
+        return [F.col("warc_ts").desc(), F.col("snap_md5").desc()]
+
+    @staticmethod
+    def _dup_urls(pages: DataFrame) -> DataFrame:
+        """urls with >1 snapshot — a pruned url-only scan (columnar, no html).
+        If a crawl has a LARGE dup fraction this outgrows the broadcast —
+        swap the hint below for a shuffle join; rows shuffled are still only
+        the dup subset."""
+        return (
+            pages.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .select("url")
+        )
+
     def run(self) -> dict[str, DataFrame]:
         spark = self.spark
         pages = spark.read.parquet(self.pages_path)
@@ -206,55 +248,80 @@ class PipelineRunner:
             # EXTRACT FIRST (narrow map over the scan partitions — the raw
             # html blobs never cross a shuffle), then latest-wins dedup that
             # only shuffles rows whose url actually HAS duplicate snapshots:
-            #   1. dup_urls from a pruned url-only scan of the raw pages
-            #      (columnar, no extraction, shuffles bare urls),
+            #   1. dup_urls from a pruned url-only scan of the raw pages,
             #   2. non-dup rows pass through NARROW (no shuffle at all),
-            #   3. dup rows (the tiny recrawled subset) window-dedup with a
-            #      deterministic tie-break (warc_ts, then md5(text) — ts-ties
-            #      alone would be partition-order-dependent).
+            #   3. dup rows (the tiny recrawled subset) window-dedup with the
+            #      shared winner rule; snap_md5 = md5(html) is computed
+            #      BEFORE extraction and rides along as a narrow column, so
+            #      the window shuffles extracted text + 32 hex chars, never
+            #      the html blob.
             # The naive window-over-everything alternative shuffles the whole
             # corpus text (measured: the one flat-cost stage at any core
-            # count). If a crawl has a LARGE dup fraction, dup_urls outgrows
-            # the broadcast — swap the hint for a shuffle join; rows shuffled
-            # are still only the dup subset.
-            dup_urls = (
-                pages.groupBy("url")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > 1)
-                .select("url")
-            )
+            # count). snap_md5 is kept in the docs output: the incremental
+            # path needs it to resolve equal-warc_ts delta-vs-base ties with
+            # the same rule.
+            dup_urls = self._dup_urls(pages)
+            p = pages.withColumn("snap_md5", F.md5("html"))
+            keep = ("url", "warc_ts", "lang", "snap_md5")
             # split the RAW pages on the broadcast so each page is extracted
             # exactly once (splitting after extraction would run the Python
             # stage twice over the corpus)
             no_dup = extract_stage(
-                pages.join(F.broadcast(dup_urls), "url", "left_anti")
+                p.join(F.broadcast(dup_urls), "url", "left_anti"), keep=keep
             )
-            w = Window.partitionBy("url").orderBy(
-                F.col("warc_ts").desc(), F.md5("text_extracted").desc()
-            )
+            w = Window.partitionBy("url").orderBy(*self._winner_order())
             dup_latest = (
                 extract_stage(
-                    pages.join(F.broadcast(dup_urls), "url", "left_semi")
+                    p.join(F.broadcast(dup_urls), "url", "left_semi"), keep=keep
                 )
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
             return no_dup.unionByName(dup_latest).select(
-                "url", "warc_ts", "lang", "text_extracted"
+                "url", "warc_ts", "lang", "snap_md5", "text_extracted"
             )
+
+        def build_links() -> DataFrame:
+            # Links must come from the SAME winning snapshot as docs (a url
+            # whose snapshots have different outlinks would otherwise give an
+            # incremental != full divergence). Winner keys are computed from
+            # a NARROW projection (html is read to hash but pruned before the
+            # window shuffle); the raw winner rows are then recovered with a
+            # broadcast semi-join, so html itself never crosses a shuffle.
+            lp = spark.read.parquet(self.pages_path)
+            dup_urls = self._dup_urls(lp)
+            no_dup = lp.join(F.broadcast(dup_urls), "url", "left_anti").select(
+                "url", "html"
+            )
+            w = Window.partitionBy("url").orderBy(*self._winner_order())
+            win_keys = (
+                lp.join(F.broadcast(dup_urls), "url", "left_semi")
+                .select("url", "warc_ts", F.md5("html").alias("snap_md5"))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("url", "warc_ts", "snap_md5")
+            )
+            dup_win = (
+                lp.join(F.broadcast(dup_urls), "url", "left_semi")
+                .withColumn("snap_md5", F.md5("html"))
+                .join(
+                    F.broadcast(win_keys),
+                    on=["url", "warc_ts", "snap_md5"],
+                    how="left_semi",
+                )
+                .select("url", "html")
+            )
+            # links_stage ends in .distinct(), which absorbs the byte-identical
+            # duplicate-row edge case the key join cannot separate.
+            return links_stage(no_dup.unionByName(dup_win))
 
         docs = self._stage("docs", build_docs)
         sentences = self._stage("sentences", lambda: segment_stage(docs))
         pats = patterns_df(spark)
         triples = self._stage("triples", lambda: triples_stage(sentences, pats))
         defs = self._stage("defs", lambda: defs_stage(sentences))
-        links = self._stage(
-            "links",
-            lambda: links_stage(
-                spark.read.parquet(self.pages_path).select("url", "html")
-            ),
-        )
+        links = self._stage("links", build_links)
         canon = self._stage("canon", lambda: canonicalize_entities(defs))
         linked = self._stage(
             "linked",
@@ -331,31 +398,42 @@ class PipelineRunner:
                 "(per-stage snapshots to merge into); run() must commit first"
             )
 
-        delta_pages = spark.read.parquet(delta_pages_path)
-        w = Window.partitionBy("url").orderBy(
-            F.col("warc_ts").desc(), F.md5("html").desc()
+        delta_pages = spark.read.parquet(delta_pages_path).withColumn(
+            "snap_md5", F.md5("html")
         )
+        w = Window.partitionBy("url").orderBy(*self._winner_order())
         delta_latest = (
             delta_pages.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        delta_docs = extract_stage(delta_latest).select(
-            "url", "warc_ts", "lang", "text_extracted"
-        )
+        delta_docs = extract_stage(
+            delta_latest, keep=("url", "warc_ts", "lang", "snap_md5")
+        ).select("url", "warc_ts", "lang", "snap_md5", "text_extracted")
 
-        # decide winners: delta wins unless the base row is strictly newer.
+        # decide winners with the SAME rule as a full rebuild: delta wins iff
+        # the base row is absent, strictly older, or equal-warc_ts with a
+        # snap_md5 that does not outrank the delta's (on exact equality the
+        # content is identical, so keeping the delta row changes nothing).
         # localCheckpoint BEFORE any directory swap — these plans read the
         # committed docs files, which the swaps below delete.
         old_docs = self._load("docs")
-        base_ts = old_docs.select("url", F.col("warc_ts").alias("_base_ts"))
+        base_key = old_docs.select(
+            "url",
+            F.col("warc_ts").alias("_base_ts"),
+            F.col("snap_md5").alias("_base_md5"),
+        )
         delta_win = (
-            delta_docs.join(base_ts, on="url", how="left")
+            delta_docs.join(base_key, on="url", how="left")
             .where(
                 F.col("_base_ts").isNull()
-                | (F.col("warc_ts") >= F.col("_base_ts"))
+                | (F.col("warc_ts") > F.col("_base_ts"))
+                | (
+                    (F.col("warc_ts") == F.col("_base_ts"))
+                    & (F.col("snap_md5") >= F.col("_base_md5"))
+                )
             )
-            .drop("_base_ts")
+            .drop("_base_ts", "_base_md5")
             .localCheckpoint(eager=True)
         )
         win_urls = delta_win.select("url").distinct().localCheckpoint(eager=True)
@@ -379,8 +457,10 @@ class PipelineRunner:
             self._swap_write(stage, merged)
             self.spark.catalog.refreshByPath(os.path.join(self._dir(stage), "data"))
 
-        # fingerprint now advances to include this delta; refresh manifests
-        self._record_ingested(delta_sig)
+        # fingerprint advances (in memory) to include this delta; manifests
+        # are rewritten delta-inclusive. The durable _ingested.json record is
+        # the LAST step below.
+        self._pending_sigs.append(delta_sig)
         for stage in new_narrow:
             self._refresh_manifest(stage)
 
@@ -396,6 +476,10 @@ class PipelineRunner:
         nodes, edges = materialize_graph(docs, triples, linked, canon, links)
         nodes = self._commit("nodes", nodes, by_url=False)
         edges = self._commit("edges", edges, by_url=False)
+        # every stage (narrow + global) is committed with the delta-inclusive
+        # fingerprint — only now is the delta durably marked as folded in
+        self._record_ingested(delta_sig)
+        self._pending_sigs.remove(delta_sig)
         return {
             "docs": docs, "sentences": self._load("sentences"), "triples": triples,
             "defs": defs, "links": links, "canon": canon, "linked": linked,

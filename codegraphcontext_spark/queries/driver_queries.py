@@ -435,13 +435,19 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+_SHINGLE_DF_CAP = 20  # drop shingles appearing in more docs (boilerplate)
+
+
 @_q(
     "dedup_shingle_pairs",
     f"""{_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT p.doc_a, p.doc_b, p.n_shared,
            CAST(p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared) AS BIGINT)
@@ -453,8 +459,22 @@ def _shingles(docs: DataFrame) -> DataFrame:
 )
 def dedup_shingle_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup candidates via inverted shingle index
-    (the exact-verification side of MinHash-LSH)."""
+    (the exact-verification side of MinHash-LSH).
+
+    Shingles with document frequency > _SHINGLE_DF_CAP are dropped BEFORE the
+    self-join (standard near-dup practice: a boilerplate 3-gram shared by 1M
+    docs would alone emit ~10^12 pairs — pair count is quadratic in the
+    hottest shingle's df). The cap bounds per-shingle fanout at C(K,2) and
+    the Jaccard denominator counts only kept (discriminative) shingles, on
+    both the Spark and oracle sides."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(keep, on="shingle", how="left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -547,11 +567,33 @@ def dedup_lsh_buckets(spark, sf_dir):
     )
 
 
-@_q("dedup_simhash", None)  # bit-twiddling not cleanly portable to the oracle
+# SimHash oracle: same bit layout as the Spark side — bit b is extracted from
+# the 16-bit integer at shift (3 - b//4)*4 + (b%4); hex->int via DuckDB's
+# '0x' cast (= Spark's conv(hex,16,10)).
+_SIMHASH_SHIFTS = [(3 - b // 4) * 4 + (b % 4) for b in range(16)]
+_SIMHASH_VOTE_COLS = ", ".join(
+    f"SUM((h16 >> {s}) & 1) AS s{b}" for b, s in enumerate(_SIMHASH_SHIFTS)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN s{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
+
+@_q(
+    "dedup_simhash",
+    f"""WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    t AS (SELECT doc_id, ('0x' || substring(md5(term), 1, 4))::INTEGER AS h16
+          FROM toks WHERE term <> ''),
+    v AS (SELECT doc_id, COUNT(*) AS n, {_SIMHASH_VOTE_COLS}
+          FROM t GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash16 FROM v""",
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash (16-bit) per doc: per-token md5 nibbles vote per bit position.
-    Rows-only driver check (no oracle); pinned by tests/test_driver_contract.py
-    determinism assertions instead."""
+    The DuckDB twin reproduces the exact bit layout with integer shift/mask
+    ops (hex->int via '0x' cast = Spark's conv(_, 16, 10))."""
     toks = _tokens(_t(spark, sf_dir, "documents")).distinct()
     # one md5 per token; all 16 bits unpacked from its first 4 hex chars
     # (bit b = nibble b//4, bit b%4 — same layout as the per-nibble form)

@@ -56,3 +56,33 @@ def test_latest_snapshot_wins(spark, corpus_dir, pipeline_out):
     )
     assert len(row) == 1
     assert row[0].text_extracted == "New snapshot body."
+
+
+def test_equal_ts_tie_breaks_on_html_md5(spark, corpus_dir, pipeline_out):
+    """Two snapshots with identical warc_ts: the winner is the one with the
+    lexicographically-max md5(html) — the shared deterministic tie-break used
+    by the full build, the links stage, and the incremental delta fold."""
+    import hashlib
+
+    url = "https://edge.example/tie"
+    snaps = pq.read_table(f"{corpus_dir}/pages.parquet").to_pylist()
+    cand = [r for r in snaps if r["url"] == url]
+    assert len(cand) == 2 and cand[0]["warc_ts"] == cand[1]["warc_ts"]
+    expected = max(cand, key=lambda r: hashlib.md5(r["html"]).hexdigest())
+    rows = pipeline_out["docs"].where(F.col("url") == url).collect()
+    assert len(rows) == 1
+    assert rows[0].text_extracted == expected["text"]
+    # the links stage picked the SAME snapshot
+    link_rows = pipeline_out["links"].where(F.col("url") == url).collect()
+    assert {r.domain for r in link_rows} == {
+        d for d in expected["text"].split() if d.startswith("ref")
+    }
+
+
+def test_duplinks_only_winner_links_survive(spark, pipeline_out):
+    rows = (
+        pipeline_out["links"]
+        .where(F.col("url") == "https://edge.example/duplinks")
+        .collect()
+    )
+    assert {r.domain for r in rows} == {"ref2.example.org"}
