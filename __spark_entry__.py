@@ -23,6 +23,7 @@ from codegraphcontext_spark.queries.driver_queries import (  # noqa: E402
     SPARK_QUERIES,
     flagship,
 )
+import codegraphcontext_spark.queries.graph_queries  # noqa: E402,F401  (registers kg_graph_*)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,303 @@
+"""Graph-table query layer: the reference's read-side tools re-expressed over
+the MATERIALIZED ``nodes``/``edges`` tables the pipeline builds — not the raw
+documents testdata (round-1 gap: 14/16 kg_* queries re-tokenized documents;
+reference ``tools/code_finder.py`` reads the stored graph for all 24 tools).
+
+The graph is built once per sf tier from the engine's deterministic synthetic
+pages corpus (datagen seed 42 — the north rule's input table synthesized at
+small scale; no external data), materialized by the real pipeline
+(extract -> segment -> triples -> link -> canon -> materialize) into a cached
+/tmp workdir. Each query here runs as DataFrame ops over the node/edge
+parquet; its DuckDB oracle independently re-runs the relational semantics
+over the SAME exported parquet files, so the query logic is cross-checked
+while the pipeline output itself stays pinned by the golden-fixture pytest
+suite (tests/test_e2e.py, test_canon.py, test_linking.py).
+
+Scale notes: every query below is a single join/aggregate over the edge
+table keyed on node ids — at 100 TB the edge table is partitioned by
+subj_id hash, point lookups prune via broadcast semi-joins, and the top-k
+orderings compile to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .driver_queries import _q
+
+# Bump when the pipeline's node/edge schema or semantics change — stale /tmp
+# caches from older code versions are ignored, not reused.
+_GRAPH_VERSION = 2
+_ROOT = f"/tmp/cgc_spark_graph_v{_GRAPH_VERSION}"
+
+
+def _n_pages_for(sf_dir: str) -> int:
+    """Corpus size scaled with the sf tier (sf0.001->200, sf0.01->500,
+    sf0.1->5000 pages), floor 200 so every tier exercises the full vocab."""
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(200, int(50_000 * sf))
+
+
+def graph_dir(sf_dir: str) -> str:
+    return os.path.join(_ROOT, os.path.basename(sf_dir.rstrip("/")))
+
+
+def ensure_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build (once) and load the materialized graph for this sf tier."""
+    d = graph_dir(sf_dir)
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        from ..datagen.pages import generate_corpus
+        from ..pipeline.runner import PipelineRunner
+
+        corpus = os.path.join(d, "corpus")
+        if not os.path.exists(os.path.join(corpus, "manifest.json")):
+            generate_corpus(corpus, _n_pages_for(sf_dir))
+        PipelineRunner(
+            spark,
+            os.path.join(corpus, "pages.parquet"),
+            os.path.join(d, "wd"),
+            checkpoint="minimal",
+        ).run()
+        with open(marker, "w") as f:
+            f.write(str(_GRAPH_VERSION))
+    nodes = spark.read.parquet(os.path.join(d, "wd", "nodes", "data"))
+    edges = spark.read.parquet(os.path.join(d, "wd", "edges", "data"))
+    return nodes, edges
+
+
+# The driver's oracle runs at sf0.01 — its SQL must be a fixed string, so the
+# oracle CTEs point at the sf0.01 cache path the Spark side populates.
+_ORACLE_WD = os.path.join(_ROOT, "sf0.01", "wd")
+_G_CTE = (
+    f"WITH nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')), "
+    f"edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet'))"
+)
+
+# MENTIONS / LINKS_TO are the closed containment predicates; everything else
+# is an open relation predicate (FOUNDED, ACQUIRED, ... — the CALLS/INHERITS
+# analog, reference graph_builder.py:302-329,389-399).
+_CLOSED_PREDS = ("MENTIONS", "LINKS_TO")
+_CLOSED_SQL = "('MENTIONS', 'LINKS_TO')"
+
+
+@_q(
+    "kg_graph_who_references",
+    f"""{_G_CTE}
+    SELECT e.subj_id AS page_url, e.n_occurrences
+    FROM edges e
+    JOIN nodes n ON n.node_id = e.obj_id
+    WHERE e.pred = 'MENTIONS' AND n.node_type = 'Entity' AND n.name = 'acme corp'
+    ORDER BY e.n_occurrences DESC, page_url ASC LIMIT 20""",
+)
+def kg_graph_who_references(spark, sf_dir):
+    """find_callers over the materialized graph (Q8, reference
+    code_finder.py:170-234): pages mentioning the hub entity, heaviest
+    first. Point lookup -> broadcast semi-join on obj_id; top-k compiles to
+    TakeOrderedAndProject."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ent = nodes.where(
+        (F.col("node_type") == "Entity") & (F.col("name") == "acme corp")
+    ).select(F.col("node_id").alias("obj_id"))
+    return (
+        edges.where(F.col("pred") == "MENTIONS")
+        .join(F.broadcast(ent), on="obj_id")
+        .select(F.col("subj_id").alias("page_url"), "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), F.asc("page_url"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_graph_top_entities",
+    f"""{_G_CTE},
+    refs AS (
+      SELECT obj_id, SUM(n_occurrences) AS n_refs, COUNT(*) AS n_pages
+      FROM edges WHERE pred = 'MENTIONS' GROUP BY obj_id)
+    SELECT n.name, n.etype, r.n_refs, r.n_pages
+    FROM refs r JOIN nodes n ON n.node_id = r.obj_id
+    ORDER BY r.n_refs DESC, n.name ASC LIMIT 20""",
+)
+def kg_graph_top_entities(spark, sf_dir):
+    """most-referenced entities (Q22 top-k analog) over MENTIONS edges —
+    map-side-combinable aggregate, broadcast join to the entity dimension."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    refs = (
+        edges.where(F.col("pred") == "MENTIONS")
+        .groupBy("obj_id")
+        .agg(
+            F.sum("n_occurrences").alias("n_refs"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+    )
+    return (
+        refs.join(nodes.withColumnRenamed("node_id", "obj_id"), on="obj_id")
+        .select("name", "etype", "n_refs", "n_pages")
+        .orderBy(F.desc("n_refs"), F.asc("name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_graph_cooccurrence",
+    f"""{_G_CTE},
+    m AS (SELECT subj_id AS page, obj_id FROM edges WHERE pred = 'MENTIONS'),
+    named AS (SELECT m.page, n.name FROM m JOIN nodes n ON n.node_id = m.obj_id)
+    SELECT a.name AS name_a, b.name AS name_b, COUNT(*) AS n_pages
+    FROM named a JOIN named b ON a.page = b.page AND a.name < b.name
+    GROUP BY 1, 2
+    ORDER BY n_pages DESC, name_a ASC, name_b ASC LIMIT 30""",
+)
+def kg_graph_cooccurrence(spark, sf_dir):
+    """module co-occurrence analog (Q18, code_finder.py:522-553): entity
+    pairs sharing pages. The self-join is keyed on the page id, so pair
+    fanout is bounded by per-page entity count (not corpus size)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    m = edges.where(F.col("pred") == "MENTIONS").select(
+        F.col("subj_id").alias("page"), "obj_id"
+    )
+    named = m.join(
+        F.broadcast(nodes.select(F.col("node_id").alias("obj_id"), "name")),
+        on="obj_id",
+    ).select("page", "name")
+    a, b = named.alias("a"), named.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.page") == F.col("b.page"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .groupBy(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("name_a"), F.asc("name_b"))
+        .limit(30)
+    )
+
+
+@_q(
+    "kg_graph_dead_entities",
+    f"""{_G_CTE}
+    SELECT n.name, n.etype FROM nodes n
+    WHERE n.node_type = 'Entity' AND n.node_id NOT IN (
+      SELECT obj_id FROM edges WHERE pred NOT IN {_CLOSED_SQL})
+    ORDER BY n.name ASC""",
+)
+def kg_graph_dead_entities(spark, sf_dir):
+    """dead-code analog over the graph (Q14, code_finder.py:414-447):
+    entities that are never the OBJECT of any open relation predicate —
+    a left-anti join against the distinct open-edge targets."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    targets = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select(F.col("obj_id").alias("node_id"))
+        .distinct()
+    )
+    return (
+        nodes.where(F.col("node_type") == "Entity")
+        .join(targets, on="node_id", how="left_anti")
+        .select("name", "etype")
+        .orderBy(F.asc("name"))
+    )
+
+
+@_q(
+    "kg_graph_hierarchy",
+    f"""{_G_CTE},
+    ent AS (SELECT node_id FROM nodes
+            WHERE node_type = 'Entity' AND name = 'acme corp')
+    SELECT * FROM (
+      SELECT 'out' AS direction, e.pred, n.name AS other, e.n_occurrences
+      FROM edges e JOIN ent ON e.subj_id = ent.node_id
+      JOIN nodes n ON n.node_id = e.obj_id
+      WHERE e.pred NOT IN {_CLOSED_SQL}
+      UNION ALL
+      SELECT 'in', e.pred, n.name, e.n_occurrences
+      FROM edges e JOIN ent ON e.obj_id = ent.node_id
+      JOIN nodes n ON n.node_id = e.subj_id
+      WHERE e.pred NOT IN {_CLOSED_SQL})
+    ORDER BY direction ASC, pred ASC, other ASC""",
+)
+def kg_graph_hierarchy(spark, sf_dir):
+    """class-hierarchy analog (Q12, code_finder.py:336-391): the typed
+    relation neighborhood of one entity in both directions — the reference's
+    parents/children/members sub-queries as two broadcast-joined branches."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ent = nodes.where(
+        (F.col("node_type") == "Entity") & (F.col("name") == "acme corp")
+    ).select("node_id")
+    open_e = edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+    names = nodes.select("node_id", F.col("name").alias("other"))
+    out_e = (
+        open_e.join(
+            F.broadcast(ent.withColumnRenamed("node_id", "subj_id")), on="subj_id"
+        )
+        .join(names.withColumnRenamed("node_id", "obj_id"), on="obj_id")
+        .select(F.lit("out").alias("direction"), "pred", "other", "n_occurrences")
+    )
+    in_e = (
+        open_e.join(
+            F.broadcast(ent.withColumnRenamed("node_id", "obj_id")), on="obj_id"
+        )
+        .join(names.withColumnRenamed("node_id", "subj_id"), on="subj_id")
+        .select(F.lit("in").alias("direction"), "pred", "other", "n_occurrences")
+    )
+    return out_e.unionByName(in_e).orderBy(
+        F.asc("direction"), F.asc("pred"), F.asc("other")
+    )
+
+
+@_q(
+    "kg_graph_top_domains",
+    f"""{_G_CTE}
+    SELECT n.name AS domain, COUNT(DISTINCT e.subj_id) AS n_pages
+    FROM edges e JOIN nodes n ON n.node_id = e.obj_id
+    WHERE e.pred = 'LINKS_TO'
+    GROUP BY 1 ORDER BY n_pages DESC, domain ASC LIMIT 20""",
+)
+def kg_graph_top_domains(spark, sf_dir):
+    """who-imports aggregation over the graph (Q10/E15 analog): outlink
+    domains ranked by distinct linking pages."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    return (
+        edges.where(F.col("pred") == "LINKS_TO")
+        .join(
+            F.broadcast(
+                nodes.where(F.col("node_type") == "Domain").select(
+                    F.col("node_id").alias("obj_id"), F.col("name").alias("domain")
+                )
+            ),
+            on="obj_id",
+        )
+        .groupBy("domain")
+        .agg(F.countDistinct("subj_id").alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("domain"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_graph_pred_stats",
+    f"""{_G_CTE}
+    SELECT pred, COUNT(*) AS n_edges, SUM(n_occurrences) AS n_occ
+    FROM edges GROUP BY pred ORDER BY pred ASC""",
+)
+def kg_graph_pred_stats(spark, sf_dir):
+    """edge-table profile: per-predicate edge and occurrence counts (the
+    schema-level sanity view a graph user checks first)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    return (
+        edges.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("n_occurrences").alias("n_occ"),
+        )
+        .orderBy(F.asc("pred"))
+    )
