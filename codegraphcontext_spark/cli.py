@@ -70,8 +70,9 @@ def cmd_incremental(args) -> int:
     return 0
 
 
-# Open relation predicates = everything except the closed containment preds.
-_CLOSED_PREDS = ("MENTIONS", "LINKS_TO")
+# Open relation predicates = everything except the closed containment /
+# attribute preds.
+_CLOSED_PREDS = ("MENTIONS", "LINKS_TO", "HAS_TYPE")
 
 SUPPORTED_QUERIES = (
     "who_references", "neighbors", "top_entities",

@@ -9,11 +9,16 @@ Node table (unioned, typed):
       Page:   node_id = url            (reference File.path key, :70)
       Entity: node_id = entity_id      (reference Function/Class keys, :72-73)
       Domain: node_id = domain         (reference Module.name key, :75)
+      Type:   node_id = "type:"+etype  (reference Parameter merge key, :196-200)
 
 Edge table (the (subj, pred, obj) triple table of the north rule):
     edges(subj_id, pred, obj_id, n_occurrences, first_url, first_sent_id)
       MENTIONS  Page -> Entity    (reference CONTAINS, :180-192)
       LINKS_TO  Page -> Domain    (reference IMPORTS, :211-243)
+      HAS_TYPE  Entity -> Type    (reference HAS_PARAMETER, :194-200 —
+                                   attribute-level nodes materialized from the
+                                   definitional sentences, provenance = the
+                                   defining (url, sent_id))
       <open>    Entity -> Entity  (reference CALLS/INHERITS, :302-329,389-399)
 
 Provenance (first_url, first_sent_id) = min by (url, sent_id) — deterministic
@@ -59,7 +64,18 @@ def materialize_graph(
         F.lit(None).cast("string").alias("etype"),
         F.lit(None).cast("string").alias("lang"),
     )
-    nodes = page_nodes.unionByName(entity_nodes).unionByName(domain_nodes)
+    type_nodes = canon.select("etype").distinct().select(
+        F.concat(F.lit("type:"), F.col("etype")).alias("node_id"),
+        F.lit("Type").alias("node_type"),
+        F.col("etype").alias("name"),
+        F.col("etype").alias("etype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    nodes = (
+        page_nodes.unionByName(entity_nodes)
+        .unionByName(domain_nodes)
+        .unionByName(type_nodes)
+    )
 
     # ---- edges ----
     resolved = linked.where(F.col("entity_id").isNotNull())
@@ -99,7 +115,27 @@ def materialize_graph(
             "sent_id",
         )
     )
-    all_e = mentions_e.unionByName(links_e).unionByName(open_e)
+    # HAS_TYPE attribute edges: the entity's declared type, one occurrence per
+    # definitional sentence (resolved role='def' mention joined to its
+    # cluster's type) — the Parameter-node analog, queryable like any edge.
+    canon_types = canon.select("entity_id", "etype").distinct()
+    has_type_e = (
+        resolved.where(F.col("role") == "def")
+        .select("url", "sent_id", "entity_id")
+        .join(F.broadcast(canon_types), on="entity_id")
+        .select(
+            F.col("entity_id").alias("subj_id"),
+            F.lit("HAS_TYPE").alias("pred"),
+            F.concat(F.lit("type:"), F.col("etype")).alias("obj_id"),
+            "url",
+            "sent_id",
+        )
+    )
+    all_e = (
+        mentions_e.unionByName(links_e)
+        .unionByName(open_e)
+        .unionByName(has_type_e)
+    )
     edges = all_e.groupBy("subj_id", "pred", "obj_id").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min(F.struct("url", "sent_id")).alias("_prov"),

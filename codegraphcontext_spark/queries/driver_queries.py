@@ -474,7 +474,10 @@ def dedup_shingle_pairs(spark, sf_dir):
         .where(F.col("_df") <= _SHINGLE_DF_CAP)
         .select("shingle")
     )
-    sh = sh.join(keep, on="shingle", how="left_semi")
+    # materialize the capped shingle table ONCE: it feeds the sizes agg and
+    # BOTH sides of the pair self-join — without this the shingle explode
+    # recomputes 4x (measured 15s -> ~6s at sf0.1)
+    sh = sh.join(keep, on="shingle", how="left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1174,6 +1177,64 @@ def kg_doc_terms(spark, sf_dir):
     m = _mentions(_t(spark, sf_dir, "documents"))
     return m.groupBy("doc_id").agg(
         F.array_join(F.sort_array(F.collect_set("term")), ",").alias("terms")
+    )
+
+
+@_q(
+    "kg_search_regex",
+    """SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(text, 'sort(ed|ing)')
+    ORDER BY doc_id ASC""",
+)
+def kg_search_regex(spark, sf_dir):
+    """regex name search (Q3 analog, reference code_finder.py:46-58 uses
+    `=~ '(?i).*term.*'`): documents matching a regex, rlike on the JVM side
+    (pushed into the scan filter) with a RE2-compatible pattern so the
+    DuckDB twin evaluates identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").rlike("sort(ed|ing)"))
+        .select("doc_id", "lang")
+        .orderBy(F.asc("doc_id"))
+    )
+
+
+@_q(
+    "kg_search_scored",
+    f"""{_TOKS_CTE},
+    hits AS (
+      SELECT doc_id, COUNT(DISTINCT term) AS n_hit
+      FROM toks WHERE term IN ('merge', 'window', 'hash') GROUP BY doc_id)
+    SELECT h.doc_id,
+           CAST(h.n_hit * 100 - CASE WHEN d.lang <> 'en' THEN 20 ELSE 0 END
+                AS BIGINT) AS relevance
+    FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    ORDER BY relevance DESC, h.doc_id ASC LIMIT 15""",
+)
+def kg_search_scored(spark, sf_dir):
+    """Token-overlap relevance scoring (the full-text-index upgrade promised
+    in SURVEY §7.3: reference orders search results by Lucene score,
+    graph_builder.py:81-85 / code_finder.py:22): score = number of distinct
+    query terms present in the document (matched via the token inverted
+    index), minus the non-primary-language penalty — replacing the static
+    per-branch weights of kg_rank_fusion with a per-document score."""
+    docs = _t(spark, sf_dir, "documents")
+    q_terms = ["merge", "window", "hash"]
+    hits = (
+        _tokens(docs)
+        .where(F.col("term").isin(q_terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_hit"))
+    )
+    relevance = (
+        F.col("n_hit") * 100
+        - F.when(F.col("lang") != "en", 20).otherwise(0)
+    ).cast("bigint")
+    return (
+        hits.join(docs.select("doc_id", "lang"), on="doc_id")
+        .select("doc_id", relevance.alias("relevance"))
+        .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(15)
     )
 
 

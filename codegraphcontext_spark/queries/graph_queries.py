@@ -29,7 +29,7 @@ from .driver_queries import _q
 
 # Bump when the pipeline's node/edge schema or semantics change — stale /tmp
 # caches from older code versions are ignored, not reused.
-_GRAPH_VERSION = 2
+_GRAPH_VERSION = 3
 _ROOT = f"/tmp/cgc_spark_graph_v{_GRAPH_VERSION}"
 
 
@@ -80,11 +80,12 @@ _G_CTE = (
     f"edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet'))"
 )
 
-# MENTIONS / LINKS_TO are the closed containment predicates; everything else
-# is an open relation predicate (FOUNDED, ACQUIRED, ... — the CALLS/INHERITS
-# analog, reference graph_builder.py:302-329,389-399).
-_CLOSED_PREDS = ("MENTIONS", "LINKS_TO")
-_CLOSED_SQL = "('MENTIONS', 'LINKS_TO')"
+# MENTIONS / LINKS_TO / HAS_TYPE are the closed containment + attribute
+# predicates; everything else is an open relation predicate (FOUNDED,
+# ACQUIRED, ... — the CALLS/INHERITS analog,
+# reference graph_builder.py:302-329,389-399).
+_CLOSED_PREDS = ("MENTIONS", "LINKS_TO", "HAS_TYPE")
+_CLOSED_SQL = "('MENTIONS', 'LINKS_TO', 'HAS_TYPE')"
 
 
 @_q(
@@ -280,6 +281,35 @@ def kg_graph_top_domains(spark, sf_dir):
         .agg(F.countDistinct("subj_id").alias("n_pages"))
         .orderBy(F.desc("n_pages"), F.asc("domain"))
         .limit(20)
+    )
+
+
+@_q(
+    "kg_graph_entities_by_type",
+    f"""{_G_CTE}
+    SELECT n.name, e.n_occurrences AS n_defs
+    FROM edges e
+    JOIN nodes n ON n.node_id = e.subj_id
+    WHERE e.pred = 'HAS_TYPE' AND e.obj_id = 'type:person'
+    ORDER BY n.name ASC""",
+)
+def kg_graph_entities_by_type(spark, sf_dir):
+    """find-by-argument analog (Q6/Q7, reference code_finder.py:120-168):
+    membership lookup through the HAS_TYPE attribute edges — all entities
+    declared as persons, with their definitional-sentence counts."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    return (
+        edges.where(
+            (F.col("pred") == "HAS_TYPE") & (F.col("obj_id") == "type:person")
+        )
+        .join(
+            F.broadcast(
+                nodes.select(F.col("node_id").alias("subj_id"), "name")
+            ),
+            on="subj_id",
+        )
+        .select("name", F.col("n_occurrences").alias("n_defs"))
+        .orderBy(F.asc("name"))
     )
 
 

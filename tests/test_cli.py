@@ -144,7 +144,9 @@ def test_sql_literal_containing_keyword_is_fine(spark, built_wd, capsys):
 
 
 def test_dot_export(spark, built_wd, capsys):
-    rc = cli.main(["dot", "--workdir", built_wd, "acme", "--hops", "2"])
+    rc = cli.main([
+        "dot", "--workdir", built_wd, "acme", "--hops", "2", "--limit", "2000",
+    ])
     assert rc == 0
     out = capsys.readouterr().out
     assert out.startswith("digraph G {") and out.rstrip().endswith("}")

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .conftest import golden
 
-OPEN_PREDS = ("MENTIONS", "LINKS_TO")
+OPEN_PREDS = ("MENTIONS", "LINKS_TO", "HAS_TYPE")
 
 
 def test_open_edge_precision_recall(spark, corpus_dir, pipeline_out):
@@ -34,7 +34,26 @@ def test_nodes_cover_all_types(spark, pipeline_out):
         r.node_type
         for r in pipeline_out["nodes"].select("node_type").distinct().collect()
     }
-    assert types == {"Page", "Entity", "Domain"}
+    assert types == {"Page", "Entity", "Domain", "Type"}
+
+
+def test_every_entity_has_type_edge(spark, pipeline_out):
+    """HAS_TYPE (Parameter-node analog): every materialized entity carries at
+    least one attribute edge to its declared type node."""
+    nodes, edges = pipeline_out["nodes"], pipeline_out["edges"]
+    ents = nodes.where(F.col("node_type") == "Entity").select("node_id")
+    typed = (
+        edges.where(F.col("pred") == "HAS_TYPE")
+        .select(F.col("subj_id").alias("node_id"))
+        .distinct()
+    )
+    assert ents.join(typed, on="node_id", how="left_anti").count() == 0
+    # and every HAS_TYPE target is a Type node
+    t_targets = edges.where(F.col("pred") == "HAS_TYPE").select(
+        F.col("obj_id").alias("node_id")
+    ).distinct()
+    t_nodes = nodes.where(F.col("node_type") == "Type").select("node_id")
+    assert t_targets.join(t_nodes, on="node_id", how="left_anti").count() == 0
 
 
 def test_node_ids_unique(spark, pipeline_out):
