@@ -167,6 +167,12 @@ def scaling() -> None:
                     "SPARK_GRAFT_CHECKPOINT", "minimal"
                 ),
                 SPARK_GRAFT_WARMUP="1",
+                # per-stage CPU/shuffle evidence for the best rep: equal
+                # executor CPU seconds + shuffle bytes at both sizes shows
+                # the job does identical work (no parallel inflation) — the
+                # work-conservation half of the scaling criterion, immune to
+                # this host's memory-bandwidth pathology
+                SPARK_GRAFT_STAGE_METRICS="1",
             )
             out = subprocess.run(
                 [sys.executable, __file__, "--pipeline-only"],
@@ -189,6 +195,8 @@ def scaling() -> None:
         "n_pages": results[lo]["pipeline_n_pages"],
         "checkpoint": results[lo].get("checkpoint"),
         "host_mem_touch_gb_per_s": health,
+        "stage_metrics_low": results[lo].get("stage_metrics"),
+        "stage_metrics_high": results[hi].get("stage_metrics"),
     }
     print(json.dumps(out))
     # persist the evidence next to BASELINE.md (see its scaling section)
@@ -211,10 +219,57 @@ def _host_memory_health() -> float:
     return round(0.25 / dt, 3)
 
 
+def _rest_stages(spark) -> list[dict]:
+    """Completed-stage metrics from the Spark UI REST API (requires
+    spark.ui.enabled=true). Returns [] when the UI is off."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        return json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        ))
+    except Exception:
+        return []
+
+
+def _stage_rollup(stages: list[dict]) -> dict:
+    """Aggregate per-stage evidence for the scaling criterion: total executor
+    CPU seconds (the work), executor run seconds (work + wait), shuffle
+    bytes, and task count. Equal CPU seconds at N and 4N cores = the job does
+    the same work at both sizes (no parallel inflation); equal shuffle bytes
+    = no extra data movement — wall-clock then scales with cores up to the
+    host's memory bandwidth."""
+    return {
+        "n_stages": len(stages),
+        "n_tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+        "executor_cpu_s": round(
+            sum(s.get("executorCpuTime", 0) for s in stages) / 1e9, 2
+        ),
+        "executor_run_s": round(
+            sum(s.get("executorRunTime", 0) for s in stages) / 1e3, 2
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 2
+        ),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 2
+        ),
+    }
+
+
 def pipeline_only() -> None:
     from codegraphcontext_spark.session import get_spark
 
-    spark = get_spark("cgc_bench_pipe", cores=CPUS)
+    want_metrics = os.environ.get("SPARK_GRAFT_STAGE_METRICS", "0") == "1"
+    spark = get_spark(
+        "cgc_bench_pipe", cores=CPUS,
+        extra_conf={"spark.ui.enabled": "true"} if want_metrics else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     pages_path, n_pages = _pages_corpus(PIPE_SCALE)
     checkpoint = os.environ.get("SPARK_GRAFT_CHECKPOINT", "all")
@@ -225,7 +280,9 @@ def pipeline_only() -> None:
     # session and take the min to measure the job, not the host.
     reps = int(os.environ.get("SPARK_GRAFT_INPROC_REPS", "1"))
     pipe = None
+    metrics = None
     for i in range(reps):
+        seen = {s["stageId"] for s in _rest_stages(spark)} if want_metrics else set()
         r = _run_pipeline(
             spark,
             pages_path,
@@ -235,14 +292,24 @@ def pipeline_only() -> None:
         )
         if pipe is None or r["wall_s"] < pipe["wall_s"]:
             pipe = r
-    print(json.dumps({
+            if want_metrics:
+                # per-rep stage metrics: only stages newer than the pre-rep
+                # snapshot (isolates this rep from warmup + earlier reps)
+                fresh = [
+                    s for s in _rest_stages(spark) if s["stageId"] not in seen
+                ]
+                metrics = _stage_rollup(fresh)
+    out = {
         "pipeline_wall_s": round(pipe["wall_s"], 2),
         "pipeline_docs_per_sec": round(n_pages / pipe["wall_s"], 1),
         "pipeline_n_pages": n_pages,
         "pipeline_n_edges": pipe["n_edges"],
         "checkpoint": checkpoint,
         "cpus": CPUS,
-    }))
+    }
+    if metrics is not None:
+        out["stage_metrics"] = metrics
+    print(json.dumps(out))
     spark.stop()
 
 

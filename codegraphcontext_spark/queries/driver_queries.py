@@ -510,17 +510,6 @@ def dedup_shingle_pairs(spark, sf_dir):
 _N_MINHASH_Q = 4
 
 
-def _minhash_cols():
-    return [
-        F.array_min(
-            F.transform(
-                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
-            )
-        ).alias(f"h{k}")
-        for k in range(_N_MINHASH_Q)
-    ]
-
-
 _MINHASH_SQL_COLS = ", ".join(
     f"list_min(list_transform(shingles, s -> md5('{k}:' || s))) AS h{k}"
     for k in range(_N_MINHASH_Q)
@@ -535,10 +524,20 @@ _MINHASH_SQL_COLS = ", ".join(
 )
 def dedup_minhash_sig(spark, sf_dir):
     """MinHash signatures (4 seeded md5-min hashes over word-3-gram shingles) —
-    deterministic across engines because md5 hex strings compare identically."""
+    deterministic across engines because md5 hex strings compare identically.
+
+    Spark side aggregates min-per-seed DIRECTLY over the exploded shingle
+    rows (groupBy + 4 F.min columns): partial aggregation combines map-side,
+    so no per-doc shingle array is ever materialized or shuffled — the
+    100 TB-safe shape. The oracle's collect-then-list_min form is the same
+    min over the same distinct-shingle set."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
-    agg = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    return agg.select("doc_id", *_minhash_cols())
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(_N_MINHASH_Q)
+        ]
+    )
 
 
 @_q(
