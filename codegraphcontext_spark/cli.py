@@ -236,6 +236,20 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from .pipeline.runner import PipelineRunner
+
+    spark = _spark(args)
+    runner = PipelineRunner(spark, args.pages, args.workdir)
+    t0 = time.time()
+    out = runner.run_delete(args.prefix)
+    print(json.dumps({
+        "status": "ok", "wall_s": round(time.time() - t0, 2),
+        "n_nodes": out["nodes"].count(), "n_edges": out["edges"].count(),
+    }))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Job-status surface (J5; reference ``server.py:700-772``
     check_job_status/list_jobs): read the per-stage manifests + lineage the
@@ -418,6 +432,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="who_references: restrict to pages of this lang "
                         "(empty strict result retries unfiltered)")
     q.set_defaults(fn=cmd_query)
+
+    dl = sub.add_parser("delete", help="delete pages by url prefix (site/repo delete + GC)")
+    dl.add_argument("--pages", required=True, help="base pages path (of the committed build)")
+    dl.add_argument("--workdir", required=True)
+    dl.add_argument("--prefix", required=True, help="url prefix to delete")
+    dl.set_defaults(fn=cmd_delete)
 
     st = sub.add_parser("status", help="per-stage manifests + lineage summary")
     st.add_argument("--workdir", required=True)

@@ -464,7 +464,18 @@ class PipelineRunner:
         for stage in new_narrow:
             self._refresh_manifest(stage)
 
-        # global stages recompute from the merged narrow outputs
+        # global stages recompute from the merged narrow outputs; only after
+        # every stage (narrow + global) is committed with the delta-inclusive
+        # fingerprint is the delta durably marked as folded in
+        out = self._recompute_globals()
+        self._record_ingested(delta_sig)
+        self._pending_sigs.remove(delta_sig)
+        return out
+
+    def _recompute_globals(self) -> dict[str, DataFrame]:
+        """Rebuild the global stages (dictionary/canon, linking, graph) from
+        the committed narrow stages — the shared tail of every mutation path
+        (incremental fold, deletion). O(graph), not O(corpus)."""
         docs = self._load("docs")
         triples = self._load("triples")
         defs = self._load("defs")
@@ -476,15 +487,52 @@ class PipelineRunner:
         nodes, edges = materialize_graph(docs, triples, linked, canon, links)
         nodes = self._commit("nodes", nodes, by_url=False)
         edges = self._commit("edges", edges, by_url=False)
-        # every stage (narrow + global) is committed with the delta-inclusive
-        # fingerprint — only now is the delta durably marked as folded in
-        self._record_ingested(delta_sig)
-        self._pending_sigs.remove(delta_sig)
         return {
             "docs": docs, "sentences": self._load("sentences"), "triples": triples,
             "defs": defs, "links": links, "canon": canon, "linked": linked,
             "nodes": nodes, "edges": edges,
         }
+
+    def run_delete(self, url_prefix: str) -> dict[str, DataFrame]:
+        """Delete every page whose url starts with ``url_prefix`` from a
+        committed build (S6 whole-repo delete / S7 single-file delete +
+        empty-dir GC, reference ``graph_builder.py:407-441`` DETACH DELETE):
+        narrow stages drop the matching urls partition-locally (filter +
+        swap — on Iceberg this is ``DELETE FROM ... WHERE url LIKE ...`` as
+        one snapshot commit), then the global stages recompute, which
+        performs the GC for free: entities defined only on deleted pages and
+        domains linked only from them simply don't re-materialize (the
+        reference needs an explicit childless-Directory cleanup query; here
+        the graph is rebuilt from the surviving facts).
+
+        Recorded in the fingerprint chain like a delta, so resume and
+        idempotent re-delete work identically to run_incremental.
+        """
+        if not url_prefix:
+            raise ValueError("url_prefix must be non-empty")
+        del_sig = f"delete:{url_prefix}"
+        if del_sig in self._ingested():
+            return self.run()
+        narrow = ("docs", "sentences", "triples", "defs", "links")
+        if not all(self._committed(s) for s in narrow):
+            raise RuntimeError(
+                "run_delete() needs a base build with checkpoint='all' "
+                "(per-stage snapshots to rewrite); run() must commit first"
+            )
+        for stage in narrow:
+            old = self._load(stage)
+            kept = old.where(~F.col("url").startswith(url_prefix))
+            self._swap_write(stage, kept)
+            self.spark.catalog.refreshByPath(
+                os.path.join(self._dir(stage), "data")
+            )
+        self._pending_sigs.append(del_sig)
+        for stage in narrow:
+            self._refresh_manifest(stage)
+        out = self._recompute_globals()
+        self._record_ingested(del_sig)
+        self._pending_sigs.remove(del_sig)
+        return out
 
 
 def run_pipeline(

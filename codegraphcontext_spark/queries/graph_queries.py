@@ -314,6 +314,87 @@ def kg_graph_entities_by_type(spark, sf_dir):
 
 
 @_q(
+    "kg_graph_ambiguous_names",
+    f"""{_G_CTE},
+    toks AS (
+      SELECT DISTINCT unnest(string_split(name, ' ')) AS token, name
+      FROM nodes WHERE node_type = 'Entity')
+    SELECT token,
+           COUNT(DISTINCT name) AS n_entities,
+           string_agg(DISTINCT name, ',' ORDER BY name) AS entities
+    FROM toks GROUP BY token HAVING COUNT(DISTINCT name) > 1
+    ORDER BY n_entities DESC, token ASC""",
+)
+def kg_graph_ambiguous_names(spark, sf_dir):
+    """find_function_overrides analog (Q13, reference
+    code_finder.py:393-412: same member name across different classes):
+    name tokens shared by multiple canonical entities — the ambiguity
+    surface the linking cascade has to disambiguate (e.g. 'hamilton' names
+    a person, an org, and a place)."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    toks = (
+        nodes.where(F.col("node_type") == "Entity")
+        .select(F.explode(F.split("name", " ")).alias("token"), "name")
+        .distinct()
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("name").alias("n_entities"),
+            F.array_join(F.sort_array(F.collect_set("name")), ",").alias("entities"),
+        )
+        .where(F.col("n_entities") > 1)
+        .orderBy(F.desc("n_entities"), F.asc("token"))
+    )
+
+
+@_q(
+    "kg_graph_page_richness",
+    f"""{_G_CTE},
+    per AS (
+      SELECT subj_id AS page,
+             SUM(CASE WHEN pred = 'MENTIONS' THEN n_occurrences ELSE 0 END)
+               AS n_mentions,
+             SUM(CASE WHEN pred = 'LINKS_TO' THEN 1 ELSE 0 END) AS n_links
+      FROM edges WHERE pred IN ('MENTIONS', 'LINKS_TO') GROUP BY subj_id)
+    SELECT page, n_mentions, n_links,
+           CAST(n_mentions + 2 * n_links AS BIGINT) AS richness
+    FROM per ORDER BY richness DESC, page ASC LIMIT 20""",
+)
+def kg_graph_page_richness(spark, sf_dir):
+    """extraction-richness metric (E9 cyclomatic-complexity analog +
+    Q21/Q22 point-lookup/top-k, reference code_finder.py:725-756): per-page
+    mention and outlink weight, top-20 — a single map-side-combinable
+    aggregate over the page-subject edges."""
+    _, edges = ensure_graph(spark, sf_dir)
+    per = (
+        edges.where(F.col("pred").isin("MENTIONS", "LINKS_TO"))
+        .groupBy(F.col("subj_id").alias("page"))
+        .agg(
+            F.sum(
+                F.when(F.col("pred") == "MENTIONS", F.col("n_occurrences"))
+                .otherwise(0)
+            ).alias("n_mentions"),
+            F.sum(F.when(F.col("pred") == "LINKS_TO", 1).otherwise(0)).alias(
+                "n_links"
+            ),
+        )
+    )
+    return (
+        per.select(
+            "page",
+            "n_mentions",
+            "n_links",
+            (F.col("n_mentions") + 2 * F.col("n_links"))
+            .cast("bigint")
+            .alias("richness"),
+        )
+        .orderBy(F.desc("richness"), F.asc("page"))
+        .limit(20)
+    )
+
+
+@_q(
     "kg_graph_pred_stats",
     f"""{_G_CTE}
     SELECT pred, COUNT(*) AS n_edges, SUM(n_occurrences) AS n_occ
