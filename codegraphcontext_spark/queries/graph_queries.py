@@ -314,6 +314,61 @@ def kg_graph_entities_by_type(spark, sf_dir):
 
 
 @_q(
+    "kg_graph_closure",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    ent AS (SELECT node_id FROM nodes
+            WHERE node_type = 'Entity' AND name = 'acme corp'),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL}),
+    r AS (
+      SELECT node_id AS id, 0 AS depth FROM ent
+      UNION ALL
+      SELECT adj.obj_id, r.depth + 1 FROM r
+      JOIN adj ON adj.subj_id = r.id WHERE r.depth < 3)
+    SELECT n.name, MIN(r.depth) AS min_depth
+    FROM r JOIN nodes n ON n.node_id = r.id
+    GROUP BY n.name ORDER BY min_depth ASC, n.name ASC""",
+)
+def kg_graph_closure(spark, sf_dir):
+    """transitive closure over the materialized graph (Q15-Q17, reference
+    code_finder.py:449-520 `[:CALLS*]`): BFS to depth 3 from the hub entity
+    over open relation edges — a driver loop of frontier joins against a
+    once-checkpointed adjacency; the frontier stays entity-dictionary-sized
+    regardless of corpus scale."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "obj_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = nodes.where(
+        (F.col("node_type") == "Entity") & (F.col("name") == "acme corp")
+    ).select(F.col("node_id").alias("id"), F.lit(0).alias("depth"))
+    frontier = seed
+    seen = seed
+    for depth in range(1, 4):
+        frontier = (
+            adj.join(
+                F.broadcast(frontier.where(F.col("depth") == depth - 1)),
+                on=adj["subj_id"] == F.col("id"),
+            )
+            .select(F.col("obj_id").alias("id"), F.lit(depth).alias("depth"))
+            .distinct()
+        )
+        seen = seen.unionByName(frontier)
+    return (
+        seen.groupBy("id")
+        .agg(F.min("depth").alias("min_depth"))
+        .join(nodes.withColumnRenamed("node_id", "id"), on="id")
+        .select("name", "min_depth")
+        .orderBy(F.asc("min_depth"), F.asc("name"))
+    )
+
+
+@_q(
     "kg_graph_ambiguous_names",
     f"""{_G_CTE},
     toks AS (
