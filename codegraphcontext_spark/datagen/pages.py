@@ -39,6 +39,7 @@ SCALES = {
     "bench": 100_000,
     "bench_heavy": 50_000,
     "bench_heavy_xl": 150_000,
+    "bench_heavy_xxl": 400_000,
 }
 # extra per-page filler sentences per scale (realistic page weight for the
 # throughput/scaling benches; goldens unaffected — see generate_corpus)
@@ -48,6 +49,7 @@ SCALE_FILLERS = {
     "bench": 0,
     "bench_heavy": 120,
     "bench_heavy_xl": 120,
+    "bench_heavy_xxl": 120,
 }
 
 DOMAINS = [f"ref{i}.example.org" for i in range(20)]
