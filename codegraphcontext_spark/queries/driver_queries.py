@@ -1091,6 +1091,112 @@ def embed_ann_lsh(spark, sf_dir):
     )
 
 
+_IVF_K = 8       # inverted-file cells (deterministic seed centroids)
+_IVF_NPROBE = 2  # cells probed per query
+
+
+@_q(
+    "embed_ann_ivf",
+    f"""{_EMB_CTE},
+    cents AS (SELECT vec_id AS cent_id, i, x FROM e WHERE vec_id < {_IVF_K}),
+    sims AS (
+      SELECT e.vec_id, c.cent_id,
+             CAST(ROUND(SUM(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE))))
+               * 1e6) AS BIGINT) AS cos_x1e6
+      FROM e JOIN cents c ON e.i = c.i
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_x1e6 DESC, cent_id ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    probe AS (SELECT cent_id FROM sims WHERE vec_id = 0
+              ORDER BY cos_x1e6 DESC, cent_id ASC LIMIT {_IVF_NPROBE}),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cent_id)
+             WHERE a.vec_id <> 0),
+    d AS (
+      SELECT b.vec_id,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a
+      JOIN e b ON a.i = b.i AND a.vec_id = 0
+      JOIN cand c ON b.vec_id = c.vec_id
+      GROUP BY 1)
+    SELECT vec_id, CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM d ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 10""",
+)
+def embed_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (the coarse-quantizer scale path next to embed_ann_lsh's
+    hyperplane buckets): assign every vector to its nearest of K seed
+    centroids (an inverted file keyed by cell), probe the NPROBE cells
+    nearest the query, exact cosine re-rank only within probed cells.
+
+    Centroids are the first K vectors (deterministic seed selection — the
+    stand-in for a k-means|| training pass, which would be a separate MLlib
+    job at scale; the assign/probe/re-rank dataflow is identical either way).
+    Cell assignment rounds cosine to 1e6 BEFORE the argmax and breaks ties
+    on the lowest cent_id on BOTH the Spark and DuckDB sides, so the
+    inverted file is float-order-independent.
+
+    At 100 TB: the K x dim centroid matrix broadcasts to every task (a few
+    KB); assignment is one narrow Arrow-batched pass; `cell` becomes the
+    inverted file's partition key so a probe scans ~NPROBE/K of the corpus.
+    Reference analog: CodeGraphContext has no vector search; this implements
+    the task addendum's IVF variant."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    # Tiny driver collect by design: K centroid vectors (the "model"), not
+    # data — same role as a broadcast dimension table.
+    cents = np.stack(
+        [
+            r["embedding"]
+            for r in emb.where(F.col("vec_id") < _IVF_K)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    ).astype("float64")
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.rint(m @ cn.T * 1e6)  # round like the oracle, THEN argmax
+        # np.argmax returns the first max -> lowest cent_id wins ties,
+        # matching ORDER BY cos_x1e6 DESC, cent_id ASC.
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    # Probe cells for the query vector (vec_id 0): numpy on the driver over
+    # the same broadcast centroid matrix.
+    qv = cents[0] / np.linalg.norm(cents[0])
+    qcos = np.rint(cn @ qv * 1e6)
+    order = np.lexsort((np.arange(_IVF_K), -qcos))  # cos desc, cent_id asc
+    probe_cells = [int(c) for c in order[:_IVF_NPROBE]]
+
+    cand = emb.withColumn("cell", assign_cell("embedding")).where(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(cos * 1e6).cast("bigint").alias("cos_x1e6")
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # =============================================================================
 # Text: BPE-ish tokenization + quality score
 # =============================================================================
