@@ -75,8 +75,10 @@ def cmd_incremental(args) -> int:
 _CLOSED_PREDS = ("MENTIONS", "LINKS_TO", "HAS_TYPE")
 
 SUPPORTED_QUERIES = (
-    "who_references", "neighbors", "top_entities",
-    "class_hierarchy", "dead_entities", "cooccurrence",
+    "who_references", "doc_references", "importers", "neighbors",
+    "top_entities", "entities_by_type", "usage_scope", "class_hierarchy",
+    "overrides", "dead_entities", "complexity", "cooccurrence",
+    "all_referencers", "all_referenced", "call_chain",
 )
 
 
@@ -84,6 +86,117 @@ def _entity_ids(nodes, name):
     return nodes.where(
         (F.col("node_type") == "Entity") & (F.col("name") == name)
     ).select("node_id")
+
+
+def _closure(edges, nodes, seed, forward: bool, depth: int):
+    """Bounded transitive closure over open-relation edges (Q15/Q16 analog,
+    reference ``code_finder.py:449-493`` ``[:CALLS*]``). BFS driver loop:
+    each hop is a broadcast semi-join frontier expansion with a visited-set
+    anti-join; ``localCheckpoint`` per hop cuts lineage. The frontier is
+    entity-dictionary-sized, so the broadcasts stay small at any corpus
+    scale."""
+    open_e = edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+    src, dst = ("subj_id", "obj_id") if forward else ("obj_id", "subj_id")
+    frontier = seed.localCheckpoint()
+    reached = None
+    for hop in range(1, depth + 1):
+        step = (
+            open_e.join(
+                F.broadcast(frontier.withColumnRenamed("node_id", src)),
+                on=src,
+            )
+            .select(F.col(dst).alias("node_id"))
+            .distinct()
+            .withColumn("depth", F.lit(hop))
+        )
+        if reached is not None:
+            step = step.join(
+                reached.select("node_id"), on="node_id", how="left_anti"
+            )
+        step = step.join(seed, on="node_id", how="left_anti").localCheckpoint()
+        if step.isEmpty():
+            break
+        reached = step if reached is None else (
+            reached.unionByName(step).localCheckpoint()
+        )
+        frontier = step.select("node_id")
+    if reached is None:
+        return nodes.select(
+            "node_id", "name", F.lit(0).alias("depth")
+        ).limit(0)
+    return (
+        reached.join(nodes.select("node_id", "name"), on="node_id")
+        .select("node_id", "name", "depth")
+        .orderBy("depth", "name", "node_id")
+    )
+
+
+def _call_chain(edges, nodes, start, end, depth: int):
+    """Bounded chains start->end over open relations, shortest first (Q17
+    analog, reference ``code_finder.py:495-520`` shortestPath with maxd).
+    BFS keeps a ``path`` array column of node ids; cycles are pruned with
+    ``array_contains``; chains that land on the target stop extending.
+    Output is the chain rendered through entity names."""
+    # distinct pairs: parallel edges (same endpoints, different predicates)
+    # must not multiply paths
+    open_e = edges.where(~F.col("pred").isin(*_CLOSED_PREDS)).select(
+        "subj_id", "obj_id"
+    ).distinct().localCheckpoint()
+    targets = F.broadcast(
+        end.withColumnRenamed("node_id", "_target")
+    )
+    paths = start.select(
+        F.array("node_id").alias("path"), F.col("node_id").alias("tip")
+    ).localCheckpoint()
+    hits = None
+    for _ in range(depth):
+        grown = (
+            open_e.join(
+                F.broadcast(paths.withColumnRenamed("tip", "subj_id")),
+                on="subj_id",
+            )
+            .where(~F.array_contains(F.col("path"), F.col("obj_id")))
+            .select(
+                F.concat(F.col("path"), F.array("obj_id")).alias("path"),
+                F.col("obj_id").alias("tip"),
+            )
+            .localCheckpoint()
+        )
+        found = grown.join(
+            targets, grown.tip == F.col("_target"), "left_semi"
+        )
+        hits = found if hits is None else hits.unionByName(found)
+        # chains that reached the target stop extending (simple paths)
+        paths = grown.join(
+            targets, grown.tip == F.col("_target"), "left_anti"
+        ).localCheckpoint()
+        if paths.isEmpty():
+            break
+    if hits is None:
+        return nodes.select(
+            F.lit("").alias("chain"), F.lit(0).alias("length")
+        ).limit(0)
+    id2name = nodes.select("node_id", "name")
+    exploded = hits.dropDuplicates(["path"]).select(
+        F.col("path"), F.posexplode("path").alias("pos", "node_id")
+    ).join(id2name, on="node_id")
+    return (
+        exploded.groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "name"))
+                    ),
+                    lambda s: s["name"],
+                ),
+                " -> ",
+            ).alias("chain"),
+            F.max("pos").alias("length"),
+        )
+        .select("chain", "length")
+        .orderBy("length", "chain")
+    )
 
 
 def cmd_query(args) -> int:
@@ -97,14 +210,37 @@ def cmd_query(args) -> int:
                               strict result retries WITHOUT the filter (the
                               reference's fallback relaxation,
                               code_finder.py:192-212)
+    doc_references <url>   -> entities a page mentions (Q9 find_callees
+                              analog, code_finder.py:236-278)
+    importers <domain>     -> pages linking to the domain (Q10
+                              find_importers analog, code_finder.py:280-303)
     neighbors <name>       -> 1-hop edges from/to the entity
     top_entities           -> most-referenced entities (Q22-style top-k)
+    entities_by_type <t>   -> entities carrying a HAS_TYPE edge to type t
+                              (Q6/Q7 by-argument/decorator analog,
+                              code_finder.py:120-168)
+    usage_scope <name>     -> CASE scope classification of every edge
+                              touching the entity (Q11/Q19 analog,
+                              code_finder.py:305-334,555-586)
     class_hierarchy <name> -> typed-relation neighborhood, both directions
                               (Q12 analog, code_finder.py:336-391)
+    overrides <name>       -> every entity sharing the surface name, with
+                              type + reference mass (Q13 analog,
+                              code_finder.py:393-412)
     dead_entities          -> entities never targeted by an open relation
                               (Q14 analog, code_finder.py:414-447)
+    complexity             -> most extraction-rich pages (Q21/Q22
+                              find_complexity analog, code_finder.py:725-756)
     cooccurrence <name>    -> entities sharing pages with <name>
                               (Q18 analog, code_finder.py:522-553)
+    all_referencers <name> -> bounded transitive closure of open-relation
+                              referencers (Q15 find_all_callers analog,
+                              code_finder.py:449-470); --depth bounds hops
+    all_referenced <name>  -> forward closure (Q16, code_finder.py:472-493)
+    call_chain "a->b"      -> bounded chains between two entities over open
+                              relations, shortest first (Q17 analog incl.
+                              the '->' target parse, code_finder.py:495-520,
+                              679-692); --depth is the reference's max_depth
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -213,7 +349,7 @@ def cmd_query(args) -> int:
             .orderBy("name")
             .limit(args.limit)
         )
-    else:  # cooccurrence
+    elif args.query == "cooccurrence":
         ent = F.broadcast(_entity_ids(nodes, name))
         m = edges.where(F.col("pred") == "MENTIONS").select(
             F.col("subj_id").alias("page"), "obj_id"
@@ -231,6 +367,113 @@ def cmd_query(args) -> int:
             .orderBy(F.desc("n_pages"), F.asc("name"))
             .limit(args.limit)
         )
+    elif args.query == "doc_references":
+        # page urls are node ids verbatim — don't lowercase the arg
+        res = (
+            edges.where(
+                (F.col("subj_id") == args.arg)
+                & (F.col("pred") == "MENTIONS")
+            )
+            .join(nodes.withColumnRenamed("node_id", "obj_id"), on="obj_id")
+            .select(F.col("name").alias("entity"), "etype", "n_occurrences")
+            .orderBy(F.desc("n_occurrences"), F.asc("entity"))
+            .limit(args.limit)
+        )
+    elif args.query == "importers":
+        res = (
+            edges.where(
+                (F.col("pred") == "LINKS_TO") & (F.col("obj_id") == args.arg)
+            )
+            .select(F.col("subj_id").alias("page"), "n_occurrences")
+            .orderBy(F.desc("n_occurrences"), F.asc("page"))
+            .limit(args.limit)
+        )
+    elif args.query == "entities_by_type":
+        res = (
+            edges.where(
+                (F.col("pred") == "HAS_TYPE")
+                & (F.col("obj_id") == f"type:{name}")
+            )
+            .join(nodes.withColumnRenamed("node_id", "subj_id"), on="subj_id")
+            .select(F.col("name").alias("entity"), "n_occurrences")
+            .orderBy(F.desc("n_occurrences"), F.asc("entity"))
+            .limit(args.limit)
+        )
+    elif args.query == "usage_scope":
+        ent = F.broadcast(_entity_ids(nodes, name))
+        as_obj = edges.join(
+            ent.withColumnRenamed("node_id", "obj_id"), on="obj_id"
+        ).select(
+            F.when(F.col("pred") == "MENTIONS", "page_mention")
+            .otherwise("relation_object").alias("scope"),
+            "pred", "n_occurrences",
+        )
+        as_subj = edges.join(
+            ent.withColumnRenamed("node_id", "subj_id"), on="subj_id"
+        ).select(
+            F.when(F.col("pred") == "HAS_TYPE", "typed")
+            .otherwise("relation_subject").alias("scope"),
+            "pred", "n_occurrences",
+        )
+        res = (
+            as_obj.unionByName(as_subj)
+            .groupBy("scope", "pred")
+            .agg(F.sum("n_occurrences").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("scope"), F.asc("pred"))
+            .limit(args.limit)
+        )
+    elif args.query == "overrides":
+        refs = (
+            edges.where(F.col("pred") == "MENTIONS")
+            .groupBy("obj_id")
+            .agg(F.sum("n_occurrences").alias("n_refs"))
+            .withColumnRenamed("obj_id", "node_id")
+        )
+        res = (
+            nodes.where(
+                (F.col("node_type") == "Entity") & (F.col("name") == name)
+            )
+            .join(refs, on="node_id", how="left")
+            .select(
+                "node_id", "etype",
+                F.coalesce("n_refs", F.lit(0)).alias("n_refs"),
+            )
+            .orderBy(F.desc("n_refs"), F.asc("node_id"))
+            .limit(args.limit)
+        )
+    elif args.query == "complexity":
+        res = (
+            edges.groupBy("subj_id")
+            .agg(
+                F.sum("n_occurrences").alias("n_facts"),
+                F.countDistinct("pred").alias("n_preds"),
+            )
+            .join(
+                nodes.where(F.col("node_type") == "Page")
+                .select(F.col("node_id").alias("subj_id")),
+                on="subj_id", how="left_semi",
+            )
+            .orderBy(F.desc("n_facts"), F.asc("subj_id"))
+            .limit(args.limit)
+        )
+    elif args.query in ("all_referencers", "all_referenced"):
+        forward = args.query == "all_referenced"
+        res = _closure(
+            edges, nodes, _entity_ids(nodes, name), forward, args.depth
+        ).limit(args.limit)
+    else:  # call_chain
+        if "->" not in (args.arg or ""):
+            print(json.dumps({
+                "error": "for call_chain queries, use format "
+                         "'start_entity->end_entity'",
+                "example": "acme corp->globex",
+            }), file=sys.stderr)
+            return 2
+        a, b = (s.strip().lower() for s in args.arg.split("->", 1))
+        res = _call_chain(
+            edges, nodes, _entity_ids(nodes, a), _entity_ids(nodes, b),
+            args.depth,
+        ).limit(args.limit)
     for row in res.collect():
         print(json.dumps(row.asDict()))
     return 0
@@ -431,6 +674,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--lang", default=None,
                    help="who_references: restrict to pages of this lang "
                         "(empty strict result retries unfiltered)")
+    q.add_argument("--depth", type=int, default=3,
+                   help="all_referencers/all_referenced/call_chain: max hops "
+                        "(the reference's max_depth, code_finder.py:495)")
     q.set_defaults(fn=cmd_query)
 
     dl = sub.add_parser("delete", help="delete pages by url prefix (site/repo delete + GC)")

@@ -152,3 +152,128 @@ def test_dot_export(spark, built_wd, capsys):
     assert out.startswith("digraph G {") and out.rstrip().endswith("}")
     assert '[label="acme corp" shape=ellipse]' in out
     assert "->" in out and "MENTIONS" in out
+
+
+def _rows(capsys):
+    out = capsys.readouterr().out.strip()
+    return [json.loads(line) for line in out.splitlines()] if out else []
+
+
+def test_query_doc_references(spark, built_wd, capsys):
+    """Q9 find_callees analog: entities a given page mentions."""
+    cli.main(["query", "--workdir", built_wd, "who_references", "Acme Corp"])
+    page = _rows(capsys)[0]["subj_id"]
+    rc = cli.main(["query", "--workdir", built_wd, "doc_references", page])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert len(rows) > 0
+    assert "acme corp" in {r["entity"] for r in rows}
+    assert all(r["n_occurrences"] >= 1 for r in rows)
+
+
+def test_query_importers(spark, built_wd, capsys):
+    """Q10 find_importers analog: pages linking to a domain."""
+    cli.main([
+        "sql", "--workdir", built_wd,
+        "SELECT obj_id FROM edges WHERE pred='LINKS_TO' LIMIT 1",
+    ])
+    domain = _rows(capsys)[0]["obj_id"]
+    rc = cli.main(["query", "--workdir", built_wd, "importers", domain])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert len(rows) > 0
+    assert all(r["n_occurrences"] >= 1 for r in rows)
+
+
+def test_query_entities_by_type(spark, built_wd, capsys):
+    """Q6/Q7 by-argument analog over HAS_TYPE edges."""
+    rc = cli.main(["query", "--workdir", built_wd, "entities_by_type", "org"])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert len(rows) > 0
+    assert "acme corp" in {r["entity"] for r in rows}
+
+
+def test_query_usage_scope(spark, built_wd, capsys):
+    """Q11/Q19 analog: scope classification of edges touching the entity."""
+    rc = cli.main(["query", "--workdir", built_wd, "usage_scope", "Acme Corp"])
+    assert rc == 0
+    rows = _rows(capsys)
+    scopes = {r["scope"] for r in rows}
+    assert "page_mention" in scopes and "typed" in scopes
+    assert all(r["n_occ"] >= 1 for r in rows)
+
+
+def test_query_overrides(spark, built_wd, capsys):
+    """Q13 analog: every canonical entity sharing the surface name."""
+    rc = cli.main(["query", "--workdir", built_wd, "overrides", "Acme Corp"])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert len(rows) > 0
+    assert all("node_id" in r and r["n_refs"] >= 0 for r in rows)
+
+
+def test_query_complexity(spark, built_wd, capsys):
+    """Q21/Q22 find_complexity analog: most extraction-rich pages, desc."""
+    rc = cli.main(["query", "--workdir", built_wd, "complexity", "--limit", "5"])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert 0 < len(rows) <= 5
+    facts = [r["n_facts"] for r in rows]
+    assert facts == sorted(facts, reverse=True)
+
+
+def test_query_closure_directions(spark, built_wd, capsys):
+    """Q15/Q16 analog: bounded transitive closure both directions."""
+    rc = cli.main([
+        "query", "--workdir", built_wd, "all_referenced", "Acme Corp",
+        "--depth", "2",
+    ])
+    assert rc == 0
+    fwd = _rows(capsys)
+    rc = cli.main([
+        "query", "--workdir", built_wd, "all_referencers", "Acme Corp",
+        "--depth", "2",
+    ])
+    assert rc == 0
+    rev = _rows(capsys)
+    assert len(fwd) + len(rev) > 0
+    for r in fwd + rev:
+        assert 1 <= r["depth"] <= 2
+
+
+def test_query_call_chain(spark, built_wd, capsys):
+    """Q17 analog: '->' target parse + shortest-first chains."""
+    # find a directly-connected pair via an open-pred edge
+    cli.main([
+        "sql", "--workdir", built_wd,
+        "SELECT n1.name AS a, n2.name AS b FROM edges e "
+        "JOIN nodes n1 ON n1.node_id = e.subj_id "
+        "JOIN nodes n2 ON n2.node_id = e.obj_id "
+        "WHERE e.pred NOT IN ('MENTIONS','LINKS_TO','HAS_TYPE') "
+        "AND e.subj_id <> e.obj_id LIMIT 1",
+    ])
+    pair = _rows(capsys)[0]
+    rc = cli.main([
+        "query", "--workdir", built_wd, "call_chain",
+        f"{pair['a']}->{pair['b']}", "--depth", "3",
+    ])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert len(rows) > 0
+    assert rows[0]["length"] == 1  # shortest first: the direct edge
+    assert rows[0]["chain"] == f"{pair['a']} -> {pair['b']}"
+    # every chain renders exactly length+1 node names (parallel edges and
+    # duplicate hit paths must not multiply the rendering)
+    for r in rows:
+        assert len(r["chain"].split(" -> ")) == r["length"] + 1
+    lengths = [r["length"] for r in rows]
+    assert lengths == sorted(lengths)
+
+
+def test_query_call_chain_bad_format(spark, built_wd, capsys):
+    """The reference's '->' error contract (code_finder.py:686-691)."""
+    rc = cli.main(["query", "--workdir", built_wd, "call_chain", "no arrow"])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().err.strip())
+    assert "error" in err and "example" in err
