@@ -348,23 +348,31 @@ _ADJ_CTE = (
 
 
 def _adjacency(docs: DataFrame) -> DataFrame:
-    """distinct (src, dst) edges between consecutive dictionary terms."""
-    pos = _fan_out(docs).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "term")
+    """distinct (src, dst) edges between consecutive dictionary terms.
+
+    Adjacent pairs come from zipping the token array with itself shifted by
+    one (`zip_with` over two `slice`s) — a single narrow map per document,
+    entirely inside whole-stage codegen. The only shuffle is the final
+    `distinct` over the (tiny) dictionary-filtered edge set. The previous
+    shape (posexplode all tokens, positional self-join on (doc_id, i+1))
+    shuffled every token of the corpus twice; at 100 TB that join IS the
+    bottleneck, while this form scans once and shuffles almost nothing."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n),
+        F.slice(toks, F.lit(2), n),
+        lambda x, y: F.struct(x.alias("src"), y.alias("dst")),
     )
-    a, b = pos.alias("a"), pos.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.i") == F.col("a.i") + 1),
-        )
+        _fan_out(docs)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
         .where(
-            F.col("a.term").isin(DICT_TERMS)
-            & F.col("b.term").isin(DICT_TERMS)
-            & (F.col("a.term") != F.col("b.term"))
+            F.col("src").isin(DICT_TERMS)
+            & F.col("dst").isin(DICT_TERMS)
+            & (F.col("src") != F.col("dst"))
         )
-        .select(F.col("a.term").alias("src"), F.col("b.term").alias("dst"))
         .distinct()
     )
 
