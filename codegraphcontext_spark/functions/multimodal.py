@@ -75,3 +75,62 @@ def repartition_for_blobs(df: DataFrame, target_mb: int = 64) -> DataFrame:
 def decode_stage(df: DataFrame) -> DataFrame:
     """df(doc_id, payload:binary) -> typed feature columns via mapInPandas."""
     return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video/audio analog): 1 blob -> N sampled frame rows.
+# ---------------------------------------------------------------------------
+FRAME_BYTES = 256     # fake frame size (a real decoder derives it from headers)
+FRAME_STRIDE = 4      # sample every 4th frame
+MAX_SAMPLED = 16      # per-doc cap — bounds output rows per blob
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_md5 string, frame_bytes int"
+)
+
+
+def sample_frames_real(blob: bytes) -> list:
+    """The real frame-extraction seam (ffmpeg/pyav on a production cluster)."""
+    raise NotImplementedError(
+        "video decode libraries are not available in this environment; "
+        "use the deterministic byte-slice sampler in frame_sample_stage"
+    )
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: explode each blob into its sampled frame rows.
+    The fake "frame" is a FRAME_BYTES byte slice; a real decoder replaces the
+    slicing with keyframe extraction but keeps this exact row shape, so the
+    downstream schema/partitioning is production-real."""
+    for pdf in batches:
+        doc_ids, idxs, md5s, sizes = [], [], [], []
+        for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            n = len(b)
+            if n == 0:
+                continue
+            n_frames = -(-n // FRAME_BYTES)
+            for k, idx in enumerate(range(0, n_frames, FRAME_STRIDE)):
+                if k >= MAX_SAMPLED:
+                    break
+                sl = b[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                doc_ids.append(did)
+                idxs.append(idx)
+                md5s.append(hashlib.md5(sl).hexdigest())
+                sizes.append(len(sl))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "frame_md5": pd.Series(md5s, dtype="object"),
+            "frame_bytes": pd.Series(sizes, dtype="int32"),
+        })
+
+
+def frame_sample_stage(df: DataFrame) -> DataFrame:
+    """df(doc_id, payload:binary) -> one row per sampled frame.
+
+    One blob in, ≤ MAX_SAMPLED rows out — the fan-out is bounded per row, so
+    at 100 TB the stage's output size is a fixed multiple of its input row
+    count regardless of blob sizes (size-aware repartition upstream via
+    ``repartition_for_blobs`` keeps Arrow batches bounded)."""
+    return df.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)

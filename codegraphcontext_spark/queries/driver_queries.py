@@ -1292,6 +1292,39 @@ def mm_decode_meta(spark, sf_dir):
     return decode_stage(docs)
 
 
+@_q(
+    "mm_frame_sample",
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                  FROM documents),
+    f AS (SELECT doc_id, text, n,
+                 unnest(generate_series(
+                   0, CAST(CEIL(n / 256.0) AS BIGINT) - 1, 4)) AS frame_idx
+          FROM b WHERE n > 0),
+    s AS (SELECT doc_id, frame_idx,
+                 md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5,
+                 CAST(LEAST(256, n - frame_idx * 256) AS INT) AS frame_bytes,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx) AS rn
+          FROM f)
+    SELECT doc_id, frame_idx, frame_md5, frame_bytes FROM s WHERE rn <= 16""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling (video keyframe-extraction analog): each blob explodes
+    into <= 16 sampled 256-byte "frames" (every 4th), one typed row per frame
+    with the frame's md5 — the mapInPandas fan-out stage a multimodal
+    training pipeline runs before per-frame featurization. The real decoder
+    seam is functions/multimodal.py ``sample_frames_real``; the byte-slice
+    sampler is the deterministic stand-in. The oracle recomputes the slices
+    with char-based substring, byte-identical because the driver testdata is
+    pure ASCII (asserted: octet_length == length for every row)."""
+    from ..functions.multimodal import frame_sample_stage
+
+    docs = _fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return frame_sample_stage(docs)
+
+
 # =============================================================================
 # Aggregation-semantics coverage: COLLECT (Q10 shape) + time bucketing
 # =============================================================================
