@@ -467,3 +467,52 @@ def kg_graph_pred_stats(spark, sf_dir):
         )
         .orderBy(F.asc("pred"))
     )
+
+
+@_q(
+    "kg_graph_call_chain",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL}),
+    s AS (SELECT node_id FROM nodes
+          WHERE node_type = 'Entity' AND name = 'acme corp'),
+    t AS (SELECT node_id FROM nodes
+          WHERE node_type = 'Entity' AND name = 'globex industries'),
+    p AS (
+      SELECT [node_id] AS path, node_id AS tip, 0 AS depth FROM s
+      UNION ALL
+      SELECT list_append(p.path, adj.obj_id), adj.obj_id, p.depth + 1
+      FROM p JOIN adj ON adj.subj_id = p.tip
+      WHERE p.depth < 3
+        AND NOT list_contains(p.path, adj.obj_id)
+        AND p.tip NOT IN (SELECT node_id FROM t)),
+    hits AS (SELECT DISTINCT path FROM p
+             WHERE tip IN (SELECT node_id FROM t)),
+    ex AS (SELECT path, u.id, u.ord FROM hits,
+           LATERAL (SELECT unnest(path) AS id,
+                    generate_subscripts(path, 1) AS ord) u),
+    named AS (SELECT ex.path, ex.ord, n.name FROM ex
+              JOIN nodes n ON n.node_id = ex.id)
+    SELECT string_agg(name, ' -> ' ORDER BY ord) AS chain,
+           CAST(len(path) - 1 AS INT) AS length
+    FROM named GROUP BY path ORDER BY length ASC, chain ASC""",
+)
+def kg_graph_call_chain(spark, sf_dir):
+    """call chains over the MATERIALIZED graph (Q17, reference
+    code_finder.py:495-520 shortestPath + the '->' dispatcher parse at
+    :679-692): all simple paths acme corp -> globex industries over open
+    relation edges, depth <= 3, shortest first. Reuses the CLI dispatcher's
+    BFS helper (cli._call_chain), so the spark-submit query path itself is
+    oracle-checked here against a DuckDB recursive CTE with identical
+    cycle-pruning and stop-at-target semantics."""
+    from ..cli import _call_chain
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ent = lambda name: nodes.where(  # noqa: E731
+        (F.col("node_type") == "Entity") & (F.col("name") == name)
+    ).select("node_id")
+    return _call_chain(
+        edges, nodes, ent("acme corp"), ent("globex industries"), 3
+    ).select("chain", F.col("length").cast("int").alias("length"))
