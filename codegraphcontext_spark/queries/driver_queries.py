@@ -1404,6 +1404,51 @@ def kg_search_scored(spark, sf_dir):
 
 
 @_q(
+    "events_sessions",
+    """WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s)
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(COALESCE(value, 0)) * 100) AS BIGINT)
+             AS sum_value_x100
+    FROM g GROUP BY user_id, sess""",
+)
+def events_sessions(spark, sf_dir):
+    """Batch gap-sessionization over the events table (every session incl.
+    open tails — pure relational semantics; the streaming operator in
+    streaming/sessionize.py shares this exact twin, so the stateful stream
+    is pinned transitively). Lag-window session boundary + running-sum
+    session id: both map-side-free window shapes partition cleanly by
+    user_id at any scale. Timestamps exported as epoch seconds and value
+    sums as x100 bigints so the cross-engine value hash is float-free."""
+    from ..streaming.sessionize import sessionize_batch_twin
+
+    s = sessionize_batch_twin(_t(spark, sf_dir, "events"), include_open=True)
+    return s.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long").alias(
+            "session_start_s"
+        ),
+        F.col("session_end").cast("timestamp").cast("long").alias(
+            "session_end_s"
+        ),
+        "n_events",
+        F.round(F.col("sum_value") * 100).cast("bigint").alias(
+            "sum_value_x100"
+        ),
+    )
+
+
+@_q(
     "events_daily",
     """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_x100

@@ -141,13 +141,14 @@ def sessionize_batch_twin(
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lit(SESSION_GAP_S)
+    # double-cast via timestamp: parquet naive timestamps read as
+    # TIMESTAMP_NTZ, which ANSI mode won't cast to numeric directly; the
+    # session timezone is pinned to UTC so the NTZ->LTZ interpretation is
+    # deterministic (and the gap DIFFERENCE is tz-invariant anyway)
+    epoch_s = F.col("ts").cast("timestamp").cast("double")
     flagged = events.withColumn(
         "_new",
-        (
-            F.col("ts").cast("double")
-            - F.lag(F.col("ts").cast("double")).over(w)
-            > gap
-        ).cast("int"),
+        (epoch_s - F.lag(epoch_s).over(w) > gap).cast("int"),
     ).withColumn(
         "_sess",
         F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(
