@@ -1404,6 +1404,81 @@ def kg_search_scored(spark, sf_dir):
 
 
 @_q(
+    "text_len_quantiles",
+    """SELECT lang,
+              COUNT(*) AS n_docs,
+              CAST(ROUND(quantile_cont(n_chars, 0.25) * 1e6) AS BIGINT) AS p25_x1e6,
+              CAST(ROUND(quantile_cont(n_chars, 0.50) * 1e6) AS BIGINT) AS p50_x1e6,
+              CAST(ROUND(quantile_cont(n_chars, 0.75) * 1e6) AS BIGINT) AS p75_x1e6,
+              CAST(ROUND(quantile_cont(n_chars, 0.95) * 1e6) AS BIGINT) AS p95_x1e6
+    FROM documents GROUP BY lang""",
+)
+def text_len_quantiles(spark, sf_dir):
+    """Corpus profiling: per-language exact interpolated length quantiles
+    (the distribution check a training-data pipeline runs before setting
+    length filters). Spark's `percentile` and DuckDB's `quantile_cont` share
+    linear-interpolation semantics, so the twin matches to the bit; at
+    100 TB swap `percentile` for `percentile_approx` (same plan shape, one
+    pass, mergeable sketches) and widen the oracle tolerance."""
+    q = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.95))")
+    agg = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), q.alias("_q"))
+    )
+    cols = ["p25_x1e6", "p50_x1e6", "p75_x1e6", "p95_x1e6"]
+    return agg.select(
+        "lang",
+        "n_docs",
+        *[
+            F.round(F.element_at("_q", i + 1) * 1e6).cast("bigint").alias(c)
+            for i, c in enumerate(cols)
+        ],
+    )
+
+
+@_q(
+    "events_rollup",
+    """SELECT COALESCE(event_type, '<all>') AS event_type,
+              COALESCE(strftime(ts, '%Y-%m'), '<all>') AS month,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_x100
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m')),
+                            (event_type), (strftime(ts, '%Y-%m')), ())""",
+)
+def events_rollup(spark, sf_dir):
+    """Multi-granularity aggregate via GROUPING SETS (type x month, each
+    margin, grand total) — the reporting shape over event streams; Catalyst
+    expands grouping sets into a single shuffle with an Expand node (one
+    pass over the input, partial aggregation preserved)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "month"], ["event_type"], ["month"], []],
+            "event_type",
+            "month",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias(
+                "sum_value_x100"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("month", F.lit("<all>")).alias("month"),
+            "n",
+            "sum_value_x100",
+        )
+    )
+
+
+@_q(
     "events_sessions",
     """WITH s AS (
       SELECT user_id, ts, event_id, value,
