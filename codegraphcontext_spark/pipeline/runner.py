@@ -130,6 +130,13 @@ class PipelineRunner:
             m = json.load(f)
         return m.get("input_fingerprint") == self._fingerprint()
 
+    # Layout sort keys per stage: sortWithinPartitions before the write so
+    # parquet row-group min/max statistics actually prune point lookups
+    # (graph queries filter on node_id/subj_id; an unsorted row group spans
+    # the whole key range and prunes nothing). A narrow in-partition sort,
+    # no extra shuffle — at 100 TB this is the poor-man's Z-order.
+    _LAYOUT_SORT = {"nodes": ["node_id"], "edges": ["subj_id", "pred", "obj_id"]}
+
     def _commit(self, stage: str, df: DataFrame, by_url: bool = True) -> DataFrame:
         """Write stage output + lineage + manifest; return the re-read frame
         (so downstream lineage starts from the committed files)."""
@@ -138,6 +145,8 @@ class PipelineRunner:
         out = os.path.join(d, "data")
         if by_url and "url" in df.columns:
             df = df.repartition(self.n_partitions, F.xxhash64("url"))
+        if stage in self._LAYOUT_SORT:
+            df = df.sortWithinPartitions(*self._LAYOUT_SORT[stage])
         df.write.mode("overwrite").parquet(out)
         committed = self.spark.read.parquet(out)
         n = self._write_lineage(d)
