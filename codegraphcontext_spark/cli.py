@@ -493,6 +493,26 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation chain over a documents table: exact dedup ->
+    MinHash-LSH near-dup dedup -> quality threshold -> language allowlist
+    -> curated parquet + stats (see curate.py for stage semantics)."""
+    from .curate import curate_documents
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    stats = curate_documents(
+        spark,
+        docs,
+        args.out,
+        jaccard=args.jaccard,
+        min_quality=args.min_quality,
+        langs=args.langs.split(",") if args.langs else None,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Job-status surface (J5; reference ``server.py:700-772``
     check_job_status/list_jobs): read the per-stage manifests + lineage the
@@ -684,6 +704,14 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--workdir", required=True)
     dl.add_argument("--prefix", required=True, help="url prefix to delete")
     dl.set_defaults(fn=cmd_delete)
+
+    cu = sub.add_parser("curate", help="dedup + quality + lang curation chain")
+    cu.add_argument("--docs", required=True, help="documents parquet path")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--jaccard", type=float, default=0.8)
+    cu.add_argument("--min-quality", type=int, default=600)
+    cu.add_argument("--langs", default=None, help="comma-separated allowlist")
+    cu.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("status", help="per-stage manifests + lineage summary")
     st.add_argument("--workdir", required=True)

@@ -1,0 +1,218 @@
+"""End-to-end corpus curation: the training-data composition the individual
+``dedup_*`` / ``text_*`` operators exist for, as one resumable batch job.
+
+    documents --> exact dedup --> near-dup dedup (MinHash-LSH + CC)
+              --> quality threshold --> language allowlist --> curated parquet
+
+Each filter is a pure DataFrame transform; the only driver-side loop is the
+connected-components labeling shared with the canonicalizer
+(``pipeline/canon.py``). Stage semantics:
+
+* **exact**: one survivor per distinct text md5 — the smallest doc_id wins
+  (deterministic under any partitioning).
+* **near-dup**: 3-gram token shingles (document frequency capped, the
+  round-1 lesson: an uncapped common shingle is quadratic), banded-minhash
+  LSH blocking, exact-Jaccard verification at >= ``jaccard``, then
+  min-label connected components so A~B~C collapses to ONE survivor even
+  when A,C never collide directly.
+* **quality**: the integer-stable score of ``text_quality`` must reach
+  ``min_quality``.
+* **lang**: optional allowlist.
+
+At 100 TB every stage is shuffle-bounded by design: the exact stage
+shuffles 16-byte hashes, the LSH stage shuffles (band, sig) keys with
+bucket sizes bounded by banding + the df cap, and components run on the
+pair set only (pairs, not corpus, scale).
+
+Reference analog: CodeGraphContext dedups by MERGE on unique keys
+(graph_builder.py:69-75); this is that semantics upgraded to fuzzy content
+identity, per the task's training-data addendum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pipeline.canon import connected_components
+
+SHINGLE_DF_CAP = 20
+N_MINHASH = 8
+N_BANDS = 4  # r = 2
+
+DEFAULT_JACCARD = 0.8
+DEFAULT_MIN_QUALITY = 600
+
+
+def _doc_key(col):
+    """Zero-padded doc_id so string min-label == numeric min doc_id."""
+    return F.lpad(col.cast("string"), 12, "0")
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(key, shingle) distinct word-3-gram shingles, df-capped."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    out = (
+        docs.where(F.size(toks) >= 3)
+        .select("key", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    w = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return out.join(
+        F.broadcast(w.where(F.col("_df") <= SHINGLE_DF_CAP)), on="shingle"
+    ).select("key", "shingle")
+
+
+def _near_dup_pairs(docs: DataFrame, jaccard: float) -> DataFrame:
+    """(a, b) verified near-dup pairs, a < b, via banded minhash LSH."""
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    grams = sh.groupBy("key").agg(F.collect_set("shingle").alias("grams"))
+    r = N_MINHASH // N_BANDS
+    sigs = grams.select(
+        "key",
+        "grams",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.array_min(
+                            F.transform(
+                                "grams",
+                                lambda g, s=k * r + j: F.md5(
+                                    F.concat(F.lit(f"{s}:"), g)
+                                ),
+                            )
+                        )
+                        for j in range(r)
+                    ],
+                )
+            ).alias(f"b{k}")
+            for k in range(N_BANDS)
+        ],
+    )
+    bands = sigs.select(
+        "key",
+        "grams",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{k}:"), F.col(f"b{k}"))
+                for k in range(N_BANDS)
+            ])
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, on="band")
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("a"),
+            F.col("b.key").alias("b"),
+            F.col("a.grams").alias("ga"),
+            F.col("b.grams").alias("gb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return pairs.where(
+        (union > 0) & (inter / union >= F.lit(jaccard))
+    ).select("a", "b")
+
+
+def curate_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    jaccard: float = DEFAULT_JACCARD,
+    min_quality: int = DEFAULT_MIN_QUALITY,
+    langs: list[str] | None = None,
+) -> dict:
+    """Run the full curation chain; write curated parquet + stats json.
+
+    docs must carry (doc_id, text, lang). Returns the stats dict."""
+    n_in = docs.count()
+
+    # 1. exact dedup: min doc_id per content hash
+    keyed = docs.withColumn("key", _doc_key(F.col("doc_id"))).withColumn(
+        "_md5", F.md5("text")
+    )
+    winners = keyed.groupBy("_md5").agg(F.min("key").alias("key"))
+    exact = keyed.join(winners, on=["_md5", "key"], how="left_semi").drop(
+        "_md5"
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+
+    # 2. near-dup dedup: survivors = component labels (min key per cluster)
+    pairs = _near_dup_pairs(exact.select("key", "text"), jaccard)
+    comp = connected_components(
+        exact.select(F.col("key").alias("surface")),
+        pairs.select(F.col("a").alias("a"), F.col("b").alias("b")),
+    )
+    survivors = comp.where(F.col("surface") == F.col("label")).select(
+        F.col("surface").alias("key")
+    )
+    near = exact.join(survivors, on="key", how="left_semi").localCheckpoint(
+        eager=True
+    )
+    n_near = near.count()
+
+    # 3. quality threshold (same integer-stable score as text_quality)
+    toks = near.select(
+        "key", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    from .queries.driver_queries import STOPWORDS
+
+    m = toks.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+    )
+    scored = m.select(
+        "key",
+        F.expr(
+            "CAST(LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens "
+            "+ CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40 "
+            "THEN 300 ELSE 0 END AS BIGINT)"
+        ).alias("quality_x1000"),
+    )
+    qual = near.join(
+        scored.where(F.col("quality_x1000") >= min_quality),
+        on="key",
+        how="left_semi",
+    )
+    n_qual = qual.count()
+
+    # 4. language allowlist
+    kept = qual.where(F.col("lang").isin(langs)) if langs else qual
+    n_out = kept.count()
+
+    kept.drop("key").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "curated.parquet")
+    )
+    stats = {
+        "n_in": n_in,
+        "removed_exact_dup": n_in - n_exact,
+        "removed_near_dup": n_exact - n_near,
+        "removed_low_quality": n_near - n_qual,
+        "removed_lang": n_qual - n_out,
+        "n_out": n_out,
+        "jaccard": jaccard,
+        "min_quality": min_quality,
+        "langs": langs,
+    }
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
