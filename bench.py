@@ -118,6 +118,21 @@ def main() -> None:
     pipe = _run_pipeline(spark, pages_path, f"/tmp/cgc_bench_work_{CPUS}")
     docs_per_sec = n_pages / pipe["wall_s"]
 
+    # Curation-chain throughput (the training-data composition: exact dedup
+    # -> LSH near-dup + CC -> quality -> curated parquet).
+    import shutil
+    import tempfile
+
+    from codegraphcontext_spark.curate import curate_documents
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    cur_dir = tempfile.mkdtemp(prefix="cgc_bench_curate_")
+    t0 = time.time()
+    cur_stats = curate_documents(spark, docs, cur_dir)
+    curate_wall = time.time() - t0
+    shutil.rmtree(cur_dir, ignore_errors=True)
+
     result = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -128,6 +143,9 @@ def main() -> None:
         "pipeline_n_pages": n_pages,
         "pipeline_wall_s": round(pipe["wall_s"], 2),
         "pipeline_n_edges": pipe["n_edges"],
+        "curate_docs_per_sec": round(n_docs / curate_wall, 1),
+        "curate_wall_s": round(curate_wall, 2),
+        "curate_n_out": cur_stats["n_out"],
         "cpus": CPUS,
     }
     print(json.dumps(result))
