@@ -599,18 +599,46 @@ def cmd_dot(args) -> int:
     Graphviz. Each hop is a broadcast semi-join frontier expansion; the
     driver only streams the final bounded edge list (toLocalIterator)."""
     spark = _spark(args)
-    nodes = spark.read.parquet(f"{args.workdir}/nodes/data")
-    edges = spark.read.parquet(f"{args.workdir}/edges/data")
+    rows, names = _subgraph(
+        spark, args.workdir, args.arg or "", args.hops, args.limit
+    )
+
+    def q(s: str) -> str:
+        return '"' + s.replace('"', r"\"") + '"'
+
+    lines = ["digraph G {"]
+    used = set()
+    for r in rows:
+        used.add(r.subj_id)
+        used.add(r.obj_id)
+    for nid in sorted(used):
+        label, ntype = names.get(nid, (nid, "?"))
+        shape = {"Entity": "ellipse", "Page": "box", "Domain": "diamond"}.get(
+            ntype, "ellipse"
+        )
+        lines.append(f"  {q(nid)} [label={q(label)} shape={shape}];")
+    for r in rows:
+        lines.append(f"  {q(r.subj_id)} -> {q(r.obj_id)} [label={q(r.pred)}];")
+    lines.append("}")
+    print("\n".join(lines))
+    return 0
+
+
+def _subgraph(spark, workdir: str, seed_substring: str, hops: int, limit: int):
+    """Shared seed-match -> k-hop expand used by dot + visualize: returns
+    (edge rows, {node_id: (name, node_type)})."""
+    nodes = spark.read.parquet(f"{workdir}/nodes/data")
+    edges = spark.read.parquet(f"{workdir}/edges/data")
     seed = (
         nodes.where(
             (F.col("node_type") == "Entity")
-            & F.col("name").contains((args.arg or "").lower())
+            & F.col("name").contains(seed_substring.lower())
         )
         .select("node_id")
     )
     frontier = seed
     member_ids = seed
-    for _ in range(args.hops):
+    for _ in range(hops):
         touched = (
             edges.join(
                 F.broadcast(frontier.withColumnRenamed("node_id", "subj_id")),
@@ -638,7 +666,7 @@ def cmd_dot(args) -> int:
         )
         .select("subj_id", "pred", "obj_id")
         .orderBy("subj_id", "pred", "obj_id")
-        .limit(args.limit)
+        .limit(limit)
     )
     names = {
         r.node_id: (r.name, r.node_type)
@@ -646,26 +674,83 @@ def cmd_dot(args) -> int:
             F.broadcast(member_ids), on="node_id", how="left_semi"
         ).select("node_id", "name", "node_type").collect()
     }
+    return list(sub_edges.toLocalIterator()), names
 
-    def q(s: str) -> str:
-        return '"' + s.replace('"', r"\"") + '"'
 
-    lines = ["digraph G {"]
-    used = set()
-    rows = list(sub_edges.toLocalIterator())
-    for r in rows:
-        used.add(r.subj_id)
-        used.add(r.obj_id)
-    for nid in sorted(used):
-        label, ntype = names.get(nid, (nid, "?"))
-        shape = {"Entity": "ellipse", "Page": "box", "Domain": "diamond"}.get(
-            ntype, "ellipse"
-        )
-        lines.append(f"  {q(nid)} [label={q(label)} shape={shape}];")
-    for r in rows:
-        lines.append(f"  {q(r.subj_id)} -> {q(r.obj_id)} [label={q(r.pred)}];")
-    lines.append("}")
-    print("\n".join(lines))
+_VIZ_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>codegraphcontext_spark graph</title>
+<style>body{margin:0;font:12px sans-serif}svg{width:100vw;height:100vh}
+line{stroke:#bbb}text{pointer-events:none}
+.Entity{fill:#4a7dbd}.Page{fill:#74a55c}.Domain{fill:#c78f3d}.Type{fill:#9a6fb5}
+</style></head><body><svg id="g"></svg><script>
+const DATA = __DATA__;
+// tiny deterministic force layout (no external libs; runs offline)
+const N = DATA.nodes, E = DATA.edges, idx = {};
+N.forEach((n, i) => {
+  idx[n.id] = i;
+  const a = 2 * Math.PI * i / N.length;
+  n.x = 480 + 380 * Math.cos(a); n.y = 360 + 300 * Math.sin(a);
+});
+for (let it = 0; it < 150; it++) {
+  for (const e of E) {
+    const s = N[idx[e.s]], t = N[idx[e.t]];
+    const dx = t.x - s.x, dy = t.y - s.y, d = Math.hypot(dx, dy) || 1;
+    const f = (d - 90) * 0.01;
+    s.x += f * dx / d; s.y += f * dy / d; t.x -= f * dx / d; t.y -= f * dy / d;
+  }
+  for (const a of N) for (const b of N) {
+    if (a === b) continue;
+    const dx = b.x - a.x, dy = b.y - a.y, d2 = dx * dx + dy * dy || 1;
+    if (d2 < 8100) { a.x -= 120 * dx / d2; a.y -= 120 * dy / d2; }
+  }
+}
+const svg = document.getElementById("g");
+svg.setAttribute("viewBox", "0 0 960 720");
+const mk = (t, a) => { const el =
+  document.createElementNS("http://www.w3.org/2000/svg", t);
+  for (const k in a) el.setAttribute(k, a[k]); svg.appendChild(el); return el; };
+for (const e of E) {
+  const s = N[idx[e.s]], t = N[idx[e.t]];
+  mk("line", {x1: s.x, y1: s.y, x2: t.x, y2: t.y});
+}
+for (const n of N) {
+  mk("circle", {cx: n.x, cy: n.y, r: 6, class: n.type});
+  mk("text", {x: n.x + 8, y: n.y + 4}).textContent = n.label;
+}
+</script></body></html>
+"""
+
+
+def cmd_visualize(args) -> int:
+    """Self-contained HTML graph view (Q24 analog; the reference emits a
+    Neo4j-browser deep link, ``server.py:455-472`` — with no graph server
+    here, the artifact is a single offline HTML file with the subgraph
+    embedded as JSON and a dependency-free SVG force layout)."""
+    spark = _spark(args)
+    rows, names = _subgraph(
+        spark, args.workdir, args.arg or "", args.hops, args.limit
+    )
+    used = sorted({r.subj_id for r in rows} | {r.obj_id for r in rows})
+    data = {
+        "nodes": [
+            {
+                "id": nid,
+                "label": names.get(nid, (nid, "?"))[0],
+                "type": names.get(nid, (nid, "?"))[1],
+            }
+            for nid in used
+        ],
+        "edges": [
+            {"s": r.subj_id, "p": r.pred, "t": r.obj_id} for r in rows
+        ],
+    }
+    html = _VIZ_TEMPLATE.replace("__DATA__", json.dumps(data))
+    with open(args.out, "w") as f:
+        f.write(html)
+    print(json.dumps({
+        "out": args.out, "n_nodes": len(data["nodes"]),
+        "n_edges": len(data["edges"]),
+    }))
     return 0
 
 
@@ -729,6 +814,14 @@ def main(argv: list[str] | None = None) -> int:
     dt.add_argument("--hops", type=int, default=2)
     dt.add_argument("--limit", type=int, default=200)
     dt.set_defaults(fn=cmd_dot)
+
+    vz = sub.add_parser("visualize", help="self-contained HTML subgraph view")
+    vz.add_argument("--workdir", required=True)
+    vz.add_argument("arg", help="entity name substring (seed match)")
+    vz.add_argument("--out", required=True, help="output .html path")
+    vz.add_argument("--hops", type=int, default=2)
+    vz.add_argument("--limit", type=int, default=200)
+    vz.set_defaults(fn=cmd_visualize)
 
     args = p.parse_args(argv)
     return args.fn(args)

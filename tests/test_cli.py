@@ -277,3 +277,24 @@ def test_query_call_chain_bad_format(spark, built_wd, capsys):
     assert rc == 2
     err = json.loads(capsys.readouterr().err.strip())
     assert "error" in err and "example" in err
+
+
+def test_visualize_html(spark, built_wd, tmp_path, capsys):
+    """Q24 analog: self-contained offline HTML subgraph artifact."""
+    out = str(tmp_path / "viz.html")
+    rc = cli.main([
+        "visualize", "--workdir", built_wd, "acme", "--out", out,
+        "--hops", "2", "--limit", "500",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_nodes"] > 0 and meta["n_edges"] > 0
+    with open(out) as f:
+        html = f.read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "acme corp" in html          # seed entity present in the data
+    assert "http" not in html.split("</title>")[1].split("const DATA")[0]
+    # embedded JSON is parseable and consistent with the reported counts
+    data = json.loads(html.split("const DATA = ", 1)[1].split(";\n", 1)[0])
+    assert len(data["nodes"]) == meta["n_nodes"]
+    assert len(data["edges"]) == meta["n_edges"]
