@@ -526,11 +526,14 @@ def cmd_status(args) -> int:
             continue
         with open(mpath) as f:
             m = json.load(f)
-        lineage = os.path.join(args.workdir, stage, "lineage")
-        m["n_partitions"] = (
-            len([p for p in os.listdir(lineage) if p.endswith(".parquet")])
-            if os.path.isdir(lineage) else 0
-        )
+        # one lineage.parquet per stage whose ROWS are the partitions
+        lineage = os.path.join(args.workdir, stage, "lineage", "lineage.parquet")
+        if os.path.isfile(lineage):
+            import pyarrow.parquet as pq
+
+            m["n_partitions"] = pq.ParquetFile(lineage).metadata.num_rows
+        else:
+            m["n_partitions"] = 0
         stages.append(m)
     ingested_p = os.path.join(args.workdir, "_ingested.json")
     ingested = []

@@ -78,7 +78,15 @@ class PipelineRunner:
         # record lands only after EVERY stage committed (crash anywhere in
         # between -> retry redoes the merge, which _swap_write tolerates;
         # recording first would silently drop the delta on crash).
+        # A durable copy lives in _pending.json from the first directory
+        # swap until _record_ingested: a crash inside that window otherwise
+        # leaves manifests carrying a fingerprint no fresh runner can
+        # reproduce, and a plain run() would silently rebuild from the BASE
+        # pages — resurrecting deleted urls / dropping the delta.
         self._pending_sigs: list[str] = []
+        pend = self._pending()
+        if pend:
+            self._pending_sigs = [pend["sig"]]
 
     # -- checkpoint plumbing --------------------------------------------------
     def _dir(self, stage: str) -> str:
@@ -113,6 +121,55 @@ class PipelineRunner:
         os.makedirs(self.workdir, exist_ok=True)
         with open(os.path.join(self.workdir, "_ingested.json"), "w") as f:
             json.dump(sigs, f)
+
+    # -- in-flight mutation record (crash-safe retry) -------------------------
+    def _pending_path(self) -> str:
+        return os.path.join(self.workdir, "_pending.json")
+
+    def _pending(self) -> dict | None:
+        p = self._pending_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def _begin_mutation(self, base_sig: str, kind: str, arg: str) -> str:
+        """Open (or resume) a mutation. Returns the positional signature:
+        ``base@<chain position>`` — unique per APPLICATION, so re-running the
+        same mutation after an interleaved ingest re-applies instead of
+        silently no-opping, while an exact crash-retry reuses the recorded
+        pending signature and redoes the (idempotent) swaps."""
+        pend = self._pending()
+        if pend:
+            if pend["base_sig"] != base_sig:
+                raise RuntimeError(
+                    f"an interrupted {pend['kind']} mutation "
+                    f"({pend['arg']!r}) is pending in {self.workdir}; re-run "
+                    "it to completion before starting a different mutation"
+                )
+            self._pending_sigs = [pend["sig"]]
+            return pend["sig"]
+        sig = f"{base_sig}@{len(self._ingested())}"
+        os.makedirs(self.workdir, exist_ok=True)
+        with open(self._pending_path(), "w") as f:
+            json.dump(
+                {"sig": sig, "base_sig": base_sig, "kind": kind, "arg": arg}, f
+            )
+        self._pending_sigs = [sig]
+        return sig
+
+    def _finish_mutation(self, sig: str) -> None:
+        self._record_ingested(sig)
+        os.remove(self._pending_path())
+        self._pending_sigs = []
+
+    def _applied_last(self, base_sig: str) -> bool:
+        """True iff this mutation is the MOST RECENT durably-recorded one —
+        the only case where re-running it is a guaranteed no-op (an
+        interleaved ingest may have re-added urls a delete matched, or
+        deleted urls a delta carried)."""
+        ing = self._ingested()
+        return bool(ing) and ing[-1].rsplit("@", 1)[0] == base_sig
 
     def _fingerprint(self) -> str:
         """Input fingerprint: pages path + mtime-ish + extractor version +
@@ -250,6 +307,17 @@ class PipelineRunner:
         )
 
     def run(self) -> dict[str, DataFrame]:
+        pend = self._pending()
+        if pend:
+            # manifests may carry the pending-inclusive fingerprint; a plain
+            # run() would see a mismatch and silently rebuild every stage
+            # from the BASE pages — resurrecting deleted urls / dropping the
+            # delta. Force the caller to complete the mutation instead.
+            raise RuntimeError(
+                f"interrupted {pend['kind']} mutation ({pend['arg']!r}) is "
+                f"pending in {self.workdir}; re-run it to completion "
+                "(retry is idempotent) before a plain run()"
+            )
         spark = self.spark
         pages = spark.read.parquet(self.pages_path)
 
@@ -397,15 +465,33 @@ class PipelineRunner:
         to the delta. Idempotent: an already-ingested delta is a no-op resume.
         """
         spark = self.spark
-        delta_sig = f"v{EXTRACTOR_VERSION}:{self._path_sig(delta_pages_path)}"
-        if delta_sig in self._ingested():
+        delta_base = f"v{EXTRACTOR_VERSION}:{self._path_sig(delta_pages_path)}"
+        pend = self._pending()
+        retrying = pend is not None and pend.get("base_sig") == delta_base
+        if not retrying and self._applied_last(delta_base):
+            # re-run of the LATEST recorded mutation with nothing after it:
+            # guaranteed no-op, resume the committed build. If other
+            # mutations landed since, the delta is re-applied instead.
             return self.run()
         narrow = ("docs", "sentences", "triples", "defs", "links")
-        if not all(self._committed(s) for s in narrow):
-            raise RuntimeError(
-                "run_incremental() needs a base build with checkpoint='all' "
-                "(per-stage snapshots to merge into); run() must commit first"
-            )
+        if not retrying:
+            # fresh mutation: narrow manifests must match the ingested-only
+            # fingerprint. On a crash retry they are legitimately mixed
+            # (some already delta-inclusive) and the swaps below are
+            # idempotent, so the precondition is skipped.
+            self._pending_sigs = []
+            if not all(self._committed(s) for s in narrow):
+                raise RuntimeError(
+                    "run_incremental() needs a base build with "
+                    "checkpoint='all' (per-stage snapshots to merge into); "
+                    "run() must commit first"
+                )
+        delta_sig = self._begin_mutation(
+            delta_base, "incremental", delta_pages_path
+        )
+        # the merge plans below read the CURRENT committed files; fingerprint
+        # only matters again when manifests are refreshed post-swap
+        self._pending_sigs = []
 
         delta_pages = spark.read.parquet(delta_pages_path).withColumn(
             "snap_md5", F.md5("html")
@@ -468,8 +554,8 @@ class PipelineRunner:
 
         # fingerprint advances (in memory) to include this delta; manifests
         # are rewritten delta-inclusive. The durable _ingested.json record is
-        # the LAST step below.
-        self._pending_sigs.append(delta_sig)
+        # the LAST step below; _pending.json covers the window in between.
+        self._pending_sigs = [delta_sig]
         for stage in new_narrow:
             self._refresh_manifest(stage)
 
@@ -477,8 +563,7 @@ class PipelineRunner:
         # every stage (narrow + global) is committed with the delta-inclusive
         # fingerprint is the delta durably marked as folded in
         out = self._recompute_globals()
-        self._record_ingested(delta_sig)
-        self._pending_sigs.remove(delta_sig)
+        self._finish_mutation(delta_sig)
         return out
 
     def _recompute_globals(self) -> dict[str, DataFrame]:
@@ -519,15 +604,24 @@ class PipelineRunner:
         """
         if not url_prefix:
             raise ValueError("url_prefix must be non-empty")
-        del_sig = f"delete:{url_prefix}"
-        if del_sig in self._ingested():
+        del_base = f"delete:{url_prefix}"
+        pend = self._pending()
+        retrying = pend is not None and pend.get("base_sig") == del_base
+        if not retrying and self._applied_last(del_base):
+            # latest recorded mutation IS this delete and nothing landed
+            # after it: guaranteed no-op. An interleaved incremental may
+            # have re-added matching urls, so any other ordering re-applies.
             return self.run()
         narrow = ("docs", "sentences", "triples", "defs", "links")
-        if not all(self._committed(s) for s in narrow):
-            raise RuntimeError(
-                "run_delete() needs a base build with checkpoint='all' "
-                "(per-stage snapshots to rewrite); run() must commit first"
-            )
+        if not retrying:
+            self._pending_sigs = []
+            if not all(self._committed(s) for s in narrow):
+                raise RuntimeError(
+                    "run_delete() needs a base build with checkpoint='all' "
+                    "(per-stage snapshots to rewrite); run() must commit first"
+                )
+        del_sig = self._begin_mutation(del_base, "delete", url_prefix)
+        self._pending_sigs = []
         for stage in narrow:
             old = self._load(stage)
             kept = old.where(~F.col("url").startswith(url_prefix))
@@ -535,12 +629,11 @@ class PipelineRunner:
             self.spark.catalog.refreshByPath(
                 os.path.join(self._dir(stage), "data")
             )
-        self._pending_sigs.append(del_sig)
+        self._pending_sigs = [del_sig]
         for stage in narrow:
             self._refresh_manifest(stage)
         out = self._recompute_globals()
-        self._record_ingested(del_sig)
-        self._pending_sigs.remove(del_sig)
+        self._finish_mutation(del_sig)
         return out
 
 

@@ -1180,11 +1180,16 @@ def embed_ann_ivf(spark, sf_dir):
     ).astype("float64")
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
+    def _round_half_away(x):
+        # SQL ROUND rounds halves AWAY FROM ZERO; np.rint rounds half-to-even
+        # — an exact x.5 cosine would diverge between engines otherwise
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
     @pandas_udf("int")
     def assign_cell(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = np.rint(m @ cn.T * 1e6)  # round like the oracle, THEN argmax
+        cos = _round_half_away(m @ cn.T * 1e6)  # round like the oracle, THEN argmax
         # np.argmax returns the first max -> lowest cent_id wins ties,
         # matching ORDER BY cos_x1e6 DESC, cent_id ASC.
         return pd.Series(np.argmax(cos, axis=1).astype("int32"))
@@ -1192,7 +1197,7 @@ def embed_ann_ivf(spark, sf_dir):
     # Probe cells for the query vector (vec_id 0): numpy on the driver over
     # the same broadcast centroid matrix.
     qv = cents[0] / np.linalg.norm(cents[0])
-    qcos = np.rint(cn @ qv * 1e6)
+    qcos = _round_half_away(cn @ qv * 1e6)
     order = np.lexsort((np.arange(_IVF_K), -qcos))  # cos desc, cent_id asc
     probe_cells = [int(c) for c in order[:_IVF_NPROBE]]
 
@@ -1325,8 +1330,10 @@ def mm_frame_sample(spark, sf_dir):
     training pipeline runs before per-frame featurization. The real decoder
     seam is functions/multimodal.py ``sample_frames_real``; the byte-slice
     sampler is the deterministic stand-in. The oracle recomputes the slices
-    with char-based substring, byte-identical because the driver testdata is
-    pure ASCII (asserted: octet_length == length for every row)."""
+    with char-based substring, byte-identical ONLY while the documents text
+    is pure ASCII — a precondition pinned by
+    tests/test_driver_contract.py::test_documents_are_ascii (DuckDB has no
+    blob substring/md5, so a non-ASCII corpus needs a different oracle)."""
     from ..functions.multimodal import frame_sample_stage
 
     docs = _fan_out(_t(spark, sf_dir, "documents")).select(

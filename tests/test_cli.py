@@ -112,6 +112,10 @@ def test_status(spark, built_wd, capsys):
     assert {"docs", "nodes", "edges"} <= stages
     assert all(m["n_rows"] > 0 for m in out["stages"])
     assert all(m["n_partitions"] >= 1 for m in out["stages"])
+    # n_partitions = lineage ROW count (actual partitions), not file count:
+    # url-partitioned stages commit n_partitions shards (> 1)
+    by_stage = {m["stage"]: m for m in out["stages"]}
+    assert by_stage["docs"]["n_partitions"] > 1
 
 
 def test_sql_select_allowed(spark, built_wd, capsys):

@@ -99,3 +99,67 @@ def test_delete_empty_prefix_rejected(spark, corpus_dir, tmp_path_factory):
     pages = os.path.join(corpus_dir, "pages.parquet")
     with pytest.raises(ValueError):
         PipelineRunner(spark, pages, wd).run_delete("")
+
+
+def test_redelete_after_reingest_applies(spark, corpus_dir, tmp_path_factory):
+    """A delete must re-apply when pages under the prefix were re-ingested
+    AFTER it (positional mutation signatures — a bare membership test would
+    silently no-op and leave the re-added pages in the graph)."""
+    import pyarrow.parquet as pq
+
+    pages = os.path.join(corpus_dir, "pages.parquet")
+    wd = str(tmp_path_factory.mktemp("redel_wd"))
+    runner = PipelineRunner(spark, pages, wd)
+    runner.run()
+    runner.run_delete(PREFIX)
+
+    # re-ingest some pages under the deleted prefix via a delta snapshot
+    tbl = pq.read_table(pages)
+    mask = [u.as_py().startswith(PREFIX) for u in tbl["url"]]
+    idx = [i for i, m in enumerate(mask) if m][:5]
+    delta_dir = str(tmp_path_factory.mktemp("redel_delta"))
+    delta_p = os.path.join(delta_dir, "delta.parquet")
+    pq.write_table(tbl.take(idx), delta_p)
+    out = PipelineRunner(spark, pages, wd).run_incremental(delta_p)
+    n_after_reingest = (
+        out["docs"].where(out["docs"].url.startswith(PREFIX)).count()
+    )
+    assert n_after_reingest > 0  # the prefix is back
+
+    # second delete of the SAME prefix must actually delete again
+    out2 = PipelineRunner(spark, pages, wd).run_delete(PREFIX)
+    assert out2["docs"].where(out2["docs"].url.startswith(PREFIX)).count() == 0
+
+
+def test_interrupted_delete_blocks_run_and_retry_completes(
+    spark, corpus_dir, tmp_path_factory
+):
+    """Crash between manifest refresh and the durable ingest record: a plain
+    run() must refuse (not silently rebuild from base, resurrecting the
+    deleted pages), and retrying the SAME delete completes it."""
+    pages = os.path.join(corpus_dir, "pages.parquet")
+    wd = str(tmp_path_factory.mktemp("crash_wd"))
+    runner = PipelineRunner(spark, pages, wd)
+    runner.run()
+
+    crashing = PipelineRunner(spark, pages, wd)
+    orig = crashing._recompute_globals
+    crashing._recompute_globals = lambda: (_ for _ in ()).throw(
+        RuntimeError("injected crash")
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crashing.run_delete(PREFIX)
+    assert os.path.exists(os.path.join(wd, "_pending.json"))
+
+    # plain run() on a fresh runner must refuse, not rebuild from base
+    with pytest.raises(RuntimeError, match="pending"):
+        PipelineRunner(spark, pages, wd).run()
+
+    # retrying the same delete completes and clears the pending record
+    out = PipelineRunner(spark, pages, wd).run_delete(PREFIX)
+    assert not os.path.exists(os.path.join(wd, "_pending.json"))
+    assert out["docs"].where(out["docs"].url.startswith(PREFIX)).count() == 0
+    # and a plain run() now resumes cleanly
+    resumed = PipelineRunner(spark, pages, wd)
+    resumed.run()
+    assert all(m.get("resumed") for m in resumed.metrics.values())

@@ -76,3 +76,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "n_occ"]
+
+
+def test_documents_are_ascii(ddb):
+    """Precondition of the mm_frame_sample oracle: its char-based substring
+    slicing is byte-identical to the Spark side's byte slicing only for pure
+    ASCII text. If this fails, the oracle must move to blob-true slicing."""
+    n = ddb.execute(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
