@@ -227,29 +227,58 @@ def kg_most_referenced(spark, sf_dir):
 
 @_q(
     "kg_dead_terms",
-    f"""{_MENT_CTE}
-    SELECT DISTINCT term FROM mentions
-    WHERE term <> 'spark' AND term NOT IN (
-      SELECT DISTINCT m.term FROM mentions m
-      JOIN mentions s ON m.doc_id = s.doc_id AND s.term = 'spark')""",
+    """WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    pairs AS (
+      SELECT unnest(arr[1:len(arr)-1]) AS a, unnest(arr[2:len(arr)]) AS b
+      FROM toks),
+    adj AS (
+      SELECT DISTINCT CASE WHEN a = 'spark' THEN b ELSE a END AS term
+      FROM pairs WHERE a = 'spark' OR b = 'spark'),
+    vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents)
+    SELECT term FROM vocab
+    WHERE term <> 'spark' AND term NOT IN (SELECT term FROM adj)""",
 )
 def kg_dead_terms(spark, sf_dir):
-    """dead-code analog (Q14, code_finder.py:414-447): dictionary terms never
-    co-occurring with 'spark' — an anti-join."""
-    m = _mentions(_t(spark, sf_dir, "documents"))
-    spark_docs = m.where(F.col("term") == "spark").select("doc_id")
-    co = (
-        m.join(spark_docs, on="doc_id")
+    """dead-code analog (Q14, code_finder.py:414-447): vocabulary terms with
+    NO direct reference (token adjacency — the CALLS-edge analog) to the
+    anchor term, an anti-join of the full vocabulary against the anchor's
+    neighbor set. The earlier form (dictionary terms never sharing a DOC
+    with the anchor) returned zero rows on the driver corpus — a trivially
+    green oracle; edge-level liveness is both non-empty and the closer
+    analog of "function with no incoming CALLS edge".
+
+    Scale shape: the anchor filter runs INSIDE the array HOF (narrow map,
+    whole-stage codegen), so only the anchor's own adjacency pairs are ever
+    exploded; vocab is a map-side-combinable distinct; the anti-join
+    broadcasts the (tiny) neighbor set."""
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n),
+        F.slice(toks, F.lit(2), n),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    anchor_pairs = F.filter(
+        pairs, lambda p: (p["a"] == "spark") | (p["b"] == "spark")
+    )
+    neighbors = (
+        docs.select(F.explode(anchor_pairs).alias("p"))
+        .select(
+            F.when(F.col("p.a") == "spark", F.col("p.b"))
+            .otherwise(F.col("p.a"))
+            .alias("term")
+        )
+        .distinct()
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .distinct()
         .where(F.col("term") != "spark")
-        .select("term")
-        .distinct()
     )
-    return (
-        m.where(F.col("term") != "spark")
-        .select("term")
-        .distinct()
-        .join(co, on="term", how="left_anti")
-    )
+    return vocab.join(F.broadcast(neighbors), on="term", how="left_anti")
 
 
 @_q(
@@ -1365,17 +1394,19 @@ def kg_doc_terms(spark, sf_dir):
 @_q(
     "kg_search_regex",
     """SELECT doc_id, lang FROM documents
-    WHERE regexp_matches(text, 'sort(ed|ing)')
+    WHERE regexp_matches(text, '(hash|merge) (join|sort)')
     ORDER BY doc_id ASC""",
 )
 def kg_search_regex(spark, sf_dir):
     """regex name search (Q3 analog, reference code_finder.py:46-58 uses
     `=~ '(?i).*term.*'`): documents matching a regex, rlike on the JVM side
     (pushed into the scan filter) with a RE2-compatible pattern so the
-    DuckDB twin evaluates identically."""
+    DuckDB twin evaluates identically. The alternation pattern matches ~20%
+    of the driver corpus, so the oracle row is exercised on real rows (the
+    earlier 'sort(ed|ing)' pattern matched zero — a trivially-green check)."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.where(F.col("text").rlike("sort(ed|ing)"))
+        docs.where(F.col("text").rlike("(hash|merge) (join|sort)"))
         .select("doc_id", "lang")
         .orderBy(F.asc("doc_id"))
     )
