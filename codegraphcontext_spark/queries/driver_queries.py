@@ -1588,3 +1588,117 @@ def events_daily(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_x100"),
     )
+
+
+# =============================================================================
+# Training-data curation extensions (round 2): split / contamination / sampling
+# =============================================================================
+
+# Benchmark shingles for the contamination check — stands in for the eval-set
+# n-gram index a real pipeline builds from held-out benchmarks. Small by
+# nature (benchmarks are ~MBs), so it ships as a broadcast/literal predicate.
+_BENCH_SHINGLES = [
+    "key agg row",
+    "hash value table",
+    "merge batch part",
+    "the line sort",
+]
+_BENCH_SQL = "(" + ", ".join(f"'{s}'" for s in _BENCH_SHINGLES) + ")"
+
+
+@_q(
+    "curate_split",
+    """SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split
+    FROM documents""",
+)
+def curate_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — the split step every
+    training-data pipeline needs. Hash-based (first md5 hex nibble of the
+    doc id: 13/16 train, 2/16 val, 1/16 test) so the assignment is stable
+    under reruns, independent of row order and partitioning, and needs no
+    shuffle at all: a narrow map fused into the scan, no sampling state.
+    At 100 TB this is the only split construction that is both reproducible
+    and embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(nib < "d", "train")
+        .when(nib < "f", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@_q(
+    "text_contamination",
+    f"""{_SHINGLE_CTE}
+    SELECT doc_id, COUNT(*) AS n_hits FROM sh
+    WHERE shingle IN {_BENCH_SQL}
+    GROUP BY doc_id""",
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark-contamination check: documents sharing a word-3-gram with
+    the held-out benchmark set, with the number of distinct matching
+    shingles. The benchmark filter runs INSIDE the array HOF (narrow map,
+    whole-stage codegen), so only contaminated shingles ever become rows —
+    the corpus-side cost is one scan regardless of corpus size, and the
+    only shuffle is the groupBy over the (tiny) hit set. With a larger
+    benchmark index the literal predicate becomes a broadcast semi-join on
+    the exploded shingles; the df-capped pair machinery of
+    dedup_shingle_pairs is NOT needed because the benchmark side is fixed
+    and small."""
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hits = F.filter(
+        F.array_distinct(sh), lambda s: s.isin(_BENCH_SHINGLES)
+    )
+    return (
+        docs.select("doc_id", F.explode(hits).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@_q(
+    "sample_stratified",
+    """SELECT lang, COUNT(*) AS n_sampled,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) = '7'
+    GROUP BY lang""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic ~1/16 stratified sample summary per language — the
+    down-sampling step of corpus curation, made reproducible the same way
+    as curate_split (hash nibble, independent of row order/partitioning;
+    the SECOND nibble so the sample is independent of the split
+    assignment). No sampling RNG, no driver state: the predicate fuses
+    into the scan and the per-lang rollup is a map-side-combinable
+    aggregation over ~5 groups."""
+    docs = _t(spark, sf_dir, "documents")
+    nib2 = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+    return (
+        docs.where(nib2 == "7")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+    )
