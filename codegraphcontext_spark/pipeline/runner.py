@@ -84,6 +84,7 @@ class PipelineRunner:
         # reproduce, and a plain run() would silently rebuild from the BASE
         # pages — resurrecting deleted urls / dropping the delta.
         self._pending_sigs: list[str] = []
+        self._heal_swaps()
         pend = self._pending()
         if pend:
             self._pending_sigs = [pend["sig"]]
@@ -116,11 +117,21 @@ class PipelineRunner:
                 return json.load(f)
         return []
 
+    @staticmethod
+    def _write_json_atomic(path: str, obj) -> None:
+        """Crash-safe JSON write: a truncated record file would brick every
+        later runner (they read these in __init__ / preconditions)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
     def _record_ingested(self, sig: str) -> None:
         sigs = self._ingested() + [sig]
         os.makedirs(self.workdir, exist_ok=True)
-        with open(os.path.join(self.workdir, "_ingested.json"), "w") as f:
-            json.dump(sigs, f)
+        self._write_json_atomic(
+            os.path.join(self.workdir, "_ingested.json"), sigs
+        )
 
     # -- in-flight mutation record (crash-safe retry) -------------------------
     def _pending_path(self) -> str:
@@ -151,12 +162,26 @@ class PipelineRunner:
             return pend["sig"]
         sig = f"{base_sig}@{len(self._ingested())}"
         os.makedirs(self.workdir, exist_ok=True)
-        with open(self._pending_path(), "w") as f:
-            json.dump(
-                {"sig": sig, "base_sig": base_sig, "kind": kind, "arg": arg}, f
-            )
+        self._write_json_atomic(
+            self._pending_path(),
+            {"sig": sig, "base_sig": base_sig, "kind": kind, "arg": arg},
+        )
         self._pending_sigs = [sig]
         return sig
+
+    def _require_no_other_pending(self, base_sig: str) -> None:
+        """Raise the accurate cross-mutation error when a DIFFERENT mutation
+        is pending — before any precondition that would otherwise misfire
+        (an interrupted mutation legitimately leaves mixed manifests, so
+        the 'needs a base build' check would give the wrong diagnosis AND
+        the wrong remedy)."""
+        pend = self._pending()
+        if pend is not None and pend["base_sig"] != base_sig:
+            raise RuntimeError(
+                f"an interrupted {pend['kind']} mutation "
+                f"({pend['arg']!r}) is pending in {self.workdir}; re-run "
+                "it to completion before starting a different mutation"
+            )
 
     def _finish_mutation(self, sig: str) -> None:
         self._record_ingested(sig)
@@ -422,19 +447,46 @@ class PipelineRunner:
 
 
     # -- incremental (W3 analog) ----------------------------------------------
+    def _heal_swaps(self) -> None:
+        """Repair a crash inside _swap_write's rename window (runs in
+        __init__, before any stage is read). ``data_old`` existing means a
+        swap was in flight: if ``data`` is also present the swap completed
+        and only the cleanup was lost (drop the backup); if ``data`` is
+        missing the crash hit between the two renames (restore the backup —
+        the retry recomputes the merge from it idempotently)."""
+        if not os.path.isdir(self.workdir):
+            return
+        for stage in os.listdir(self.workdir):
+            d = os.path.join(self.workdir, stage)
+            bak = os.path.join(d, "data_old")
+            if not os.path.isdir(bak):
+                continue
+            data = os.path.join(d, "data")
+            if os.path.isdir(data):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, data)
+
     def _swap_write(self, stage: str, df: DataFrame) -> None:
         """Replace a committed stage's data with df (which may READ the old
         files — writing the tmp dir materializes it fully first, so the
-        directory swap is safe). Iceberg equivalent: MERGE INTO / snapshot
-        replace."""
+        directory swap is safe). The swap itself is two atomic renames with
+        the delete LAST: a crash at any point leaves either the old or the
+        new data recoverable (`_heal_swaps`), never a partially-deleted
+        directory a retry would silently commit as truth. Iceberg
+        equivalent: MERGE INTO / snapshot replace."""
         d = self._dir(stage)
         tmp = os.path.join(d, "data_new")
         if "url" in df.columns:
             df = df.repartition(self.n_partitions, F.xxhash64("url"))
         df.write.mode("overwrite").parquet(tmp)
         old = os.path.join(d, "data")
-        shutil.rmtree(old, ignore_errors=True)
+        bak = os.path.join(d, "data_old")
+        if os.path.isdir(bak):  # leftover backup from a healed crash
+            shutil.rmtree(bak)
+        os.rename(old, bak)
         os.rename(tmp, old)
+        shutil.rmtree(bak)
 
     def _refresh_manifest(self, stage: str) -> DataFrame:
         """Recompute lineage + manifest for a swapped stage from its files."""
@@ -462,10 +514,19 @@ class PipelineRunner:
         delta touches are rewritten — and only the cheap global stages
         (dictionary, linking, canonicalization, materialize) recompute, i.e.
         O(delta + graph), not O(corpus). Latest-wins on (url, warc_ts), ties
-        to the delta. Idempotent: an already-ingested delta is a no-op resume.
+        to the delta.
+
+        Replay semantics (positional mutation signatures): re-running the
+        MOST RECENTLY recorded mutation with nothing after it is a no-op
+        resume; replaying an EARLIER delta re-applies it as a new mutation
+        (an interleaved delete/ingest may have changed what it affects — a
+        bare membership no-op would silently keep stale state). Do not
+        replay a full mutation log for recovery; crash recovery is the
+        pending-retry path, which resumes exactly the interrupted mutation.
         """
         spark = self.spark
         delta_base = f"v{EXTRACTOR_VERSION}:{self._path_sig(delta_pages_path)}"
+        self._require_no_other_pending(delta_base)
         pend = self._pending()
         retrying = pend is not None and pend.get("base_sig") == delta_base
         if not retrying and self._applied_last(delta_base):
@@ -605,6 +666,7 @@ class PipelineRunner:
         if not url_prefix:
             raise ValueError("url_prefix must be non-empty")
         del_base = f"delete:{url_prefix}"
+        self._require_no_other_pending(del_base)
         pend = self._pending()
         retrying = pend is not None and pend.get("base_sig") == del_base
         if not retrying and self._applied_last(del_base):

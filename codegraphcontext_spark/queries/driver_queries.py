@@ -478,11 +478,12 @@ _SHINGLE_CTE = (
 )
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """distinct word-3-gram shingles per doc (JVM-side: sequence+element_at)."""
-    toks = F.split("text", " ")
+def _shingle_array(toks):
+    """array of word-3-gram shingles of a token-array column (JVM-side:
+    sequence+element_at) — the ONE shingling rule, shared by every consumer
+    so the Spark side cannot drift from the shared `_SHINGLE_CTE` oracle."""
     n = F.size(toks)
-    sh = F.when(
+    return F.when(
         n >= 3,
         F.transform(
             F.sequence(F.lit(1), n - 2),
@@ -494,6 +495,11 @@ def _shingles(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """distinct word-3-gram shingles per doc."""
+    sh = _shingle_array(F.split("text", " "))
     return (
         _fan_out(docs).select(
             "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
@@ -1652,20 +1658,7 @@ def text_contamination(spark, sf_dir):
     dedup_shingle_pairs is NOT needed because the benchmark side is fixed
     and small."""
     docs = _fan_out(_t(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    sh = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = _shingle_array(F.split("text", " "))
     hits = F.filter(
         F.array_distinct(sh), lambda s: s.isin(_BENCH_SHINGLES)
     )

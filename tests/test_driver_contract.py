@@ -8,16 +8,12 @@ import math
 import os
 
 import duckdb
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from codegraphcontext_spark.oracle_gate import canon, compare, register_views
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present"
@@ -27,23 +23,8 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    register_views(con, SF_DIR)
     return con
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 6)
-    return v
 
 
 QUERY_NAMES = sorted(entry_mod.queries())
@@ -57,18 +38,21 @@ def test_query_matches_oracle(spark, ddb, name):
     if sql is None:
         # rows-only contract: must run and be deterministic across reruns
         again = q(spark, SF_DIR).toPandas()
-        assert _canon(sdf).equals(_canon(again))
+        assert canon(sdf).equals(canon(again))
         return
     odf = ddb.execute(sql).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), (
+    r = compare(sdf, odf)
+    assert r["schema"], (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
-    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
-    a, b = _canon(sdf), _canon(odf)
-    for col in a.columns:
-        av = [_norm_cell(x) for x in a[col].tolist()]
-        bv = [_norm_cell(x) for x in b[col].tolist()]
-        assert av == bv, f"{name}: values differ in column {col}: {av[:5]} vs {bv[:5]}"
+    assert r["rows"], f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    if not r["values"]:
+        a, b = canon(sdf), canon(odf)
+        for col in a.columns:
+            assert a[col].tolist() == b[col].tolist(), (
+                f"{name}: values differ in column {col}: "
+                f"{a[col].tolist()[:5]} vs {b[col].tolist()[:5]}"
+            )
 
 
 def test_entry_smoke(spark):
