@@ -134,3 +134,111 @@ def frame_sample_stage(df: DataFrame) -> DataFrame:
     count regardless of blob sizes (size-aware repartition upstream via
     ``repartition_for_blobs`` keeps Arrow batches bounded)."""
     return df.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level feature extraction: REAL computation, no decoder needed.
+# ---------------------------------------------------------------------------
+BYTE_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, n_distinct_nibbles int, "
+    "nibble_entropy_x1e6 bigint"
+)
+
+
+def _byte_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: numpy bincount over each blob's 4-bit nibbles.
+
+    Unlike the decode/frame stages this is NOT a stub — byte-distribution
+    features (entropy ~ compressibility, distinct-symbol count) need no media
+    library and are what a curation pipeline uses to route opaque blobs
+    (ciphertext/compressed vs structured) before paying for a real decode.
+    Entropy is scaled to int (x1e6, half-up like SQL ROUND) for float-safe
+    downstream hashing."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, sizes, distinct, ents = [], [], [], []
+        for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            if not b:
+                continue  # no distribution to summarize; mirror oracle filter
+            arr = np.frombuffer(b, dtype=np.uint8)
+            counts = np.bincount(arr >> 4, minlength=16) + np.bincount(
+                arr & 0x0F, minlength=16
+            )
+            p = counts[counts > 0] / float(counts.sum())
+            ent = float(-(p * np.log2(p)).sum())
+            doc_ids.append(did)
+            sizes.append(arr.size)
+            distinct.append(int((counts > 0).sum()))
+            ents.append(int(math.floor(ent * 1e6 + 0.5)))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "n_bytes": pd.Series(sizes, dtype="int32"),
+            "n_distinct_nibbles": pd.Series(distinct, dtype="int32"),
+            "nibble_entropy_x1e6": pd.Series(ents, dtype="int64"),
+        })
+
+
+def byte_features_stage(df: DataFrame) -> DataFrame:
+    """df(doc_id, payload:binary) -> byte-distribution features, one row per
+    non-empty blob. Arrow-batched numpy; O(bytes) per blob, fixed-width
+    output regardless of blob size."""
+    return df.mapInPandas(_byte_feature_batches, schema=BYTE_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (image-preprocessing analog): metadata math real, pixel work seamed.
+# ---------------------------------------------------------------------------
+RESIZE_TARGET = 224  # the standard vision-model input side
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, fake_width int, fake_height int, "
+    "out_width int, out_height int, resizer string"
+)
+
+
+def resize_image_real(pixels, width: int, height: int):
+    """The real resampling seam (PIL/opencv on a production cluster)."""
+    raise NotImplementedError(
+        "image resample libraries are not available in this environment; "
+        "use resize_stage's deterministic dimension math instead"
+    )
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: aspect-preserving fit into RESIZE_TARGET² —
+    vectorized integer math over the whole Arrow batch (the real pixel
+    resample slots in per row at the ``resize_image_real`` seam, keeping this
+    exact output shape)."""
+    import numpy as np
+
+    for pdf in batches:
+        w = pdf["fake_width"].to_numpy(np.int64)
+        h = pdf["fake_height"].to_numpy(np.int64)
+        side = np.maximum(w, h)
+        safe = np.maximum(side, 1)  # avoid /0; masked below
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "fake_width": pd.Series(w, dtype="int32"),
+            "fake_height": pd.Series(h, dtype="int32"),
+            "out_width": pd.Series(
+                np.where(side > 0, w * RESIZE_TARGET // safe, 0), dtype="int32"
+            ),
+            "out_height": pd.Series(
+                np.where(side > 0, h * RESIZE_TARGET // safe, 0), dtype="int32"
+            ),
+            "resizer": "stub-v1",
+        })
+
+
+def resize_stage(df: DataFrame) -> DataFrame:
+    """df(doc_id, fake_width, fake_height, ...) -> target dims preserving
+    aspect ratio (long side -> RESIZE_TARGET, floor division). Degenerate
+    0×N inputs resize to 0×0 rather than raising — at 100 TB a bad blob
+    must not kill the stage."""
+    return df.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)

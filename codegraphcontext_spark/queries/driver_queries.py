@@ -1377,6 +1377,80 @@ def mm_frame_sample(spark, sf_dir):
     return frame_sample_stage(docs)
 
 
+@_q(
+    "mm_byte_features",
+    """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS h
+                  FROM documents WHERE octet_length(encode(text)) > 0),
+    d AS (SELECT doc_id, h,
+                 unnest(['0','1','2','3','4','5','6','7',
+                         '8','9','A','B','C','D','E','F']) AS dig
+          FROM b),
+    c AS (SELECT doc_id, length(h) AS tot,
+                 length(h) - length(replace(h, dig, '')) AS cnt
+          FROM d),
+    e AS (SELECT doc_id, tot,
+                 SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS nd,
+                 SUM(CASE WHEN cnt > 0
+                     THEN -(cnt * 1.0 / tot) * log2(cnt * 1.0 / tot)
+                     ELSE 0 END) AS ent
+          FROM c GROUP BY doc_id, tot)
+    SELECT doc_id, CAST(tot // 2 AS INT) AS n_bytes,
+           CAST(nd AS INT) AS n_distinct_nibbles,
+           CAST(ROUND(ent * 1e6) AS BIGINT) AS nibble_entropy_x1e6
+    FROM e""",
+)
+def mm_byte_features(spark, sf_dir):
+    """Blob feature extraction WITHOUT a decoder: Shannon entropy + distinct
+    symbol count over each blob's 4-bit nibble distribution (numpy bincount
+    per Arrow batch). This is the real — not stubbed — multimodal
+    feature-extract leg: a curation pipeline routes opaque payloads on
+    exactly these statistics (high entropy = compressed/encrypted, low =
+    structured) before paying for a decode. The oracle recomputes the nibble
+    histogram in SQL from the hex expansion (16 replace-scans), entropy
+    scaled to int x1e6 for float-safe hashing."""
+    from ..functions.multimodal import byte_features_stage
+
+    docs = _fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return byte_features_stage(docs)
+
+
+@_q(
+    "mm_resize_meta",
+    """WITH d AS (SELECT doc_id,
+                 CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+                 CAST((octet_length(encode(text)) * 7) % 480 AS INT)
+                   AS fake_height
+          FROM documents)
+    SELECT doc_id, fake_width, fake_height,
+           CAST(CASE WHEN GREATEST(fake_width, fake_height) = 0 THEN 0
+                ELSE fake_width * 224 // GREATEST(fake_width, fake_height)
+                END AS INT) AS out_width,
+           CAST(CASE WHEN GREATEST(fake_width, fake_height) = 0 THEN 0
+                ELSE fake_height * 224 // GREATEST(fake_width, fake_height)
+                END AS INT) AS out_height,
+           'stub-v1' AS resizer
+    FROM d""",
+)
+def mm_resize_meta(spark, sf_dir):
+    """Image-resize preprocessing analog: decode (stub) -> aspect-preserving
+    fit of each image's dims into 224x224 (long side -> 224, floor division),
+    chained mapInPandas stages sharing one Arrow pass. The pixel resample is
+    an explicit seam (``resize_image_real``); the dimension math — the part a
+    training pipeline's bookkeeping depends on — is real and oracle-checked,
+    including the degenerate 0-width blobs the stub decoder produces every
+    640th byte length."""
+    from ..functions.multimodal import decode_stage, resize_stage
+
+    docs = _fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return resize_stage(
+        decode_stage(docs).select("doc_id", "fake_width", "fake_height")
+    )
+
+
 # =============================================================================
 # Aggregation-semantics coverage: COLLECT (Q10 shape) + time bucketing
 # =============================================================================

@@ -13,8 +13,13 @@ from codegraphcontext_spark.functions.multimodal import (
     FRAME_BYTES,
     FRAME_STRIDE,
     MAX_SAMPLED,
+    RESIZE_TARGET,
+    byte_features_stage,
     decode_image_real,
+    decode_stage,
     frame_sample_stage,
+    resize_image_real,
+    resize_stage,
     sample_frames_real,
 )
 
@@ -28,6 +33,8 @@ def test_real_decoder_seams_are_explicit():
         decode_image_real(b"x")
     with pytest.raises(NotImplementedError):
         sample_frames_real(b"x")
+    with pytest.raises(NotImplementedError):
+        resize_image_real(None, 2, 2)
 
 
 def test_frame_sample_shape_and_hashes(spark):
@@ -63,3 +70,57 @@ def test_frame_sample_deterministic(spark):
     a = sorted(map(tuple, frame_sample_stage(_frames_df(spark, rows)).collect()))
     b = sorted(map(tuple, frame_sample_stage(_frames_df(spark, rows)).collect()))
     assert a == b
+
+
+def test_byte_features_known_values(spark):
+    # b"\x00" -> nibbles {0,0}: entropy 0, 1 distinct symbol.
+    # b"\x01" -> nibbles {0,1}: entropy 1 bit exactly.
+    # 256-byte full range -> uniform nibble distribution: entropy 4 bits.
+    rows = [(1, b"\x00"), (2, b"\x01"), (3, bytes(range(256))), (4, b"")]
+    out = {r.doc_id: r for r in
+           byte_features_stage(_frames_df(spark, rows)).collect()}
+    assert out[1].nibble_entropy_x1e6 == 0
+    assert out[1].n_distinct_nibbles == 1
+    assert out[2].nibble_entropy_x1e6 == 1_000_000
+    assert out[2].n_distinct_nibbles == 2
+    assert out[3].nibble_entropy_x1e6 == 4_000_000
+    assert out[3].n_distinct_nibbles == 16
+    assert out[3].n_bytes == 256
+    assert 4 not in out  # empty payload -> no row (mirrors the oracle filter)
+
+
+def test_byte_features_deterministic(spark):
+    rows = [(i, bytes([(i * 37 + j) % 256 for j in range(50 + i)]))
+            for i in range(30)]
+    a = sorted(map(tuple, byte_features_stage(_frames_df(spark, rows)).collect()))
+    b = sorted(map(tuple, byte_features_stage(_frames_df(spark, rows)).collect()))
+    assert a == b
+
+
+def test_resize_aspect_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 200), (3, 0, 123), (4, 224, 224), (5, 0, 0)],
+        "doc_id bigint, fake_width int, fake_height int",
+    )
+    out = {r.doc_id: r for r in resize_stage(df).collect()}
+    # long side -> RESIZE_TARGET, short side floor-scaled
+    assert (out[1].out_width, out[1].out_height) == (RESIZE_TARGET, 168)
+    assert (out[2].out_width, out[2].out_height) == (112, RESIZE_TARGET)
+    # zero width scales to zero; the nonzero side still hits the target
+    assert (out[3].out_width, out[3].out_height) == (0, RESIZE_TARGET)
+    assert (out[4].out_width, out[4].out_height) == (RESIZE_TARGET, RESIZE_TARGET)
+    # fully degenerate 0x0 resizes to 0x0 instead of raising
+    assert (out[5].out_width, out[5].out_height) == (0, 0)
+    assert all(r.resizer == "stub-v1" for r in out.values())
+
+
+def test_resize_chains_from_decode(spark):
+    # The production composition: decode (stub) -> resize, one Arrow pipeline.
+    blobs = _frames_df(spark, [(1, b"x" * 1000), (2, b"y" * 640)])
+    out = {r.doc_id: r for r in resize_stage(
+        decode_stage(blobs).select("doc_id", "fake_width", "fake_height")
+    ).collect()}
+    assert out[1].fake_width == 1000 % 640 and out[1].fake_height == 7000 % 480
+    # 640-byte blob: fake_width = 0 -> degenerate path via the real chain
+    assert out[2].fake_width == 0
+    assert (out[2].out_width, out[2].out_height) == (0, RESIZE_TARGET)
