@@ -168,3 +168,45 @@ def test_session_fn_matches_reference(raw):
 
 def _ns(t: dt.datetime) -> int:
     return int(pd.Timestamp(t).value)
+
+
+# --------------------------------------------------------------------------
+# byte features: the mapInPandas worker vs a plain-Python reference
+# --------------------------------------------------------------------------
+
+
+def _reference_nibble_features(b: bytes) -> tuple[int, int, int]:
+    """Slow, obviously-correct reference: Counter over explicit nibbles."""
+    import math
+    from collections import Counter
+
+    nibs = []
+    for byte in b:
+        nibs.append(byte >> 4)
+        nibs.append(byte & 0x0F)
+    counts = Counter(nibs)
+    total = len(nibs)
+    ent = -sum(
+        (c / total) * math.log2(c / total) for c in counts.values()
+    )
+    return len(b), len(counts), int(math.floor(ent * 1e6 + 0.5))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.binary(min_size=1, max_size=512), min_size=1, max_size=8))
+def test_byte_features_match_reference(blobs):
+    """The vectorized numpy worker must agree with the per-nibble Counter
+    reference on arbitrary payloads (entropy to the same scaled int)."""
+    from codegraphcontext_spark.functions.multimodal import (
+        _byte_feature_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(blobs)), "payload": blobs}
+    )
+    out = pd.concat(list(_byte_feature_batches(iter([pdf]))))
+    assert len(out) == len(blobs)
+    for row, blob in zip(out.itertuples(), blobs):
+        n, nd, ent = _reference_nibble_features(blob)
+        assert (row.n_bytes, row.n_distinct_nibbles,
+                row.nibble_entropy_x1e6) == (n, nd, ent)
