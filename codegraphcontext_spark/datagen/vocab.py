@@ -25,7 +25,9 @@ import hashlib
 #     fuzzy upgrade of the reference's MERGE-on-unique-key dedup
 #     (graph_builder.py:69-75).
 #   - aliases: additional surfaces used in mention position only.
-# The FIRST entity is the deliberate hub (Zipf head) to exercise skew salting.
+# The FIRST entity is the deliberate hub (Zipf head) so hot-key skew is
+# exercised (absorbed by map-side partial aggregation + AQE skew joins;
+# see pipeline/canon.py docstring).
 # --------------------------------------------------------------------------
 ENTITIES: list[tuple[str, str, list[str], list[str]]] = [
     ("acme", "org", ["Acme Corp", "Acme Corporation"], ["Acme"]),
