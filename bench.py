@@ -130,9 +130,10 @@ def main() -> None:
     # Pipeline throughput leg (the north-rule metric): min-of-N for the same
     # host-phase reason (fresh workdir per rep — no resume short-circuit).
     pages_path, n_pages = _pages_corpus(PIPE_SCALE)
+    workdir = f"/tmp/cgc_bench_work_{CPUS}"
     pipe = None
     for _ in range(reps):
-        r = _run_pipeline(spark, pages_path, f"/tmp/cgc_bench_work_{CPUS}")
+        r = _run_pipeline(spark, pages_path, workdir)
         if pipe is None or r["wall_s"] < pipe["wall_s"]:
             pipe = r
     docs_per_sec = n_pages / pipe["wall_s"]
@@ -151,9 +152,7 @@ def main() -> None:
     from codegraphcontext_spark.curate import curate_documents
 
     docs = (
-        spark.read.parquet(
-            os.path.join(f"/tmp/cgc_bench_work_{CPUS}", "docs", "data")
-        )
+        spark.read.parquet(os.path.join(workdir, "docs", "data"))
         .select(
             # deterministic integer ids: the curate chain's winner rule is
             # min doc_id, so ids must not depend on partitioning

@@ -57,9 +57,16 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     loop over the batch (the per-blob work is the irreducible unit — a real
     decoder is C under the hood)."""
     for pdf in batches:
-        feats = [decode_image_stub(b) for b in pdf["payload"]]
-        out = pd.DataFrame(feats)
-        out.insert(0, "doc_id", pdf["doc_id"].values)
+        # NULL payloads are skipped (not crashed on): at 100 TB a bad row
+        # must not kill the stage. The oracle filters NULL text identically.
+        mask = pdf["payload"].notna()
+        feats = [decode_image_stub(b) for b in pdf.loc[mask, "payload"]]
+        out = pd.DataFrame(
+            feats,
+            columns=["n_bytes", "checksum", "fake_width", "fake_height",
+                     "decoder"],
+        )
+        out.insert(0, "doc_id", pdf.loc[mask, "doc_id"].values)
         yield out
 
 
@@ -105,6 +112,8 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         doc_ids, idxs, md5s, sizes = [], [], [], []
         for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+            if blob is None:
+                continue  # NULL payload: skip, don't kill the stage
             b = bytes(blob)
             n = len(b)
             if n == 0:
@@ -163,6 +172,8 @@ def _byte_feature_batches(
     for pdf in batches:
         doc_ids, sizes, distinct, ents = [], [], [], []
         for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+            if blob is None:
+                continue  # NULL payload: skip, don't kill the stage
             b = bytes(blob)
             if not b:
                 continue  # no distribution to summarize; mirror oracle filter

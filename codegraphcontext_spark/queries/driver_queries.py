@@ -1327,7 +1327,7 @@ def text_quality(spark, sf_dir):
               CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
               CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
               'stub-v1' AS decoder
-    FROM documents""",
+    FROM documents WHERE text IS NOT NULL""",
 )
 def mm_decode_meta(spark, sf_dir):
     """Multimodal decode plumbing: text bytes stand in for an opaque media

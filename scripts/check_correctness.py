@@ -48,9 +48,9 @@ def main() -> int:
         if name not in osql:
             print(f"SKIP {name}: no oracle (rows={len(sdf)})")
             continue
-        if "/sf0.01/" in osql[name] and not sf_dir.rstrip("/").endswith(
-            "sf0.01"
-        ):
+        if "/sf0.01/" in osql[name] and os.path.basename(
+            sf_dir.rstrip("/")
+        ) != "sf0.01":
             # graph-layer oracles are fixed SQL strings pinned to the sf0.01
             # graph cache (the driver's gate scale); at any other sf they
             # would compare two different graphs, not the query logic

@@ -89,6 +89,15 @@ def test_byte_features_known_values(spark):
     assert 4 not in out  # empty payload -> no row (mirrors the oracle filter)
 
 
+def test_null_payload_skipped_not_crashed(spark):
+    """A NULL payload row must be skipped by every blob worker, not kill the
+    stage (and the oracles filter NULL text identically)."""
+    df = _frames_df(spark, [(1, b"ok"), (2, None)])
+    assert {r.doc_id for r in byte_features_stage(df).collect()} == {1}
+    assert {r.doc_id for r in frame_sample_stage(df).collect()} == {1}
+    assert {r.doc_id for r in decode_stage(df).collect()} == {1}
+
+
 def test_byte_features_deterministic(spark):
     rows = [(i, bytes([(i * 37 + j) % 256 for j in range(50 + i)]))
             for i in range(30)]
