@@ -516,3 +516,106 @@ def kg_graph_call_chain(spark, sf_dir):
     return _call_chain(
         edges, nodes, ent("acme corp"), ent("globex industries"), 3
     ).select("chain", F.col("length").cast("int").alias("length"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative power iteration over the materialized graph)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # ranks as scaled integers: exact in both engines
+_PR_ITERS = 5
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark power iteration. All arithmetic
+    is integer (scaled ranks, floor division), so Spark and DuckDB produce
+    bit-identical values — no float summation-order hazard."""
+    s, dn, dd = _PR_SCALE, _PR_DAMP_NUM, _PR_DAMP_DEN
+    parts = [
+        f"""WITH
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges),
+    deg AS (SELECT subj_id, COUNT(*) AS outdeg FROM adj GROUP BY subj_id),
+    adjdeg AS (SELECT adj.subj_id, adj.obj_id, deg.outdeg
+               FROM adj JOIN deg USING (subj_id)),
+    ids AS (SELECT node_id FROM nodes),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    base AS (SELECT ({dd - dn} * {s}) // ({dd} * n) AS b, {s} // n AS r FROM n),
+    r0 AS (SELECT node_id, base.r AS rank FROM ids CROSS JOIN base)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""    c{i} AS (SELECT a.obj_id AS node_id,
+                 SUM(r{p}.rank // a.outdeg) AS inc
+          FROM adjdeg a JOIN r{p} ON r{p}.node_id = a.subj_id
+          GROUP BY a.obj_id),
+    r{i} AS (SELECT ids.node_id,
+                 base.b + ({dn} * COALESCE(c{i}.inc, 0)) // {dd} AS rank
+          FROM ids CROSS JOIN base LEFT JOIN c{i} USING (node_id))"""
+        )
+    parts.append(
+        f"""    SELECT r{_PR_ITERS}.node_id, nodes.name, nodes.node_type,
+           CAST(r{_PR_ITERS}.rank AS BIGINT) AS rank
+    FROM r{_PR_ITERS} JOIN nodes USING (node_id)
+    ORDER BY rank DESC, node_id ASC LIMIT 20"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_pagerank", _pagerank_oracle_sql())
+def kg_graph_pagerank(spark, sf_dir):
+    """PageRank over the materialized graph (the 'most important entity'
+    upgrade of Q21/Q23 top-k counting, reference code_finder.py:725-756 —
+    importance by graph structure, not raw mention counts): 5 power
+    iterations at damping 0.85 over the full distinct (subj, obj) edge set.
+
+    Numerics: ranks are SCALE-scaled integers with floor division at every
+    step, so the result is exactly reproducible across engines and
+    parallelism (no float summation-order nondeterminism); dangling-node
+    mass is dropped, not redistributed (documented simplification — ranking
+    order is what the query serves, and the oracle applies the identical
+    rule).
+
+    Scale shape: the adjacency+outdegree table is built once and
+    localCheckpoint'ed; each iteration is one shuffle join (ranks × adjdeg
+    on subj_id — at 100 TB both sides hash-partition on the join key) plus
+    one map-side-combinable groupBy(obj_id). The rank vector is 2 narrow
+    columns per node; edge blobs never enter the loop. Driver holds only
+    the node COUNT — no collect of rows."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = edges.select("subj_id", "obj_id").distinct()
+    deg = adj.groupBy("subj_id").agg(F.count(F.lit(1)).alias("outdeg"))
+    adjdeg = adj.join(deg, "subj_id").localCheckpoint(eager=True)
+    ids = nodes.select("node_id").localCheckpoint(eager=True)
+    n = ids.count()
+    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n)
+    ranks = ids.select("node_id", F.lit(_PR_SCALE // n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            adjdeg.join(
+                ranks.withColumnRenamed("node_id", "subj_id"), "subj_id"
+            )
+            .select("obj_id", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy(F.col("obj_id").alias("node_id"))
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = ids.join(contribs, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({_PR_DAMP_NUM} * coalesce(inc, 0L)) div {_PR_DAMP_DEN}"
+                )
+            ).alias("rank"),
+        )
+    return (
+        ranks.join(nodes, "node_id")
+        .select(
+            "node_id", "name", "node_type", F.col("rank").cast("bigint").alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(20)
+    )
