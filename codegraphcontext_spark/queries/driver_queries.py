@@ -1769,3 +1769,113 @@ def sample_stratified(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("chars_sampled"),
         )
     )
+
+
+# Max docs per LSH bucket admitted to the pair join: a hot bucket (boilerplate
+# surface shared by millions of pages at web scale) is EXCLUDED rather than
+# exploded into C(n,2) pairs — same df-cap discipline as dedup_shingle_pairs.
+_CC_BUCKET_CAP = 64
+
+_CC_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {k} AS band, h{k} AS sig_v, doc_id FROM sig"
+    for k in range(_N_MINHASH_Q)
+)
+
+
+@_q(
+    "dedup_cc_clusters",
+    f"""{_SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    agg AS (SELECT doc_id, list(shingle) AS shingles FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM agg),
+    bands AS ({_CC_BANDS_SQL}),
+    bsz AS (SELECT band, sig_v, COUNT(*) AS n FROM bands GROUP BY band, sig_v),
+    bok AS (SELECT b.band, b.sig_v, b.doc_id FROM bands b
+            JOIN bsz USING (band, sig_v) WHERE n BETWEEN 2 AND {_CC_BUCKET_CAP}),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bok x JOIN bok y
+              ON x.band = y.band AND x.sig_v = y.sig_v
+                 AND x.doc_id < y.doc_id),
+    e2 AS (SELECT a AS s, b AS d FROM pairs
+           UNION ALL SELECT b AS s, a AS d FROM pairs),
+    reach(src, dst) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e2) u
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN e2 e ON e.s = r.dst),
+    cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src)
+    SELECT a.doc_id, COALESCE(cl.cluster_id, a.doc_id) AS cluster_id
+    FROM agg a LEFT JOIN cl USING (doc_id)
+    ORDER BY doc_id ASC""",
+)
+def dedup_cc_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: the end product of MinHash-LSH dedup
+    (reference's dedup story stops at pairs; a curation pipeline needs the
+    doc -> canonical-representative map to actually drop duplicates).
+    Candidate pairs come from the LSH buckets (bucket size capped at
+    _CC_BUCKET_CAP so a web-scale boilerplate bucket can never explode into
+    C(n,2) pairs); connected components reuse the pipeline's
+    `connected_components` (pipeline/canon.py:139): driver union-find under
+    100k pairs, and above that a min-label-propagation DataFrame loop where
+    each iteration is ONE shuffle join + a map-side-combinable groupBy(min)
+    with `localCheckpoint` truncating lineage — exact CC either way,
+    matching the oracle's recursive reachability closure. The label table
+    is 2 narrow columns per clustered doc — at 100 TB it partitions on
+    doc_id and never touches text. Singletons keep their own id via the
+    final left join against the signature universe."""
+    # Materialize the signature table ONCE (5 narrow columns per doc): it
+    # feeds the band table, both sides of the bucket self-join, and the
+    # final universe join — without this the shingle+minhash subplan is
+    # re-evaluated ~5x (measured 25 s -> 7 s at sf0.1). Same discipline a
+    # 100 TB run uses: signatures are written/cached before the pair stage.
+    sig = dedup_minhash_sig(spark, sf_dir).localCheckpoint(eager=True)
+    bands = None
+    for k in range(_N_MINHASH_Q):
+        b = sig.select(
+            F.lit(k).alias("band"), F.col(f"h{k}").alias("sig_v"), "doc_id"
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    bsz = bands.groupBy("band", "sig_v").agg(F.count(F.lit(1)).alias("n"))
+    bok = (
+        bands.join(bsz, ["band", "sig_v"])
+        .where(F.col("n").between(2, _CC_BUCKET_CAP))
+        .select("band", "sig_v", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    x, y = bok.alias("x"), bok.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig_v") == F.col("y.sig_v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    # Reuse the pipeline's connected_components (pipeline/canon.py:139):
+    # driver-side union-find under 100k pairs, min-label-propagation
+    # DataFrame loop above it — the documented small/web-scale cutover.
+    # It min-labels over STRINGS, so encode the int doc ids as fixed-width
+    # zero-padded strings (lexicographic min == numeric min) and decode the
+    # labels back to bigint after.
+    from ..pipeline.canon import connected_components
+
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    spairs = pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b"))
+    sverts = (
+        spairs.select(F.col("a").alias("surface"))
+        .unionByName(spairs.select(F.col("b").alias("surface")))
+        .distinct()
+    )
+    labels = connected_components(sverts, spairs).select(
+        F.col("surface").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("lbl"),
+    )
+    return (
+        sig.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
+        )
+        .orderBy(F.asc("doc_id"))
+    )
