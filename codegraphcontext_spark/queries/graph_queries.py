@@ -619,3 +619,74 @@ def kg_graph_pagerank(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(20)
     )
+
+
+@_q(
+    "kg_graph_overrides",
+    f"""{_G_CTE},
+    hier AS (SELECT subj_id AS parent_id, obj_id AS child_id
+             FROM edges WHERE pred = 'ACQUIRED' AND subj_id <> obj_id),
+    rel AS (SELECT subj_id, pred, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND pred <> 'ACQUIRED')
+    SELECT cn.name AS child, r.pred AS pred, co.name AS child_obj,
+           pn.name AS parent, po.name AS parent_obj
+    FROM hier h
+    JOIN rel r  ON r.subj_id = h.child_id
+    JOIN rel pr ON pr.subj_id = h.parent_id AND pr.pred = r.pred
+    JOIN nodes cn ON cn.node_id = h.child_id
+    JOIN nodes pn ON pn.node_id = h.parent_id
+    JOIN nodes co ON co.node_id = r.obj_id
+    JOIN nodes po ON po.node_id = pr.obj_id
+    ORDER BY child ASC, pred ASC, child_obj ASC, parent ASC, parent_obj ASC""",
+)
+def kg_graph_overrides(spark, sf_dir):
+    """overrides analog (Q13, reference code_finder.py:393-412: methods a
+    subclass redefines from its parent). ACQUIRED is the org->org hierarchy
+    predicate (the INHERITS analog); a child org "overrides" a relation when
+    it asserts the same open predicate its acquirer also asserts — e.g. both
+    declare LOCATED_IN, each with their own object.
+
+    Scale shape: the hierarchy edge set (entity->entity) is a vanishing
+    fraction of the MENTIONS-dominated edge table, so it broadcasts into
+    both relation joins; the (pred-matched) parent/child relation join is
+    keyed on broadcast ids, never a shuffle of the full edge table. Name
+    resolution is one shuffle join against nodes at the (already tiny)
+    override-pair cardinality."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    hier = F.broadcast(
+        edges.where(
+            (F.col("pred") == "ACQUIRED") & (F.col("subj_id") != F.col("obj_id"))
+        ).select(
+            F.col("subj_id").alias("parent_id"), F.col("obj_id").alias("child_id")
+        )
+    )
+    rel = edges.where(
+        ~F.col("pred").isin(*_CLOSED_PREDS) & (F.col("pred") != "ACQUIRED")
+    ).select("subj_id", "pred", "obj_id")
+    child_rel = rel.join(hier, rel.subj_id == F.col("child_id")).select(
+        "parent_id", "child_id", "pred", F.col("obj_id").alias("child_obj_id")
+    )
+    parent_rel = rel.select(
+        F.col("subj_id").alias("parent_id"),
+        "pred",
+        F.col("obj_id").alias("parent_obj_id"),
+    )
+    pairs = child_rel.join(parent_rel, on=["parent_id", "pred"])
+    names = nodes.select("node_id", "name")
+
+    def _nm(df, id_col, out):
+        return df.join(
+            names.withColumnRenamed("node_id", id_col), on=id_col
+        ).withColumnRenamed("name", out)
+
+    out = _nm(pairs, "child_id", "child")
+    out = _nm(out, "parent_id", "parent")
+    out = _nm(out, "child_obj_id", "child_obj")
+    out = _nm(out, "parent_obj_id", "parent_obj")
+    return out.select("child", "pred", "child_obj", "parent", "parent_obj").orderBy(
+        F.asc("child"),
+        F.asc("pred"),
+        F.asc("child_obj"),
+        F.asc("parent"),
+        F.asc("parent_obj"),
+    )
