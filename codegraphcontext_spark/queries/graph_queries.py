@@ -690,3 +690,61 @@ def kg_graph_overrides(spark, sf_dir):
         F.asc("parent"),
         F.asc("parent_obj"),
     )
+
+
+@_q(
+    "kg_graph_entity_complexity",
+    f"""{_G_CTE},
+    outs AS (SELECT subj_id AS node_id, COUNT(DISTINCT pred) AS n_preds_out,
+                    COUNT(*) AS n_out
+             FROM edges WHERE pred NOT IN {_CLOSED_SQL} GROUP BY subj_id),
+    ins AS (SELECT obj_id AS node_id, COUNT(DISTINCT pred) AS n_preds_in,
+                   COUNT(*) AS n_in
+            FROM edges WHERE pred NOT IN {_CLOSED_SQL} GROUP BY obj_id)
+    SELECT n.name, n.etype,
+           COALESCE(o.n_preds_out, 0) + COALESCE(i.n_preds_in, 0) AS complexity,
+           COALESCE(o.n_out, 0) AS n_out, COALESCE(i.n_in, 0) AS n_in
+    FROM nodes n
+    LEFT JOIN outs o ON o.node_id = n.node_id
+    LEFT JOIN ins  i ON i.node_id = n.node_id
+    WHERE n.node_type = 'Entity'
+    ORDER BY complexity DESC, name ASC LIMIT 20""",
+)
+def kg_graph_entity_complexity(spark, sf_dir):
+    """complexity-ranking analog (E9 + Q21 find_most_complex, reference
+    graph_builder.py:426-447 cyclomatic complexity + code_finder.py:455-476
+    top-k by it): per-entity structural complexity = distinct open-relation
+    kinds it participates in, outgoing plus incoming — the branching-factor
+    measure of a node, as cyclomatic complexity is of a function.
+
+    Scale shape: two map-side-combinable distinct-aggregates over the open
+    (entity->entity) edge slice — a vanishing fraction of the edge table —
+    then broadcast-joined to the entity dimension; top-k compiles to
+    TakeOrderedAndProject."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    open_e = edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+    outs = open_e.groupBy(F.col("subj_id").alias("node_id")).agg(
+        F.count_distinct("pred").alias("n_preds_out"),
+        F.count(F.lit(1)).alias("n_out"),
+    )
+    ins = open_e.groupBy(F.col("obj_id").alias("node_id")).agg(
+        F.count_distinct("pred").alias("n_preds_in"),
+        F.count(F.lit(1)).alias("n_in"),
+    )
+    return (
+        nodes.where(F.col("node_type") == "Entity")
+        .join(outs, on="node_id", how="left")
+        .join(ins, on="node_id", how="left")
+        .select(
+            "name",
+            "etype",
+            (
+                F.coalesce(F.col("n_preds_out"), F.lit(0))
+                + F.coalesce(F.col("n_preds_in"), F.lit(0))
+            ).alias("complexity"),
+            F.coalesce(F.col("n_out"), F.lit(0)).alias("n_out"),
+            F.coalesce(F.col("n_in"), F.lit(0)).alias("n_in"),
+        )
+        .orderBy(F.desc("complexity"), F.asc("name"))
+        .limit(20)
+    )
