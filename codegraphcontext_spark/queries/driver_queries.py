@@ -920,6 +920,65 @@ def lineitem_pricing(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_topk_revenue",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                            AS BIGINT)) AS BIGINT) AS revenue_x10k,
+              CAST(o.o_orderdate AS VARCHAR) AS orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_x10k DESC, l_orderkey ASC LIMIT 10""",
+)
+def orders_topk_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query: top unshipped-revenue orders
+    for one market segment — the multi-way dim->fact join leg of the
+    analytics surface (customer |><| orders |><| lineitem + top-k).
+
+    Scale shape: the segment-filtered customer side is a sliver of an
+    already-small dimension -> broadcast into orders; the orders->lineitem
+    join keys both sides on orderkey (the fact table's natural partitioning
+    at 100 TB, so co-located); revenue is summed as per-row scaled BIGINTs
+    so partial aggregation order can never flip a hash bit; top-10 compiles
+    to TakeOrderedAndProject, never a full sort."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+                on="o_custkey",
+            ).select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderdate",
+                "o_orderpriority",
+            ),
+            on="l_orderkey",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_x10k"))
+        .select(
+            "l_orderkey",
+            "revenue_x10k",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue_x10k"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 # =============================================================================
 # flagship
 # =============================================================================
