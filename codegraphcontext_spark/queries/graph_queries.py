@@ -748,3 +748,90 @@ def kg_graph_entity_complexity(spark, sf_dir):
         .orderBy(F.desc("complexity"), F.asc("name"))
         .limit(20)
     )
+
+
+@_q(
+    "kg_graph_triangles",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    part AS (SELECT x AS node_id FROM tri UNION ALL
+             SELECT y FROM tri UNION ALL
+             SELECT z FROM tri)
+    SELECT n.name, COUNT(*) AS n_triangles
+    FROM part p JOIN nodes n ON n.node_id = p.node_id
+    GROUP BY n.name
+    ORDER BY n_triangles DESC, name ASC LIMIT 20""",
+)
+def kg_graph_triangles(spark, sf_dir):
+    """Per-entity triangle participation over the open relation graph —
+    the community-density analog of the reference's relationship analytics
+    (graph analytics beyond the reference, alongside kg_graph_pagerank).
+
+    Spark side uses the DEGREE-ORIENTED algorithm: every undirected edge is
+    oriented from the lower-(degree, id) endpoint to the higher, so each
+    triangle is found exactly once at its lowest-ranked vertex and — the
+    100 TB property — per-vertex out-degree is bounded by O(sqrt(m)), which
+    caps the wedge-join fanout even on power-law graphs where the naive
+    id-ordered join explodes on hub vertices. The DuckDB oracle counts the
+    same triangles with the naive a<b<c formulation, so the contract test
+    proves the orientations equivalent."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from lower (deg, id) rank to higher; the tiny degree
+    # table broadcasts onto both endpoints.
+    da = F.broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("deg", "da")
+    db = F.broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("deg", "db")
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)  # reused by the wedge join AND the closing probe
+    # Wedges at the lowest-ranked vertex: two out-edges (src->v, src->w);
+    # order the pair by id to probe the closing edge once in either direction.
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "src").where(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    ).distinct()
+    tri = wedges.join(closing, ["v", "w"])
+    part = (
+        tri.select(F.col("src").alias("node_id"))
+        .unionByName(tri.select(F.col("v").alias("node_id")))
+        .unionByName(tri.select(F.col("w").alias("node_id")))
+    )
+    return (
+        part.groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(F.broadcast(nodes.select("node_id", "name")), "node_id")
+        .groupBy("name")
+        .agg(F.sum("n_triangles").cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("name"))
+        .limit(20)
+    )
