@@ -37,6 +37,7 @@ from .canon import canonicalize_entities
 from .linking import build_dictionary, link_mentions, mentions_long
 from .materialize import materialize_graph
 from .segment import segment_stage
+from ..sources import read_pages
 from .triples import defs_stage, links_stage, patterns_df, triples_stage
 
 STAGES = ["docs", "sentences", "triples", "defs", "links", "canon", "linked", "nodes", "edges"]
@@ -344,7 +345,7 @@ class PipelineRunner:
                 "(retry is idempotent) before a plain run()"
             )
         spark = self.spark
-        pages = spark.read.parquet(self.pages_path)
+        pages = read_pages(spark, self.pages_path)
 
         def build_docs() -> DataFrame:
             # EXTRACT FIRST (narrow map over the scan partitions — the raw
@@ -391,7 +392,7 @@ class PipelineRunner:
             # a NARROW projection (html is read to hash but pruned before the
             # window shuffle); the raw winner rows are then recovered with a
             # broadcast semi-join, so html itself never crosses a shuffle.
-            lp = spark.read.parquet(self.pages_path)
+            lp = read_pages(spark, self.pages_path)
             dup_urls = self._dup_urls(lp)
             no_dup = lp.join(F.broadcast(dup_urls), "url", "left_anti").select(
                 "url", "html"
@@ -554,7 +555,7 @@ class PipelineRunner:
         # only matters again when manifests are refreshed post-swap
         self._pending_sigs = []
 
-        delta_pages = spark.read.parquet(delta_pages_path).withColumn(
+        delta_pages = read_pages(spark, delta_pages_path).withColumn(
             "snap_md5", F.md5("html")
         )
         w = Window.partitionBy("url").orderBy(*self._winner_order())

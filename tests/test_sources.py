@@ -1,0 +1,91 @@
+"""Source-format layer: every supported ingest format must yield the SAME
+canonical pages frame — and the pipeline must produce the SAME docs output
+from a WARC corpus as from the native parquet (the format seam is below the
+fingerprint/extract machinery, so nothing downstream can tell them apart).
+Reference analog: the per-file dispatch walk of ``graph_builder.py:443-476``;
+the crawl-scale equivalent seam is the storage format.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphcontext_spark.pipeline.runner import PipelineRunner
+from codegraphcontext_spark.sources import (
+    infer_format,
+    read_pages,
+    write_pages_csv,
+    write_pages_jsonl,
+    write_pages_warc,
+)
+
+
+def _canon(df):
+    """Comparable canonical rows: blob -> md5, timestamp -> isoformat."""
+    rows = (
+        df.select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.md5(F.col("html")).alias("html_md5"),
+            "text",
+            "lang",
+        )
+        .collect()
+    )
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def formats_dir(spark, corpus_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("formats"))
+    pages = read_pages(spark, os.path.join(corpus_dir, "pages.parquet"))
+    write_pages_jsonl(pages, os.path.join(d, "pages.jsonl"))
+    write_pages_csv(pages, os.path.join(d, "pages.csv"))
+    write_pages_warc(pages, os.path.join(d, "warc"), n_files=4)
+    return d
+
+
+def test_infer_format(formats_dir, corpus_dir):
+    assert infer_format(os.path.join(corpus_dir, "pages.parquet")) == "parquet"
+    assert infer_format(os.path.join(formats_dir, "pages.jsonl")) == "jsonl"
+    assert infer_format(os.path.join(formats_dir, "pages.csv")) == "csv"
+    assert infer_format(os.path.join(formats_dir, "warc")) == "warc"
+    assert (
+        infer_format(os.path.join(formats_dir, "warc", "seg-00000.warc.gz"))
+        == "warc"
+    )
+
+
+@pytest.mark.parametrize("fmt,name", [
+    ("jsonl", "pages.jsonl"),
+    ("csv", "pages.csv"),
+    ("warc", "warc"),
+])
+def test_format_roundtrip_identical(spark, corpus_dir, formats_dir, fmt, name):
+    native = _canon(read_pages(spark, os.path.join(corpus_dir, "pages.parquet")))
+    other = _canon(read_pages(spark, os.path.join(formats_dir, name)))
+    assert other == native
+
+
+def test_warc_parallelism_is_per_file(spark, formats_dir):
+    # one shard file -> one input partition each: the production unit of
+    # parallelism for a concatenated-record stream format
+    df = read_pages(spark, os.path.join(formats_dir, "warc"))
+    assert df.rdd.getNumPartitions() >= 1
+    assert df.count() > 0
+
+
+def test_pipeline_from_warc_matches_parquet(
+    spark, corpus_dir, formats_dir, pipeline_out, tmp_path_factory
+):
+    wd = str(tmp_path_factory.mktemp("warc_wd"))
+    out = PipelineRunner(
+        spark, os.path.join(formats_dir, "warc"), wd, checkpoint="minimal"
+    ).run()
+    ref_edges = pipeline_out["edges"]
+    got_edges = out["edges"]
+    key = ["subj_id", "pred", "obj_id", "n_occurrences"]
+    assert sorted(map(tuple, got_edges.select(*key).collect())) == sorted(
+        map(tuple, ref_edges.select(*key).collect())
+    )
