@@ -573,6 +573,29 @@ def _reject_non_select(sql: str) -> str | None:
     return None
 
 
+def cmd_warehouse(args) -> int:
+    """Re-lay the materialized graph as bucketed+sorted warehouse tables
+    (``pipeline/warehouse.py``): pays the edge-table shuffle ONCE at write
+    time so every later bucket-key join plans Exchange-free — the analog of
+    the reference building its persistent indexes once at startup
+    (``graph_builder.py:81-96``)."""
+    from .pipeline.warehouse import write_bucketed_graph
+
+    spark = _spark(args)
+    nodes = spark.read.parquet(f"{args.workdir}/nodes/data")
+    edges = spark.read.parquet(f"{args.workdir}/edges/data")
+    write_bucketed_graph(
+        spark, nodes, edges, db=args.db,
+        n_buckets=args.buckets, location=args.location,
+    )
+    print(json.dumps({
+        "db": args.db, "n_buckets": args.buckets,
+        "nodes": spark.table(f"{args.db}.nodes").count(),
+        "edges": spark.table(f"{args.db}.edges").count(),
+    }))
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Read-only SQL passthrough over the materialized graph (S9 analog;
     reference ``server.py:319-373`` execute_cypher_query with write-keyword
@@ -804,6 +827,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="per-stage manifests + lineage summary")
     st.add_argument("--workdir", required=True)
     st.set_defaults(fn=cmd_status)
+
+    wh = sub.add_parser("warehouse", help="bucketed co-located graph layout")
+    wh.add_argument("--workdir", required=True)
+    wh.add_argument("--db", default="graph")
+    wh.add_argument("--buckets", type=int, default=16)
+    wh.add_argument("--location", default=None)
+    wh.set_defaults(fn=cmd_warehouse)
 
     sq = sub.add_parser("sql", help="read-only SQL over nodes/edges/docs views")
     sq.add_argument("--workdir", required=True)

@@ -302,3 +302,14 @@ def test_visualize_html(spark, built_wd, tmp_path, capsys):
     data = json.loads(html.split("const DATA = ", 1)[1].split(";\n", 1)[0])
     assert len(data["nodes"]) == meta["n_nodes"]
     assert len(data["edges"]) == meta["n_edges"]
+
+
+def test_warehouse_subcommand(spark, built_wd, capsys):
+    rc = cli.main([
+        "warehouse", "--workdir", built_wd, "--db", "g_cli",
+        "--location", "/tmp/cgc_spark_warehouse/g_cli.db",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["nodes"] > 0 and out["edges"] > 0
+    assert spark.table("g_cli.edges").count() == out["edges"]
