@@ -979,6 +979,76 @@ def orders_topk_revenue(spark, sf_dir):
     )
 
 
+@_q(
+    "events_asof_join",
+    """WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+    clk AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT err.event_id, err.user_id,
+           COALESCE(clk.event_id, -1) AS prior_click_id,
+           CAST(COALESCE(epoch_us(err.ts) - epoch_us(clk.ts), -1) AS BIGINT)
+             AS gap_us
+    FROM err ASOF LEFT JOIN clk
+      ON err.user_id = clk.user_id AND err.ts >= clk.ts
+    ORDER BY err.event_id ASC""",
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each error event matched to the SAME user's most recent
+    click at-or-before it (left join — errors with no prior click keep
+    NULLs). Spark has no ASOF JOIN operator; the scale-correct composition
+    is union-the-two-streams + a running `last(..., ignorenulls)` window:
+    ONE shuffle on user_id and a linear in-partition scan, where the naive
+    range-join (err.ts >= clk.ts pair explosion, then argmax) is quadratic
+    in per-user event count. The oracle is DuckDB's NATIVE ASOF LEFT JOIN,
+    so the window composition is checked against a real asof
+    implementation, not a SQL re-statement of itself. Event timestamps are
+    globally unique in this corpus, so ties cannot make either side
+    nondeterministic."""
+    from pyspark.sql.window import Window
+
+    ev = _fan_out(_t(spark, sf_dir, "events")).where(
+        F.col("event_type").isin("error", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_clk = F.col("event_type") == "click"
+    run = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_clk, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("prior_click_id"),
+        F.last(F.when(is_clk, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prior_click_ts"),
+    )
+    return (
+        run.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            # -1 sentinel instead of NULL on the no-prior-click rows: the
+            # driver's value compare (and many downstream consumers) want
+            # null-free numeric columns
+            F.coalesce("prior_click_id", F.lit(-1)).alias("prior_click_id"),
+            # events ship TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+            # session TZ is UTC so the cast is value-preserving
+            F.coalesce(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prior_click_ts").cast("timestamp")),
+                F.lit(-1),
+            )
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+        .orderBy(F.asc("event_id"))
+    )
+
+
 # =============================================================================
 # flagship
 # =============================================================================
