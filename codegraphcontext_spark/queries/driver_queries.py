@@ -1049,6 +1049,73 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+@_q(
+    "events_range_join",
+    """WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                    FROM events WHERE event_type = 'error'),
+    clk AS (SELECT user_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           CAST(COUNT(c.us) AS BIGINT) AS n_clicks_5min
+    FROM err e LEFT JOIN clk c
+      ON c.user_id = e.user_id
+     AND c.us >= e.us AND c.us < e.us + 300000000
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id ASC""",
+)
+def events_range_join(spark, sf_dir):
+    """Range join: clicks by the same user within the 5 minutes AFTER each
+    error. Spark's planner turns a bare inequality join into a
+    broadcast-nested-loop (O(n*m) comparisons); the scale shape is TIME-BIN
+    BUCKETING: each error probes exactly the two 5-minute bins its window
+    can overlap, the join runs as an equi-join on (user_id, bin), and the
+    exact inequality filters inside the matched bins — per-pair work is
+    bounded by per-(user, bin) density, not corpus size. The oracle is the
+    naive inequality join in DuckDB, so the bucketing is proven
+    lossless."""
+    W_US = 300_000_000  # 5-minute window, microseconds
+    ev = _fan_out(_t(spark, sf_dir, "events")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    err = ev.where(F.col("event_type") == "error")
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("us").alias("c_us"),
+        (F.col("us") / W_US).cast("bigint").alias("bin"),
+    )
+    # probe both bins the [us, us+W) window can overlap
+    probes = err.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(
+            F.array(
+                (F.col("us") / W_US).cast("bigint"),
+                (F.col("us") / W_US).cast("bigint") + 1,
+            )
+        ).alias("bin"),
+    )
+    # conditional count, NOT a row filter: an error whose bin-matched
+    # clicks all fall outside the exact window must still appear with 0
+    # (a filter would drop its every row and lose the left-join semantics)
+    in_window = (F.col("c_us") >= F.col("us")) & (
+        F.col("c_us") < F.col("us") + W_US
+    )
+    return (
+        probes.join(clk, on=["user_id", "bin"], how="left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.when(in_window, F.lit(1)))
+            .cast("bigint")
+            .alias("n_clicks_5min")
+        )
+        .orderBy(F.asc("event_id"))
+    )
+
+
 # =============================================================================
 # flagship
 # =============================================================================
