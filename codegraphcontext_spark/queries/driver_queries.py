@@ -1116,6 +1116,76 @@ def events_range_join(spark, sf_dir):
     )
 
 
+@_q(
+    "events_pivot",
+    """SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY 1 ORDER BY day ASC LIMIT 30""",
+)
+def events_pivot(spark, sf_dir):
+    """Wide daily report via pivot. The EXPLICIT value list matters at
+    scale: ``.pivot(col)`` without values runs a hidden distinct scan of
+    the whole corpus just to learn the column set — with values it is one
+    scan + one map-side-combinable aggregate, same as the CASE-WHEN form
+    the oracle states."""
+    ev = _fan_out(_t(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            # DuckDB's date_trunc('day', ts) yields a DATE -> 'yyyy-MM-dd'
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "error"])
+        .select(
+            "day",
+            F.col("click").cast("bigint").alias("click"),
+            F.col("view").cast("bigint").alias("view"),
+            F.col("error").cast("bigint").alias("error"),
+        )
+        .orderBy(F.asc("day"))
+        .limit(30)
+    )
+
+
+@_q(
+    "events_topn_per_group",
+    """WITH tot AS (
+      SELECT event_type, user_id,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_x100
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY total_x100 DESC, user_id ASC) AS rk
+      FROM tot)
+    SELECT event_type, user_id, total_x100, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY event_type ASC, rk ASC""",
+)
+def events_topn_per_group(spark, sf_dir):
+    """Per-group top-N (top 3 users by total value per event type): the
+    aggregate shrinks the corpus to |types|x|users| rows BEFORE the window,
+    so the rank partition is over the small aggregate, never raw events —
+    the order matters at 100 TB (windowing raw events would sort the whole
+    fact table). Scaled-int totals keep the ordering engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = _fan_out(_t(spark, sf_dir, "events"))
+    tot = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("total_x100")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_x100"), F.asc("user_id")
+    )
+    return (
+        tot.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .orderBy(F.asc("event_type"), F.asc("rk"))
+    )
+
+
 # =============================================================================
 # flagship
 # =============================================================================
