@@ -18,6 +18,9 @@ constant governs both.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 # One setting for every graph table: equal counts are what lets the planner
@@ -43,6 +46,13 @@ def write_bucketed_graph(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     for name in ("nodes", "edges"):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        # DROP only clears paths THIS catalog registered; a prior session's
+        # leftover directory at the same location would otherwise fail the
+        # write with LOCATION_ALREADY_EXISTS (local paths only — a real
+        # metastore deployment keeps the catalog across sessions)
+        stale = os.path.join(loc, name)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     (
         nodes.write.bucketBy(n_buckets, "node_id")
         .sortBy("node_id")

@@ -835,3 +835,78 @@ def kg_graph_triangles(spark, sf_dir):
         .orderBy(F.desc("n_triangles"), F.asc("name"))
         .limit(20)
     )
+
+
+@_q(
+    "kg_graph_similar_entities",
+    f"""{_G_CTE},
+    m AS (SELECT DISTINCT subj_id AS page, obj_id FROM edges
+          WHERE pred = 'MENTIONS'),
+    deg AS (SELECT obj_id, COUNT(*) AS d FROM m GROUP BY obj_id),
+    inter AS (SELECT a.obj_id AS ea, b.obj_id AS eb, COUNT(*) AS i
+              FROM m a JOIN m b ON a.page = b.page AND a.obj_id < b.obj_id
+              GROUP BY 1, 2)
+    SELECT na.name AS name_a, nb.name AS name_b,
+           CAST((inter.i * 1000) // (da.d + db.d - inter.i) AS BIGINT)
+             AS jaccard_x1000
+    FROM inter
+    JOIN deg da ON da.obj_id = inter.ea
+    JOIN deg db ON db.obj_id = inter.eb
+    JOIN nodes na ON na.node_id = inter.ea
+    JOIN nodes nb ON nb.node_id = inter.eb
+    ORDER BY jaccard_x1000 DESC, name_a ASC, name_b ASC LIMIT 20""",
+)
+def kg_graph_similar_entities(spark, sf_dir):
+    """Related-entity discovery: Jaccard similarity of two entities'
+    mentioning-page sets (the graph-native "find related" — same
+    co-mention evidence as kg_graph_cooccurrence but normalized by both
+    degrees, so ubiquitous hub entities stop dominating). Scaled-integer
+    Jaccard (i*1000 div union) keeps the ranking engine-exact.
+
+    Scale shape: candidate pairs come from the per-page self-join, bounded
+    by per-page entity count squared (pages mention few entities), never
+    |entities|²; the degree table is entity-dictionary-sized and broadcasts
+    twice; top-k compiles to TakeOrderedAndProject."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    m = (
+        edges.where(F.col("pred") == "MENTIONS")
+        .select(F.col("subj_id").alias("page"), "obj_id")
+        .distinct()
+    )
+    deg = m.groupBy("obj_id").agg(F.count(F.lit(1)).alias("d"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.page") == F.col("b.page"))
+            & (F.col("a.obj_id") < F.col("b.obj_id")),
+        )
+        .groupBy(
+            F.col("a.obj_id").alias("ea"), F.col("b.obj_id").alias("eb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    names = nodes.select("node_id", "name")
+    return (
+        inter.join(
+            F.broadcast(deg.select(F.col("obj_id").alias("ea"), F.col("d").alias("da"))),
+            "ea",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("obj_id").alias("eb"), F.col("d").alias("db"))),
+            "eb",
+        )
+        .join(F.broadcast(names.withColumnRenamed("node_id", "ea")), "ea")
+        .withColumnRenamed("name", "name_a")
+        .join(F.broadcast(names.withColumnRenamed("node_id", "eb")), "eb")
+        .withColumnRenamed("name", "name_b")
+        .select(
+            "name_a",
+            "name_b",
+            F.expr("CAST((i * 1000) div (da + db - i) AS BIGINT)").alias(
+                "jaccard_x1000"
+            ),
+        )
+        .orderBy(F.desc("jaccard_x1000"), F.asc("name_a"), F.asc("name_b"))
+        .limit(20)
+    )
