@@ -1,0 +1,71 @@
+"""Stream-static enrichment join: a micro-batch event stream joined against
+a slowly-changing dimension table (user profiles, domain reputation, model
+routing tables — the lookup every production event pipeline does on the way
+in).
+
+The canonical Spark shape: the STATIC side is a plain DataFrame; Spark
+re-plans the join for every micro-batch, so the dimension is re-read each
+batch (picking up slow changes without restarts) and — the scale property —
+the planner broadcasts it when small, which keeps the stream side entirely
+shuffle-free: enrichment adds ZERO exchanges to the streaming stage. At
+100 TB of daily events and a million-row dimension this is the difference
+between a narrow map and re-shuffling the firehose every batch.
+
+Left join keeps events whose key is missing from the dimension (late
+profile creation) flowing, flagged rather than dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .windowed import EVENTS_SCHEMA
+
+__all__ = ["EVENTS_SCHEMA", "enrich_events"]
+
+
+def enrich_events(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Join a (possibly streaming) events frame against the static user
+    dimension ``(user_id, segment, weight)``; unmatched users are kept with
+    segment 'unknown' and weight 0 so downstream aggregates stay total."""
+    d = F.broadcast(dims.select("user_id", "segment", "weight"))
+    return (
+        events.join(d, on="user_id", how="left")
+        .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
+        .withColumn("weight", F.coalesce("weight", F.lit(0)))
+        .withColumn(
+            "weighted_value", F.round(F.col("value") * F.col("weight"), 6)
+        )
+    )
+
+
+def events_enriched_stream(
+    spark,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dims: DataFrame,
+    once: bool = True,
+    processing_time: str = "2 seconds",
+):
+    """Stream event files through the dimension join into enriched parquet.
+
+    Append mode, no aggregation: each event lands exactly once (file-source
+    progress is checkpointed), already carrying its segment and weighted
+    value. The static side is re-planned per micro-batch, so replacing the
+    dimension parquet between batches is picked up without a restart."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(watch_dir)
+    )
+    enriched = enrich_events(stream, dims)
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
