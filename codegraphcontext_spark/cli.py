@@ -573,6 +573,21 @@ def _reject_non_select(sql: str) -> str | None:
     return None
 
 
+def cmd_export(args) -> int:
+    """Graph export sink (the reference pushes its graph into Neo4j; this
+    hands node/edge files to the next system): distributed jsonl/csv write,
+    one file per partition unless --single-file."""
+    from .sources.graph_export import export_graph
+
+    spark = _spark(args)
+    counts = export_graph(
+        spark, args.workdir, args.out, fmt=args.format,
+        single_file=args.single_file,
+    )
+    print(json.dumps({"out": args.out, "format": args.format, **counts}))
+    return 0
+
+
 def cmd_warehouse(args) -> int:
     """Re-lay the materialized graph as bucketed+sorted warehouse tables
     (``pipeline/warehouse.py``): pays the edge-table shuffle ONCE at write
@@ -827,6 +842,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="per-stage manifests + lineage summary")
     st.add_argument("--workdir", required=True)
     st.set_defaults(fn=cmd_status)
+
+    ex = sub.add_parser("export", help="export nodes/edges to jsonl or csv")
+    ex.add_argument("--workdir", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    ex.add_argument("--single-file", action="store_true")
+    ex.set_defaults(fn=cmd_export)
 
     wh = sub.add_parser("warehouse", help="bucketed co-located graph layout")
     wh.add_argument("--workdir", required=True)

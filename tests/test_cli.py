@@ -313,3 +313,15 @@ def test_warehouse_subcommand(spark, built_wd, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["nodes"] > 0 and out["edges"] > 0
     assert spark.table("g_cli.edges").count() == out["edges"]
+
+
+def test_export_subcommand_roundtrip(spark, built_wd, tmp_path, capsys):
+    out = str(tmp_path / "exported")
+    rc = cli.main(["export", "--workdir", built_wd, "--out", out, "--format", "jsonl"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # read the export back: counts must survive the format round trip
+    back_nodes = spark.read.json(os.path.join(out, "nodes")).count()
+    back_edges = spark.read.json(os.path.join(out, "edges")).count()
+    assert (back_nodes, back_edges) == (rep["nodes"], rep["edges"])
+    assert rep["edges"] > 0
