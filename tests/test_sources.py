@@ -89,3 +89,47 @@ def test_pipeline_from_warc_matches_parquet(
     assert sorted(map(tuple, got_edges.select(*key).collect())) == sorted(
         map(tuple, ref_edges.select(*key).collect())
     )
+
+
+def test_warc_truncated_tail_parses_valid_prefix(spark, formats_dir, tmp_path):
+    """A crawler dying mid-record leaves a truncated final record; the
+    reader must yield every complete record before it and clamp (not crash
+    on) the torn one."""
+    import gzip
+
+    src = os.path.join(formats_dir, "warc", "seg-00000.warc.gz")
+    raw = gzip.decompress(open(src, "rb").read())
+    d = tmp_path / "torn"
+    d.mkdir()
+    with gzip.open(d / "seg-torn.warc.gz", "wb") as f:
+        f.write(raw[: int(len(raw) * 0.6)])  # cut mid-stream
+    full = read_pages(spark, src).count()
+    torn = read_pages(spark, str(d)).count()
+    assert 0 < torn < full
+
+
+def test_incremental_accepts_jsonl_delta(spark, corpus_dir, tmp_path):
+    """run_incremental folds a delta shipped in a text format — the format
+    seam sits below the mutation machinery too."""
+    from pyspark.sql import functions as F
+
+    from codegraphcontext_spark.pipeline.runner import PipelineRunner
+
+    wd = str(tmp_path / "wd")
+    base = os.path.join(corpus_dir, "pages.parquet")
+    PipelineRunner(spark, base, wd, checkpoint="all").run()
+
+    # delta: a fresh snapshot of one existing url, shipped as jsonl
+    pages = read_pages(spark, base)
+    one = pages.orderBy("url").limit(1).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 400 DAYS")
+    )
+    delta_path = str(tmp_path / "delta.jsonl")
+    write_pages_jsonl(one, delta_path)
+
+    out = PipelineRunner(spark, base, wd, checkpoint="all").run_incremental(
+        delta_path
+    )
+    url = one.collect()[0].url
+    got = out["docs"].where(F.col("url") == url).collect()
+    assert len(got) == 1  # latest-wins fold, via the jsonl ingest path
