@@ -1,0 +1,50 @@
+"""Physical-plan regression guards: the 100 TB properties that make the
+flagship queries scale are structural (pushdown reached the scan, top-k
+compiled to TakeOrderedAndProject, a narrow map stayed exchange-free) —
+pin them so a future edit can't silently trade a broadcast for a
+sort-merge or a top-k for a global sort. Plans are inspected at sf0.001;
+plan SHAPE does not depend on the scale factor."""
+
+import pytest
+
+from codegraphcontext_spark.queries.driver_queries import SPARK_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = SPARK_QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["orders_topk_revenue", "kg_top_terms", "embed_topk_cosine", "kg_search_tfidf"],
+)
+def test_topk_compiles_to_take_ordered(spark, name):
+    # a LIMIT over ORDER BY must never plan as a global sort
+    assert "TakeOrderedAndProject" in _plan(spark, name)
+
+
+def test_orders_topk_pushdown_and_join_strategy(spark):
+    p = _plan(spark, "orders_topk_revenue")
+    # the segment filter must reach the customer parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    # the date filter must reach the orders scan
+    assert "LessThan(o_orderdate" in p, p
+    # dims broadcast; the fact table is never sort-merge shuffled
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_curate_split_is_exchange_free(spark):
+    # split assignment is a narrow map: ZERO shuffles, ZERO broadcasts
+    assert "Exchange" not in _plan(spark, "curate_split")
+
+
+def test_lineitem_pricing_partial_aggregates(spark):
+    # map-side combine: partial + final HashAggregate pair around one shuffle
+    p = _plan(spark, "lineitem_pricing")
+    assert p.count("HashAggregate") >= 2, p
