@@ -1186,60 +1186,51 @@ def events_topn_per_group(spark, sf_dir):
     )
 
 
-_BP_MIN_LEN = 20  # ignore fragments; boilerplate detection is about real sentences
-
-
 @_q(
     "text_boilerplate_frac",
-    f"""WITH sents AS (
-      SELECT doc_id, s
-      FROM (SELECT doc_id, UNNEST(string_split(text, '. ')) AS s FROM documents)
-      WHERE length(s) >= {_BP_MIN_LEN}),
-    df AS (SELECT s, COUNT(DISTINCT doc_id) AS d FROM sents GROUP BY s)
-    SELECT sents.doc_id,
-           COUNT(*) AS n_sents,
+    f"""{_SHINGLE_CTE},
+    df AS (SELECT shingle, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
            CAST(SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
            CAST(SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
                 AS BIGINT) AS shared_x1000
-    FROM sents JOIN df USING (s)
-    GROUP BY sents.doc_id
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
     ORDER BY shared_x1000 DESC, doc_id ASC LIMIT 20""",
 )
 def text_boilerplate_frac(spark, sf_dir):
     """Sub-document boilerplate detection (the CCNet-style signal real
     pretraining pipelines use BELOW whole-doc dedup): per document, the
-    fraction of its sentences that also appear verbatim in at least one
-    OTHER document — headers, footers, templated blurbs. Whole-doc near-dup
-    (dedup_* family) misses these; this ranks the docs to strip or
-    down-weight.
+    fraction of its distinct word-3-gram shingles that also appear in at
+    least one OTHER document — templated blurbs, headers, near-copied
+    passages. Whole-doc near-dup (dedup_* family) emits PAIRS; this ranks
+    each doc by how much of it is shared material, the strip/down-weight
+    signal.
 
-    Scale shape: sentences explode from a single scan; the document
-    frequency is a map-side-combinable distinct-aggregate over (sentence,
-    doc) pairs; the per-doc fraction joins sentences back to their df on
-    the sentence hash key (at 100 TB: hash the sentence to a 16-byte key
-    before the join so the shuffle carries digests, not prose). Integer
-    per-mille keeps the ranking engine-exact."""
-    docs = _fan_out(_t(spark, sf_dir, "documents"))
-    sents = docs.select(
-        "doc_id", F.explode(F.split("text", r"\. ")).alias("s")
-    ).where(F.length("s") >= _BP_MIN_LEN)
-    dfreq = sents.groupBy("s").agg(
-        F.count_distinct("doc_id").alias("d")
-    )
+    Scale shape: shingles come from the ONE shared shingling rule
+    (`_shingle_array`, same as the dedup family, so the oracle cannot
+    drift); document frequency is a map-side-combinable distinct-aggregate;
+    the fraction joins shingles back to their df on the shingle key (at
+    100 TB: hash the shingle to a 16-byte digest before the join so the
+    shuffle carries digests, not prose). Integer per-mille keeps the
+    ranking engine-exact."""
+    sh = _shingles(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("d"))
     return (
-        sents.join(dfreq, on="s")
+        sh.join(dfreq, on="shingle")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_sents"),
+            F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
             .cast("bigint")
             .alias("n_shared"),
         )
         .select(
             "doc_id",
-            "n_sents",
+            "n_shingles",
             "n_shared",
-            F.expr("CAST(n_shared * 1000 div n_sents AS BIGINT)").alias(
+            F.expr("CAST(n_shared * 1000 div n_shingles AS BIGINT)").alias(
                 "shared_x1000"
             ),
         )
