@@ -1239,6 +1239,74 @@ def text_boilerplate_frac(spark, sf_dir):
     )
 
 
+@_q(
+    "events_funnel",
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS u1 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.us) AS u2
+          FROM ev e JOIN v ON e.user_id = v.user_id AND e.us > v.u1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    r AS (SELECT e.user_id FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'error' AND e.us > c.u2 GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>error', CAST(COUNT(*) AS BIGINT) FROM r)
+    ORDER BY ord ASC""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER the
+    first view, then errored AFTER that click — the product-analytics
+    staple whose naive form (3-way self-join on raw events) explodes.
+
+    Scale shape: each stage is a conditional MIN per user — map-side
+    combinable aggregates over the event scan — and the inter-stage
+    ordering constraint joins the NEXT stage's events against the previous
+    stage's one-row-per-user table (user-dictionary-sized, broadcastable),
+    never event-against-event. Timestamps compare as exact integer
+    micros."""
+    ev = _fan_out(_t(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), on="user_id")
+        .where(F.col("us") > F.col("u1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u2"))
+    )
+    r = (
+        ev.where(F.col("event_type") == "error")
+        .join(F.broadcast(c), on="user_id")
+        .where(F.col("us") > F.col("u2"))
+        .select("user_id")
+        .distinct()
+    )
+
+    def _stage(df, ord_, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(ord_).alias("ord"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        _stage(v, 1, "view")
+        .unionByName(_stage(c, 2, "view>click"))
+        .unionByName(_stage(r, 3, "view>click>error"))
+        .orderBy(F.asc("ord"))
+        .select("stage", "n_users")
+    )
+
+
 # =============================================================================
 # flagship
 # =============================================================================
