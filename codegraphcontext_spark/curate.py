@@ -20,9 +20,11 @@ connected-components labeling shared with the canonicalizer
 * **lang**: optional allowlist.
 
 At 100 TB every stage is shuffle-bounded by design: the exact stage
-shuffles 16-byte hashes, the LSH stage shuffles (band, sig) keys with
-bucket sizes bounded by banding + the df cap, and components run on the
-pair set only (pairs, not corpus, scale).
+shuffles 16-byte hashes, the LSH band join shuffles bare (key, band) keys
+(never the per-doc shingle arrays) with bucket sizes hard-capped at
+``BAND_BUCKET_CAP`` on top of the df cap, grams re-attach only to the
+surviving candidate pairs, and components run on the pair set only
+(pairs, not corpus, scale).
 
 Reference analog: CodeGraphContext dedups by MERGE on unique keys
 (graph_builder.py:69-75); this is that semantics upgraded to fuzzy content
@@ -41,6 +43,11 @@ from .pipeline.canon import connected_components
 SHINGLE_DF_CAP = 20
 N_MINHASH = 8
 N_BANDS = 4  # r = 2
+# Max docs per LSH band bucket admitted to the pair join: a hot bucket (a
+# boilerplate template family shared by millions of pages at web scale) is
+# EXCLUDED rather than exploded into C(n,2) pairs — the same cap discipline
+# as dedup_cc_clusters (queries/driver_queries.py `_CC_BUCKET_CAP`).
+BAND_BUCKET_CAP = 64
 
 DEFAULT_JACCARD = 0.8
 DEFAULT_MIN_QUALITY = 600
@@ -70,19 +77,36 @@ def _shingles(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     w = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    return out.join(
-        F.broadcast(w.where(F.col("_df") <= SHINGLE_DF_CAP)), on="shingle"
-    ).select("key", "shingle")
+    # Drop the OVER-cap shingles via anti-join: that side is only the
+    # boilerplate head (small at any corpus size, AQE will broadcast it),
+    # whereas the keep-set is nearly every distinct shingle in the corpus —
+    # broadcasting it would OOM the driver at 100 TB.
+    over = w.where(F.col("_df") > SHINGLE_DF_CAP).select("shingle")
+    return out.join(over, on="shingle", how="left_anti").select(
+        "key", "shingle"
+    )
 
 
 def _near_dup_pairs(docs: DataFrame, jaccard: float) -> DataFrame:
-    """(a, b) verified near-dup pairs, a < b, via banded minhash LSH."""
-    sh = _shingles(docs).localCheckpoint(eager=True)
-    grams = sh.groupBy("key").agg(F.collect_set("shingle").alias("grams"))
+    """(a, b) verified near-dup pairs, a < b, via banded minhash LSH.
+
+    Scale shape: the band self-join carries ONLY (key, band) — the per-doc
+    shingle arrays (≈ the document itself) never enter the 4-way band
+    explode or the shuffle. Band buckets are size-capped (a hot template
+    family can't emit C(n,2) pairs), and grams are re-attached to the
+    surviving candidate pairs only, for the exact-Jaccard verification.
+    """
+    sh = _shingles(docs)
+    # grams feeds the signatures AND both sides of the pair verification —
+    # materialize it once.
+    grams = (
+        sh.groupBy("key")
+        .agg(F.collect_set("shingle").alias("grams"))
+        .localCheckpoint(eager=True)
+    )
     r = N_MINHASH // N_BANDS
     sigs = grams.select(
         "key",
-        "grams",
         *[
             F.md5(
                 F.concat_ws(
@@ -105,7 +129,6 @@ def _near_dup_pairs(docs: DataFrame, jaccard: float) -> DataFrame:
     )
     bands = sigs.select(
         "key",
-        "grams",
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{k}:"), F.col(f"b{k}"))
@@ -113,21 +136,30 @@ def _near_dup_pairs(docs: DataFrame, jaccard: float) -> DataFrame:
             ])
         ).alias("band"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    bsz = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
+    bok = (
+        bands.join(bsz, on="band")
+        .where(F.col("_n").between(2, BAND_BUCKET_CAP))
+        .select("key", "band")
+        .localCheckpoint(eager=True)
+    )
+    a, b = bok.alias("a"), bok.alias("b")
     pairs = (
         a.join(b, on="band")
         .where(F.col("a.key") < F.col("b.key"))
-        .select(
-            F.col("a.key").alias("a"),
-            F.col("b.key").alias("b"),
-            F.col("a.grams").alias("ga"),
-            F.col("b.grams").alias("gb"),
-        )
+        .select(F.col("a.key").alias("a"), F.col("b.key").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    cand = pairs.join(
+        grams.select(F.col("key").alias("a"), F.col("grams").alias("ga")),
+        on="a",
+    ).join(
+        grams.select(F.col("key").alias("b"), F.col("grams").alias("gb")),
+        on="b",
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
-    return pairs.where(
+    return cand.where(
         (union > 0) & (inter / union >= F.lit(jaccard))
     ).select("a", "b")
 

@@ -98,6 +98,56 @@ def test_curate_deterministic(spark, tmp_path):
     assert ka == kb
 
 
+def test_band_bucket_cap_bounds_pair_count(spark, monkeypatch):
+    """A hot LSH band bucket (a template family larger than BAND_BUCKET_CAP)
+    must be EXCLUDED from the pair join, not exploded into C(n,2) pairs —
+    the web-scale guard in the style of test_canon's banding-selectivity
+    test. A same-shape family under the cap still yields all its pairs.
+
+    The df cap is lifted for this test so the bucket cap (the second-line
+    defense: it also catches minhash collisions and df-cap config drift)
+    is what's actually exercised."""
+    from codegraphcontext_spark import curate
+    from codegraphcontext_spark.curate import _doc_key, _near_dup_pairs
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(curate, "SHINGLE_DF_CAP", 10**9)
+    base = _BASE_A + _BASE_B
+
+    def fam(n, tag):
+        rows = [(i, f"{tag} {base}", "en") for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).withColumn("key", _doc_key(F.col("doc_id")))
+
+    hot = fam(curate.BAND_BUCKET_CAP + 16, "hot")
+    assert _near_dup_pairs(hot.select("key", "text"), 0.5).count() == 0
+
+    small = fam(10, "small")
+    n_small = _near_dup_pairs(small.select("key", "text"), 0.5).count()
+    assert n_small == 10 * 9 // 2
+
+
+def test_band_join_ships_keys_only(spark):
+    """The band self-join must never shuffle the per-doc shingle arrays:
+    no `grams` column may appear upstream of the band-key join — grams
+    re-attach only to the surviving candidate pairs (two joins on a/b)."""
+    from codegraphcontext_spark.curate import _doc_key, _near_dup_pairs
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn("key", _doc_key(F.col("doc_id")))
+    pairs = _near_dup_pairs(docs.select("key", "text"), 0.5)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # The optimized plan joins on `band` with (key, band) inputs only; the
+    # grams arrays enter exactly twice, via the post-candidate re-attach.
+    band_joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "band" in ln
+    ]
+    assert band_joins, plan
+    for ln in band_joins:
+        assert "grams" not in ln, ln
+
+
 def test_cli_curate(spark, tmp_path, capsys):
     from codegraphcontext_spark import cli
 
