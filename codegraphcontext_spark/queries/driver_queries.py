@@ -1265,9 +1265,10 @@ def events_funnel(spark, sf_dir):
     Scale shape: each stage is a conditional MIN per user — map-side
     combinable aggregates over the event scan — and the inter-stage
     ordering constraint joins the NEXT stage's events against the previous
-    stage's one-row-per-user table (user-dictionary-sized, broadcastable),
-    never event-against-event. Timestamps compare as exact integer
-    micros."""
+    stage's one-row-per-user table (one narrow row per user), never
+    event-against-event. No forced broadcast hint: per-user tables are
+    unbounded at web scale (billions of users) — AQE broadcasts them when
+    they actually fit. Timestamps compare as exact integer micros."""
     ev = _fan_out(_t(spark, sf_dir, "events")).select(
         "user_id",
         "event_type",
@@ -1287,7 +1288,7 @@ def events_funnel(spark, sf_dir):
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), on="user_id")
+        .join(v, on="user_id")
         .where(F.col("us") > F.col("u1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("u2"))
@@ -1295,7 +1296,7 @@ def events_funnel(spark, sf_dir):
     )
     r = (
         ev.where(F.col("event_type") == "error")
-        .join(F.broadcast(c), on="user_id")
+        .join(c, on="user_id")
         .where(F.col("us") > F.col("u2"))
         .select("user_id")
         .distinct()

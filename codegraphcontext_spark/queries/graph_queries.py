@@ -163,8 +163,10 @@ def kg_graph_cooccurrence(spark, sf_dir):
     m = edges.where(F.col("pred") == "MENTIONS").select(
         F.col("subj_id").alias("page"), "obj_id"
     )
+    # The name dimension is O(|V|) — no forced hint; AQE broadcasts it
+    # while it fits.
     named = m.join(
-        F.broadcast(nodes.select(F.col("node_id").alias("obj_id"), "name")),
+        nodes.select(F.col("node_id").alias("obj_id"), "name"),
         on="obj_id",
     ).select("page", "name")
     a, b = named.alias("a"), named.alias("b")
@@ -800,10 +802,11 @@ def kg_graph_triangles(spark, sf_dir):
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # Orient each edge from lower (deg, id) rank to higher; the tiny degree
-    # table broadcasts onto both endpoints.
-    da = F.broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("deg", "da")
-    db = F.broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("deg", "db")
+    # Orient each edge from lower (deg, id) rank to higher. The degree
+    # table is O(|V|) — unbounded at web scale — so no forced broadcast
+    # hint: AQE broadcasts it while it fits, shuffle-joins beyond that.
+    da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da")
+    db = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db")
     ranked = und.join(da, "a").join(db, "b")
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
@@ -829,7 +832,7 @@ def kg_graph_triangles(spark, sf_dir):
     return (
         part.groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .join(F.broadcast(nodes.select("node_id", "name")), "node_id")
+        .join(nodes.select("node_id", "name"), "node_id")
         .groupBy("name")
         .agg(F.sum("n_triangles").cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("name"))
@@ -865,8 +868,9 @@ def kg_graph_similar_entities(spark, sf_dir):
 
     Scale shape: candidate pairs come from the per-page self-join, bounded
     by per-page entity count squared (pages mention few entities), never
-    |entities|²; the degree table is entity-dictionary-sized and broadcasts
-    twice; top-k compiles to TakeOrderedAndProject."""
+    |entities|²; the degree/name sides join WITHOUT a forced broadcast —
+    they are O(|entities|), so AQE picks broadcast only while they fit;
+    top-k compiles to TakeOrderedAndProject."""
     nodes, edges = ensure_graph(spark, sf_dir)
     m = (
         edges.where(F.col("pred") == "MENTIONS")
@@ -889,16 +893,16 @@ def kg_graph_similar_entities(spark, sf_dir):
     names = nodes.select("node_id", "name")
     return (
         inter.join(
-            F.broadcast(deg.select(F.col("obj_id").alias("ea"), F.col("d").alias("da"))),
+            deg.select(F.col("obj_id").alias("ea"), F.col("d").alias("da")),
             "ea",
         )
         .join(
-            F.broadcast(deg.select(F.col("obj_id").alias("eb"), F.col("d").alias("db"))),
+            deg.select(F.col("obj_id").alias("eb"), F.col("d").alias("db")),
             "eb",
         )
-        .join(F.broadcast(names.withColumnRenamed("node_id", "ea")), "ea")
+        .join(names.withColumnRenamed("node_id", "ea"), "ea")
         .withColumnRenamed("name", "name_a")
-        .join(F.broadcast(names.withColumnRenamed("node_id", "eb")), "eb")
+        .join(names.withColumnRenamed("node_id", "eb"), "eb")
         .withColumnRenamed("name", "name_b")
         .select(
             "name_a",

@@ -44,6 +44,28 @@ def test_curate_split_is_exchange_free(spark):
     assert "Exchange" not in _plan(spark, "curate_split")
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["events_funnel", "kg_graph_triangles", "kg_graph_similar_entities"],
+)
+def test_unbounded_sides_not_hint_forced(spark, name):
+    """Per-user stage tables, degree tables, and name dimensions are
+    O(users)/O(|V|) — unbounded at web scale — so they must NOT carry a
+    forced broadcast hint (a hint OOMs at 100 TB); at test scale AQE/stats
+    must still pick broadcast joins on its own."""
+    from codegraphcontext_spark.queries import graph_queries  # noqa: F401
+
+    df = SPARK_QUERIES[name](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, name
+    df.collect()  # let AQE finalize the plan
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
 def test_lineitem_pricing_partial_aggregates(spark):
     # map-side combine: partial + final HashAggregate pair around one shuffle
     p = _plan(spark, "lineitem_pricing")
