@@ -42,6 +42,15 @@ from .triples import defs_stage, links_stage, patterns_df, triples_stage
 
 STAGES = ["docs", "sentences", "triples", "defs", "links", "canon", "linked", "nodes", "edges"]
 
+# Version of the PERSISTED stage layout (schemas + winner semantics), folded
+# into every workdir fingerprint. Bump whenever a stage's written schema or
+# its row-selection rule changes (e.g. round 2 added docs.snap_md5 and moved
+# the snapshot tie-break to md5(html)) so a workdir committed by older code
+# rebuilds instead of being resumed into an AnalysisException or silently
+# serving rows chosen under the old rule. EXTRACTOR_VERSION covers only the
+# html->text function; this covers everything downstream of it.
+PIPELINE_LAYOUT_VERSION = 2
+
 
 # stages always committed, even under checkpoint="minimal": the expensive
 # Python-extraction output, the linked mention table, and the graph itself.
@@ -199,9 +208,12 @@ class PipelineRunner:
 
     def _fingerprint(self) -> str:
         """Input fingerprint: pages path + mtime-ish + extractor version +
-        every ingested delta snapshot. On Iceberg this is the input snapshot
-        id chain."""
-        base = f"v{EXTRACTOR_VERSION}:{self._path_sig(self.pages_path)}"
+        pipeline layout version + every ingested delta snapshot. On Iceberg
+        this is the input snapshot id chain."""
+        base = (
+            f"v{EXTRACTOR_VERSION}.L{PIPELINE_LAYOUT_VERSION}:"
+            f"{self._path_sig(self.pages_path)}"
+        )
         deltas = self._ingested() + self._pending_sigs
         return base + ("+" + "+".join(deltas) if deltas else "")
 

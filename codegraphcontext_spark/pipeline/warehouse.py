@@ -44,13 +44,32 @@ def write_bucketed_graph(
     already-configured metastore default)."""
     loc = location or f"/tmp/cgc_spark_warehouse/{db}.db"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # CREATE ... IF NOT EXISTS silently keeps a pre-existing database's OLD
+    # location — resolve the ACTUAL location from the catalog so the
+    # stale-directory cleanup runs where the tables really live, and a
+    # caller reusing a db name with a different location gets a loud error
+    # instead of a cleanup of the wrong directory.
+    actual = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .where("info_name = 'Location'")
+        .collect()[0]["info_value"]
+    )
+    actual_path = actual.removeprefix("file:")
+    if location is not None and os.path.abspath(
+        actual_path
+    ) != os.path.abspath(loc):
+        raise ValueError(
+            f"database {db!r} already exists at {actual_path!r}; "
+            f"refusing to write its tables under the requested {loc!r} — "
+            f"drop the database or pass its existing location"
+        )
     for name in ("nodes", "edges"):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
         # DROP only clears paths THIS catalog registered; a prior session's
         # leftover directory at the same location would otherwise fail the
         # write with LOCATION_ALREADY_EXISTS (local paths only — a real
         # metastore deployment keeps the catalog across sessions)
-        stale = os.path.join(loc, name)
+        stale = os.path.join(actual_path, name)
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     (

@@ -1000,9 +1000,10 @@ def events_asof_join(spark, sf_dir):
     range-join (err.ts >= clk.ts pair explosion, then argmax) is quadratic
     in per-user event count. The oracle is DuckDB's NATIVE ASOF LEFT JOIN,
     so the window composition is checked against a real asof
-    implementation, not a SQL re-statement of itself. Event timestamps are
-    globally unique in this corpus, so ties cannot make either side
-    nondeterministic."""
+    implementation, not a SQL re-statement of itself. The window orders by
+    (ts, event_id) — the streaming twin's explicit sort — so the result is
+    deterministic even if a corpus ever carries equal-ts events for one
+    user (this one guarantees uniqueness, but nothing enforces it)."""
     from pyspark.sql.window import Window
 
     ev = _fan_out(_t(spark, sf_dir, "events")).where(
@@ -1010,7 +1011,7 @@ def events_asof_join(spark, sf_dir):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_clk = F.col("event_type") == "click"

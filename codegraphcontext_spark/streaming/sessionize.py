@@ -140,15 +140,17 @@ def sessionize_batch_twin(
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(SESSION_GAP_S)
-    # double-cast via timestamp: parquet naive timestamps read as
-    # TIMESTAMP_NTZ, which ANSI mode won't cast to numeric directly; the
-    # session timezone is pinned to UTC so the NTZ->LTZ interpretation is
-    # deterministic (and the gap DIFFERENCE is tz-invariant anyway)
-    epoch_s = F.col("ts").cast("timestamp").cast("double")
+    # exact integer microseconds (not a double epoch cast): the streaming
+    # operator compares exact integer nanoseconds, and double rounding near
+    # the gap boundary could flip the comparison for sub-second timestamps.
+    # ts reads as TIMESTAMP_NTZ; the session timezone is pinned to UTC so
+    # the NTZ->LTZ interpretation is deterministic (and the gap DIFFERENCE
+    # is tz-invariant anyway).
+    gap_us = F.lit(SESSION_GAP_S * 1_000_000)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = events.withColumn(
         "_new",
-        (epoch_s - F.lag(epoch_s).over(w) > gap).cast("int"),
+        (epoch_us - F.lag(epoch_us).over(w) > gap_us).cast("int"),
     ).withColumn(
         "_sess",
         F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(

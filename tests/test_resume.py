@@ -63,6 +63,27 @@ def test_input_change_invalidates_checkpoints(spark, pages_path, tmp_path):
     assert not r2.metrics["docs"].get("resumed")
 
 
+def test_layout_version_invalidates_stale_workdir(
+    spark, pages_path, tmp_path, monkeypatch
+):
+    """A workdir committed under an older persisted-stage layout (schema or
+    winner-semantics change, e.g. the round-2 snap_md5 addition) must
+    REBUILD, not resume — otherwise run() serves rows chosen by the old
+    rule and run_incremental() crashes selecting a missing column."""
+    from codegraphcontext_spark.pipeline import runner as runner_mod
+
+    wd = str(tmp_path / "wd")
+    PipelineRunner(spark, pages_path, wd).run()
+    monkeypatch.setattr(
+        runner_mod,
+        "PIPELINE_LAYOUT_VERSION",
+        runner_mod.PIPELINE_LAYOUT_VERSION + 1,
+    )
+    r2 = PipelineRunner(spark, pages_path, wd)
+    r2.run()
+    assert not any(m.get("resumed") for m in r2.metrics.values()), r2.metrics
+
+
 def test_lineage_rows_written(spark, pages_path, tmp_path):
     wd = str(tmp_path / "wd")
     r = PipelineRunner(spark, pages_path, wd)

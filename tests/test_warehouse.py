@@ -25,6 +25,31 @@ def warehouse(spark, pipeline_out):
     return read_bucketed_graph(spark, db="g_test")
 
 
+def test_location_conflict_is_loud(spark, pipeline_out, warehouse, tmp_path):
+    """Reusing an existing database name with a DIFFERENT location must
+    error, not silently clean/write a directory the catalog doesn't use
+    (CREATE DATABASE IF NOT EXISTS keeps the old location)."""
+    with pytest.raises(ValueError, match="already exists at"):
+        write_bucketed_graph(
+            spark,
+            pipeline_out["nodes"],
+            pipeline_out["edges"],
+            db="g_test",
+            location=str(tmp_path / "elsewhere.db"),
+        )
+
+
+def test_rewrite_same_db_cleans_actual_location(spark, pipeline_out):
+    """A second write to the same db must succeed (stale dirs cleaned at the
+    catalog-resolved location) and keep row counts."""
+    for _ in range(2):
+        write_bucketed_graph(
+            spark, pipeline_out["nodes"], pipeline_out["edges"], db="g_rw"
+        )
+    nodes, _ = read_bucketed_graph(spark, db="g_rw")
+    assert nodes.count() == pipeline_out["nodes"].count()
+
+
 def test_rows_survive_bucketing(spark, pipeline_out, warehouse):
     nodes, edges = warehouse
     assert nodes.count() == pipeline_out["nodes"].count()
