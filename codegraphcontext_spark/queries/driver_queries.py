@@ -2298,35 +2298,56 @@ _TFIDF_TERMS = ("merge", "window", "hash")
 _TFIDF_TERMS_SQL = "('merge', 'window', 'hash')"
 
 
+# BM25 constants, pre-scaled by 1000 so both engines use pure integer math:
+# k1 = 1.2 (term-frequency saturation), b = 0.75 (length normalization).
+_BM25_K1 = 1200  # k1 * 1000
+_BM25_K1P1 = 2200  # (k1 + 1) * 1000
+_BM25_B = 750  # b * 1000
+_BM25_1MB = 250  # (1 - b) * 1000
+
+
 @_q(
     "kg_search_tfidf",
     f"""{_TOKS_CTE},
     hits AS (SELECT doc_id, term FROM toks WHERE term IN {_TFIDF_TERMS_SQL}),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
-    n AS (SELECT COUNT(*) AS n FROM documents),
-    w AS (SELECT term, (n.n * 1000) // df.df AS w FROM df CROSS JOIN n)
-    SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS relevance
-    FROM tf JOIN w USING (term)
+    stats AS (SELECT COUNT(*) AS n, SUM(len(string_split(text, ' '))) AS l
+              FROM documents),
+    w AS (SELECT term, (stats.n * 1000) // df.df AS w FROM df CROSS JOIN stats),
+    norm AS (SELECT doc_id,
+                    {_BM25_1MB} + ({_BM25_B} * len(string_split(text, ' '))
+                                   * stats.n) // stats.l AS norm1000
+             FROM documents CROSS JOIN stats)
+    SELECT tf.doc_id,
+           CAST(SUM(((tf.tf * {_BM25_K1P1} * 1000)
+                     // (tf.tf * 1000 + ({_BM25_K1} * norm.norm1000) // 1000))
+                    * w.w) AS BIGINT) AS relevance
+    FROM tf JOIN w USING (term) JOIN norm USING (doc_id)
     GROUP BY tf.doc_id
     ORDER BY relevance DESC, doc_id ASC LIMIT 15""",
 )
 def kg_search_tfidf(spark, sf_dir):
-    """TF-IDF ranked full-text search — the corpus-statistics upgrade of
+    """BM25-ranked full-text search — the corpus-statistics upgrade of
     `kg_search_scored`'s flat hit counting (reference builds a Lucene
-    full-text index and orders by relevance score, graph_builder.py:81-85 +
-    code_finder.py:104-117; this is the same rare-term-weighted ranking
-    re-expressed relationally). Weight = tf(doc,term) * (N*1000 // df(term))
-    — a log-free scaled-integer IDF, so the score is bit-identical across
-    engines and parallelism (ln() differs in the last ulp between runtimes;
-    integer ratios don't).
+    full-text index and orders by BM25-family relevance,
+    graph_builder.py:81-85 + code_finder.py:104-117). Per (doc, term):
+    saturated_tf = tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), weighted by
+    idf = N/df — all in scaled-integer arithmetic (x1000), so the score is
+    bit-identical across engines and parallelism (ln()/float division differ
+    in the last ulp between runtimes; integer ratios don't). The k1
+    saturation caps runaway term counts and the b term normalizes by doc
+    length, so long documents no longer dominate rank 1 (pinned in
+    tests/test_driver_contract.py::test_bm25_length_normalization).
 
     Scale shape: the query-term filter runs INSIDE the array HOF
     (filter-then-explode), so only query-term occurrences ever become rows —
     at web scale that is a vanishing fraction of tokens. tf is a
-    map-side-combinable (doc, term) count; df aggregates the distinct hit
-    set (tiny); the weight table is |query| rows and broadcasts into the
-    final per-doc sum, which compiles to TakeOrderedAndProject."""
+    map-side-combinable (doc, term) count carrying dl along as a constant
+    per-doc key; df aggregates the distinct hit set (tiny); corpus stats
+    (N, total length) are ONE scalar-agg row; the weight table is |query|
+    rows and broadcasts into the final per-doc sum, which compiles to
+    TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents")
     kept = F.filter(
         F.split("text", " "), lambda t: t.isin(*_TFIDF_TERMS)
@@ -2334,24 +2355,37 @@ def kg_search_tfidf(spark, sf_dir):
     # Materialize the hit set ONCE: it feeds both the tf and the df branch,
     # and it is tiny (query-term occurrences only) — without this the full
     # text scan + HOF runs twice (measured 3.8 s -> ~2 s warm at sf0.1).
+    # dl (doc token length) rides along: constant per doc, so grouping on
+    # (doc_id, dl) stays map-side combinable with the same key cardinality.
     hits = (
         _fan_out(docs)
-        .select("doc_id", F.explode(kept).alias("term"))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(kept).alias("term"),
+        )
         .localCheckpoint(eager=True)
     )
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         hits.select("doc_id", "term")
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    n = docs.count()
+    n, total_len = docs.agg(
+        F.count(F.lit(1)), F.sum(F.size(F.split("text", " ")))
+    ).first()
     w = dfreq.select("term", F.expr(f"({n}L * 1000) div df").alias("w"))
+    sat = F.expr(
+        f"(tf * {_BM25_K1P1} * 1000) div "
+        f"(tf * 1000 + ({_BM25_K1} * "
+        f"({_BM25_1MB} + ({_BM25_B} * dl * {n}L) div {total_len}L)) div 1000)"
+    )
     return (
         tf.join(F.broadcast(w), "term")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("relevance"))
+        .agg(F.sum(sat * F.col("w")).cast("bigint").alias("relevance"))
         .orderBy(F.desc("relevance"), F.asc("doc_id"))
         .limit(15)
     )

@@ -71,3 +71,32 @@ def test_documents_are_ascii(ddb):
         "WHERE octet_length(encode(text)) <> length(text)"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_bm25_length_normalization(spark, tmp_path):
+    """A long document stuffing one query term no longer outranks a short
+    document matching every query term: k1 saturates tf (50 occurrences of
+    'merge' score ~2.2x one occurrence, not 50x) and b penalizes length.
+    Under the previous plain tf*idf weighting doc 2 scored 50_000 vs 5_000."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import kg_search_tfidf
+
+    short = "merge window hash done"
+    long = " ".join(["merge"] * 50 + ["filler"] * 450)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([short, long], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["t", "t"], pa.string()),
+            "n_chars": pa.array([len(short), len(long)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = kg_search_tfidf(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    # hand-computed scaled-integer scores: N=2, L=504
+    assert rows[0].relevance == 8_375_000
+    assert rows[1].relevance == 2_111_000
