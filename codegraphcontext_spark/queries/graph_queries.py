@@ -554,9 +554,14 @@ def _pagerank_oracle_sql() -> str:
                  SUM(r{p}.rank // a.outdeg) AS inc
           FROM adjdeg a JOIN r{p} ON r{p}.node_id = a.subj_id
           GROUP BY a.obj_id),
+    d{i} AS (SELECT COALESCE(SUM(r{p}.rank), 0) AS dang
+          FROM r{p} LEFT JOIN deg ON deg.subj_id = r{p}.node_id
+          WHERE deg.subj_id IS NULL),
     r{i} AS (SELECT ids.node_id,
-                 base.b + ({dn} * COALESCE(c{i}.inc, 0)) // {dd} AS rank
-          FROM ids CROSS JOIN base LEFT JOIN c{i} USING (node_id))"""
+                 base.b + ({dn} * (COALESCE(c{i}.inc, 0)
+                                   + d{i}.dang // n.n)) // {dd} AS rank
+          FROM ids CROSS JOIN base CROSS JOIN d{i} CROSS JOIN n
+          LEFT JOIN c{i} USING (node_id))"""
         )
     parts.append(
         f"""    SELECT r{_PR_ITERS}.node_id, nodes.name, nodes.node_type,
@@ -565,6 +570,52 @@ def _pagerank_oracle_sql() -> str:
     ORDER BY rank DESC, node_id ASC LIMIT 20"""
     )
     return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+def _pagerank_ranks(nodes, edges):
+    """The full scaled-integer rank vector (node_id, rank) — shared by the
+    kg_graph_pagerank query (top-20 view) and the mass-conservation test."""
+    adj = edges.select("subj_id", "obj_id").distinct()
+    deg = adj.groupBy("subj_id").agg(F.count(F.lit(1)).alias("outdeg"))
+    adjdeg = adj.join(deg, "subj_id").localCheckpoint(eager=True)
+    non_dangling = deg.select(F.col("subj_id").alias("node_id"))
+    ids = nodes.select("node_id").localCheckpoint(eager=True)
+    n = ids.count()
+    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n)
+    ranks = ids.select("node_id", F.lit(_PR_SCALE // n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        # ranks feeds two branches (contribs + dangling sum); checkpointing
+        # it per iteration keeps the lineage linear instead of 2^iters.
+        ranks = ranks.localCheckpoint(eager=True)
+        contribs = (
+            adjdeg.join(
+                ranks.withColumnRenamed("node_id", "subj_id"), "subj_id"
+            )
+            .select("obj_id", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy(F.col("obj_id").alias("node_id"))
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        # dangling-node mass, redistributed uniformly: ONE scalar agg row,
+        # cross-joined (broadcast single row) so the driver never collects.
+        dang = (
+            ranks.join(non_dangling, "node_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang"))
+        )
+        ranks = (
+            ids.join(contribs, "node_id", "left")
+            .crossJoin(dang)
+            .select(
+                "node_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({_PR_DAMP_NUM} * (coalesce(inc, 0L)"
+                        f" + dang div {n}L)) div {_PR_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
 
 
 @_q("kg_graph_pagerank", _pagerank_oracle_sql())
@@ -576,43 +627,21 @@ def kg_graph_pagerank(spark, sf_dir):
 
     Numerics: ranks are SCALE-scaled integers with floor division at every
     step, so the result is exactly reproducible across engines and
-    parallelism (no float summation-order nondeterminism); dangling-node
-    mass is dropped, not redistributed (documented simplification — ranking
-    order is what the query serves, and the oracle applies the identical
-    rule).
+    parallelism (no float summation-order nondeterminism). Dangling-node
+    mass is redistributed uniformly each iteration (the standard
+    formulation), so total rank mass is conserved up to floor-division
+    slack — pinned by tests/test_driver_contract.py::
+    test_pagerank_mass_conservation; the oracle applies the identical rule.
 
     Scale shape: the adjacency+outdegree table is built once and
     localCheckpoint'ed; each iteration is one shuffle join (ranks × adjdeg
-    on subj_id — at 100 TB both sides hash-partition on the join key) plus
-    one map-side-combinable groupBy(obj_id). The rank vector is 2 narrow
-    columns per node; edge blobs never enter the loop. Driver holds only
-    the node COUNT — no collect of rows."""
+    on subj_id — at 100 TB both sides hash-partition on the join key), one
+    map-side-combinable groupBy(obj_id), and one single-row scalar agg for
+    the dangling sum (cross-joined back, broadcast). The rank vector is 2
+    narrow columns per node; edge blobs never enter the loop. Driver holds
+    only the node COUNT — no collect of rows."""
     nodes, edges = ensure_graph(spark, sf_dir)
-    adj = edges.select("subj_id", "obj_id").distinct()
-    deg = adj.groupBy("subj_id").agg(F.count(F.lit(1)).alias("outdeg"))
-    adjdeg = adj.join(deg, "subj_id").localCheckpoint(eager=True)
-    ids = nodes.select("node_id").localCheckpoint(eager=True)
-    n = ids.count()
-    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n)
-    ranks = ids.select("node_id", F.lit(_PR_SCALE // n).alias("rank"))
-    for _ in range(_PR_ITERS):
-        contribs = (
-            adjdeg.join(
-                ranks.withColumnRenamed("node_id", "subj_id"), "subj_id"
-            )
-            .select("obj_id", F.expr("rank div outdeg").alias("contrib"))
-            .groupBy(F.col("obj_id").alias("node_id"))
-            .agg(F.sum("contrib").alias("inc"))
-        )
-        ranks = ids.join(contribs, "node_id", "left").select(
-            "node_id",
-            (
-                F.lit(base)
-                + F.expr(
-                    f"({_PR_DAMP_NUM} * coalesce(inc, 0L)) div {_PR_DAMP_DEN}"
-                )
-            ).alias("rank"),
-        )
+    ranks = _pagerank_ranks(nodes, edges)
     return (
         ranks.join(nodes, "node_id")
         .select(

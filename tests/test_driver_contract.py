@@ -100,3 +100,23 @@ def test_bm25_length_normalization(spark, tmp_path):
     # hand-computed scaled-integer scores: N=2, L=504
     assert rows[0].relevance == 8_375_000
     assert rows[1].relevance == 2_111_000
+
+
+def test_pagerank_mass_conservation(spark):
+    """With dangling mass redistributed, total rank mass is conserved up to
+    floor-division slack: every div floors toward zero, so the sum can only
+    drift DOWN from SCALE, bounded by ~one unit per floor op per iteration."""
+    from codegraphcontext_spark.queries.graph_queries import (
+        _PR_SCALE,
+        ensure_graph,
+        _pagerank_ranks,
+    )
+
+    nodes, edges = ensure_graph(spark, SF_DIR)
+    n = nodes.count()
+    n_edges = edges.select("subj_id", "obj_id").distinct().count()
+    total = _pagerank_ranks(nodes, edges).agg({"rank": "sum"}).first()[0]
+    # loss bound: per iteration < n_edges (contrib divs) + n (outer divs)
+    # + n (dang div) + 1, plus the initial SCALE // n remainder
+    slack = 5 * (n_edges + 2 * n + 1) + n
+    assert 0 <= _PR_SCALE - total <= slack, (total, _PR_SCALE, slack)
