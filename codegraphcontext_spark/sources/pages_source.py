@@ -62,6 +62,12 @@ _COLS = [f.name for f in PAGES_SCHEMA.fields]
 _WARC_VERSION = b"WARC/1.0"
 _SEP = b"\r\n"
 
+# Per-record payload cap: one pathological record (a multi-GB "page" some
+# crawler wrote) must not OOM its task — the record is skipped and COUNTED,
+# never fatal. Real WARC writers cap payloads around 1 MB; 64 MiB is far
+# above any legitimate page while staying well inside executor task memory.
+WARC_MAX_RECORD_BYTES = 64 * 1024 * 1024
+
 
 def infer_format(path: str) -> str:
     """Infer the source format from the path: explicit extension wins, a
@@ -127,7 +133,11 @@ def _from_text_rows(raw: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # WARC-ish reader: binaryFile scan -> per-file record split in Arrow batches.
 # ---------------------------------------------------------------------------
-def _parse_warc_bytes(blob: bytes) -> Iterator[tuple]:
+def _parse_warc_bytes(
+    blob: bytes,
+    max_record_bytes: int = WARC_MAX_RECORD_BYTES,
+    stats: dict | None = None,
+) -> Iterator[tuple]:
     pos = 0
     n = len(blob)
     while pos < n:
@@ -141,12 +151,32 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[tuple]:
                 headers[k.strip().decode("ascii", "replace").lower()] = (
                     v.strip().decode("utf-8", "replace")
                 )
-        length = int(headers.get("content-length", "0"))
-        payload = blob[head_end + 4 : head_end + 4 + length]
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = -1
+        if length < 0:
+            # malformed Content-Length: the payload boundary is unknowable,
+            # so resync at the next record marker instead of dying
+            if stats is not None:
+                stats["malformed"] = stats.get("malformed", 0) + 1
+            nxt = blob.find(_WARC_VERSION, head_end + 4)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        skip_payload = length > max_record_bytes
+        payload = b"" if skip_payload else blob[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         # skip the inter-record separator (any run of CRLFs)
         while blob[pos : pos + 2] == _SEP:
             pos += 2
+        if skip_payload:
+            # oversized record: framing is still walked (pos advanced past
+            # the payload) but the blob never materializes downstream
+            if stats is not None:
+                stats["oversized"] = stats.get("oversized", 0) + 1
+            continue
         if headers.get("warc-type") != "response":
             continue
         # presence of the header (even with an empty value) means non-null:
@@ -163,12 +193,22 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[tuple]:
         )
 
 
-def _read_warc(spark: SparkSession, path: str) -> DataFrame:
+def _read_warc(
+    spark: SparkSession,
+    path: str,
+    max_record_bytes: int = WARC_MAX_RECORD_BYTES,
+) -> DataFrame:
     if os.path.isdir(path):
         path = os.path.join(path, "*.warc*")
 
+    # executor-side counter for records the guard dropped: skips must be
+    # OBSERVABLE (a silent drop reads as "parsed everything"), surfaced on
+    # the returned frame as `df.warc_skipped_records.value` after an action
+    skipped_acc = spark.sparkContext.accumulator(0)
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
+        import logging
 
         for pdf in batches:
             rows = []
@@ -176,7 +216,14 @@ def _read_warc(spark: SparkSession, path: str) -> DataFrame:
                 data = bytes(blob)
                 if fname.endswith(".gz"):
                     data = gzip.decompress(data)
-                rows.extend(_parse_warc_bytes(data))
+                stats: dict[str, int] = {}
+                rows.extend(_parse_warc_bytes(data, max_record_bytes, stats))
+                n_skip = sum(stats.values())
+                if n_skip:
+                    skipped_acc.add(n_skip)
+                    logging.getLogger(__name__).warning(
+                        "warc %s: skipped %d record(s) (%s)", fname, n_skip, stats
+                    )
             out = pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
@@ -186,7 +233,9 @@ def _read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield out
 
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
+    df = raw.mapInPandas(parse, schema=PAGES_SCHEMA)
+    df.warc_skipped_records = skipped_acc
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -133,3 +133,41 @@ def test_incremental_accepts_jsonl_delta(spark, corpus_dir, tmp_path):
     url = one.collect()[0].url
     got = out["docs"].where(F.col("url") == url).collect()
     assert len(got) == 1  # latest-wins fold, via the jsonl ingest path
+
+
+def test_warc_oversized_record_skipped_not_fatal(spark, tmp_path):
+    """One pathological record (payload over the per-record cap, or a
+    garbage Content-Length) is skipped AND counted — never a task OOM/crash;
+    every well-formed record around it still parses."""
+    import gzip
+
+    from codegraphcontext_spark.sources.pages_source import _read_warc
+
+    def rec(url, payload, length=None):
+        head = b"\r\n".join(
+            [
+                b"WARC/1.0",
+                b"WARC-Type: response",
+                b"WARC-Target-URI: " + url,
+                b"WARC-Date: 2026-01-01T00:00:00Z",
+                b"Content-Length: "
+                + (str(len(payload)).encode() if length is None else length),
+            ]
+        )
+        return head + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    blob = (
+        rec(b"https://ok.example/1", b"<html>fine</html>")
+        + rec(b"https://big.example/2", b"x" * 5000)  # over the 1 KiB test cap
+        + rec(b"https://bad.example/3", b"<p>y</p>", length=b"not-a-number")
+        + rec(b"https://ok.example/4", b"<html>also fine</html>")
+    )
+    d = tmp_path / "warc"
+    d.mkdir()
+    with gzip.open(d / "seg-00000.warc.gz", "wb") as f:
+        f.write(blob)
+
+    df = _read_warc(spark, str(d), max_record_bytes=1024)
+    urls = sorted(r.url for r in df.collect())
+    assert urls == ["https://ok.example/1", "https://ok.example/4"]
+    assert df.warc_skipped_records.value == 2
