@@ -23,6 +23,16 @@ Edge table (the (subj, pred, obj) triple table of the north rule):
 
 Provenance (first_url, first_sent_id) = min by (url, sent_id) — deterministic
 under any parallelism (no "first seen" nondeterminism; SURVEY.md §7.4).
+
+Per-occurrence provenance table (the analog of the reference's per-edge
+CALLS properties (line_number, args[], full_call_name),
+``graph_builder.py:302-329`` — one Neo4j edge per call SITE, not per pair):
+    edge_occurrences(subj_id, pred, obj_id, url, sent_id)
+      one row per ASSERTION SITE; ``edges`` is exactly its
+      groupBy(subj,pred,obj) rollup, so n_occurrences == the occurrence
+      rows per key and "show me every sentence where A FOUNDED B" is a
+      point lookup here instead of a re-derivation from checkpoint="all"
+      intermediates.
 """
 
 from __future__ import annotations
@@ -36,8 +46,8 @@ def materialize_graph(
     linked: DataFrame,
     canon: DataFrame,
     links: DataFrame,
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (nodes, edges)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (nodes, edges, edge_occurrences)."""
     # ---- nodes ----
     page_nodes = docs.select(
         F.col("url").alias("node_id"),
@@ -136,7 +146,15 @@ def materialize_graph(
         .unionByName(open_e)
         .unionByName(has_type_e)
     )
-    edges = all_e.groupBy("subj_id", "pred", "obj_id").agg(
+    return nodes, edges_from_occurrences(all_e), all_e
+
+
+def edges_from_occurrences(occurrences: DataFrame) -> DataFrame:
+    """The deduplicated edge table is exactly the occurrence table's
+    (subj, pred, obj) rollup. Split out so the runner can derive edges from
+    the COMMITTED edge_occurrences parquet — the expensive triple-resolution
+    joins upstream then run once, not once per output table."""
+    return occurrences.groupBy("subj_id", "pred", "obj_id").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min(F.struct("url", "sent_id")).alias("_prov"),
     ).select(
@@ -144,4 +162,3 @@ def materialize_graph(
         F.col("_prov.url").alias("first_url"),
         F.col("_prov.sent_id").alias("first_sent_id"),
     )
-    return nodes, edges

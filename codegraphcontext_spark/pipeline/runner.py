@@ -35,12 +35,15 @@ from pyspark.sql.window import Window
 from ..extract import EXTRACTOR_VERSION, extract_stage
 from .canon import canonicalize_entities
 from .linking import build_dictionary, link_mentions, mentions_long
-from .materialize import materialize_graph
+from .materialize import edges_from_occurrences, materialize_graph
 from .segment import segment_stage
 from ..sources import read_pages
 from .triples import defs_stage, links_stage, patterns_df, triples_stage
 
-STAGES = ["docs", "sentences", "triples", "defs", "links", "canon", "linked", "nodes", "edges"]
+STAGES = [
+    "docs", "sentences", "triples", "defs", "links", "canon", "linked",
+    "nodes", "edges", "edge_occurrences",
+]
 
 # Version of the PERSISTED stage layout (schemas + winner semantics), folded
 # into every workdir fingerprint. Bump whenever a stage's written schema or
@@ -49,12 +52,14 @@ STAGES = ["docs", "sentences", "triples", "defs", "links", "canon", "linked", "n
 # rebuilds instead of being resumed into an AnalysisException or silently
 # serving rows chosen under the old rule. EXTRACTOR_VERSION covers only the
 # html->text function; this covers everything downstream of it.
-PIPELINE_LAYOUT_VERSION = 2
+# v3: edge_occurrences provenance table added
+# v4: sentences stage carries the page lang tag (per-language extraction)
+PIPELINE_LAYOUT_VERSION = 4
 
 
 # stages always committed, even under checkpoint="minimal": the expensive
 # Python-extraction output, the linked mention table, and the graph itself.
-_MINIMAL_COMMITS = frozenset({"docs", "linked", "nodes", "edges"})
+_MINIMAL_COMMITS = frozenset({"docs", "linked", "nodes", "edges", "edge_occurrences"})
 
 
 class PipelineRunner:
@@ -230,7 +235,11 @@ class PipelineRunner:
     # (graph queries filter on node_id/subj_id; an unsorted row group spans
     # the whole key range and prunes nothing). A narrow in-partition sort,
     # no extra shuffle — at 100 TB this is the poor-man's Z-order.
-    _LAYOUT_SORT = {"nodes": ["node_id"], "edges": ["subj_id", "pred", "obj_id"]}
+    _LAYOUT_SORT = {
+        "nodes": ["node_id"],
+        "edges": ["subj_id", "pred", "obj_id"],
+        "edge_occurrences": ["subj_id", "pred", "obj_id"],
+    }
 
     def _commit(self, stage: str, df: DataFrame, by_url: bool = True) -> DataFrame:
         """Write stage output + lineage + manifest; return the re-read frame
@@ -443,19 +452,25 @@ class PipelineRunner:
             lambda: link_mentions(mentions_long(triples, defs), build_dictionary(canon)),
         )
 
-        if self._committed("nodes") and self._committed("edges"):
-            nodes, edges = self._load("nodes"), self._load("edges")
-            self.metrics["nodes"] = {"stage": "nodes", "resumed": True}
-            self.metrics["edges"] = {"stage": "edges", "resumed": True}
+        graph_stages = ("nodes", "edges", "edge_occurrences")
+        if all(self._committed(s) for s in graph_stages):
+            nodes, edges, occ = (self._load(s) for s in graph_stages)
+            for s in graph_stages:
+                self.metrics[s] = {"stage": s, "resumed": True}
         else:
-            nodes, edges = materialize_graph(docs, triples, linked, canon, links)
+            nodes, edges, occ = materialize_graph(
+                docs, triples, linked, canon, links
+            )
             nodes = self._commit("nodes", nodes, by_url=False)
-            edges = self._commit("edges", edges, by_url=False)
+            # occurrences first: edges is its rollup, derived from the
+            # committed parquet so the resolution joins run exactly once
+            occ = self._commit("edge_occurrences", occ, by_url=False)
+            edges = self._commit("edges", edges_from_occurrences(occ), by_url=False)
 
         return {
             "docs": docs, "sentences": sentences, "triples": triples,
             "defs": defs, "links": links, "canon": canon, "linked": linked,
-            "nodes": nodes, "edges": edges,
+            "nodes": nodes, "edges": edges, "edge_occurrences": occ,
         }
 
 
@@ -652,13 +667,14 @@ class PipelineRunner:
         linked = self._commit(
             "linked", link_mentions(mentions_long(triples, defs), build_dictionary(canon))
         )
-        nodes, edges = materialize_graph(docs, triples, linked, canon, links)
+        nodes, edges, occ = materialize_graph(docs, triples, linked, canon, links)
         nodes = self._commit("nodes", nodes, by_url=False)
-        edges = self._commit("edges", edges, by_url=False)
+        occ = self._commit("edge_occurrences", occ, by_url=False)
+        edges = self._commit("edges", edges_from_occurrences(occ), by_url=False)
         return {
             "docs": docs, "sentences": self._load("sentences"), "triples": triples,
             "defs": defs, "links": links, "canon": canon, "linked": linked,
-            "nodes": nodes, "edges": edges,
+            "nodes": nodes, "edges": edges, "edge_occurrences": occ,
         }
 
     def run_delete(self, url_prefix: str) -> dict[str, DataFrame]:

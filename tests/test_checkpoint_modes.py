@@ -35,7 +35,7 @@ def test_minimal_commits_only_core_stages(minimal_run):
     runner, _, wd = minimal_run
     committed = {d for d in os.listdir(wd)
                  if os.path.exists(os.path.join(wd, d, "manifest.json"))}
-    assert committed == {"docs", "linked", "nodes", "edges"}
+    assert committed == {"docs", "linked", "nodes", "edges", "edge_occurrences"}
     fused = {k for k, v in runner.metrics.items() if v.get("fused")}
     assert fused == {"sentences", "triples", "defs", "links", "canon"}
 

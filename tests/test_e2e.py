@@ -79,3 +79,22 @@ def test_mentions_edges_reference_existing_nodes(spark, pipeline_out):
         .count()
     )
     assert dangling == 0
+
+
+def test_edge_occurrences_roll_up_to_edges(spark, pipeline_out):
+    """The edges table is exactly the occurrence table's
+    (subj, pred, obj) rollup: n_occurrences matches the per-key site count,
+    and (first_url, first_sent_id) is the minimum site — so every edge's
+    provenance is answerable per-sentence from edge_occurrences."""
+    occ = pipeline_out["edge_occurrences"]
+    rolled = occ.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min(F.struct("url", "sent_id")).alias("_p"),
+    ).select(
+        "subj_id", "pred", "obj_id", "n_occurrences",
+        F.col("_p.url").alias("first_url"),
+        F.col("_p.sent_id").alias("first_sent_id"),
+    )
+    edges = pipeline_out["edges"].select(*rolled.columns)
+    assert edges.exceptAll(rolled).count() == 0
+    assert rolled.exceptAll(edges).count() == 0
