@@ -37,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # surfaced FIRST so CORRECTNESS_r03 records them; the rotated-out tail all
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
+    "kg_graph_edge_sentences",
+    "kg_graph_lang_stats",
     "kg_graph_who_references",
     "kg_graph_top_entities",
     "kg_graph_cooccurrence",

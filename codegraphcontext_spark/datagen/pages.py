@@ -25,11 +25,12 @@ import pyarrow.parquet as pq
 from .vocab import (
     ENTITIES,
     PREDICATES,
-    TYPE_NOUN,
     alias_matches_canonical,
+    def_sentence,
     entity_cluster_label,
     entity_id_of,
     norm_surface,
+    pred_phrase,
     resolve_mention,
 )
 
@@ -206,7 +207,7 @@ def generate_corpus(
                 key = ent_keys[rng.randrange(len(ent_keys))]
                 _, etype, _, variants, _ = ENT[key]
                 surf = rng.choice(variants)
-            sentences.append((f"{surf} is a {TYPE_NOUN[etype]}.", {"kind": "def", "surface": surf}))
+            sentences.append((def_sentence(surf, etype, lang), {"kind": "def", "surface": surf}))
 
         n_triples = rng.randint(1, 4)
         for _ in range(n_triples):
@@ -215,7 +216,7 @@ def generate_corpus(
             okey = pick_entity(otyp)
             ssurf, osurf = pick_surface(skey), pick_surface(okey)
             sentences.append((
-                f"{ssurf} {phrase} {osurf}.",
+                f"{ssurf} {pred_phrase(pred, phrase, lang)} {osurf}.",
                 {"kind": "triple", "pred": pred, "s": skey, "o": okey,
                  "ss": ssurf, "os": osurf, "styp": styp, "otyp": otyp},
             ))
@@ -242,7 +243,7 @@ def generate_corpus(
                     variants = ENT[key][3]
                     if not (defined_here & set(variants)):
                         v = variants[0]
-                        extra_defs.append((f"{v} is a {TYPE_NOUN[ENT[key][1]]}.",
+                        extra_defs.append((def_sentence(v, ENT[key][1], lang),
                                            {"kind": "def", "surface": v}))
                         defined_here.add(v)
         sentences.extend(extra_defs)

@@ -82,6 +82,61 @@ PREDICATES: list[tuple[str, str, tuple[str, ...], tuple[str, ...]]] = [
 
 PRED_TYPES = {p: (s, o) for p, _, s, o in PREDICATES}
 
+# --------------------------------------------------------------------------
+# Language packs (the per-language parser analog: the reference dispatches a
+# parser per file language, tools/graph_builder.py:58-61 + the JS/Java import
+# extractors import_extractor.py:58-110; here a language = a set of pattern
+# ROWS, so adding one is data, not code). Entity surfaces are proper names —
+# language-independent — so only the predicate phrase and the definitional
+# copula/noun translate. Pages with an unknown/empty lang tag fall back to
+# the 'en' ruleset (the reference's default-parser fallback).
+# --------------------------------------------------------------------------
+PRED_I18N: dict[str, dict[str, str]] = {
+    "de": {
+        "FOUNDED": "gründete",
+        "ACQUIRED": "übernahm",
+        "WORKS_AT": "arbeitet bei",
+        "CEO_OF": "ist Geschäftsführer von",
+        "BORN_IN": "wurde geboren in",
+        "LOCATED_IN": "befindet sich in",
+        "PARTNER_OF": "kooperierte mit",
+        "MOVED_TO": "zog nach",
+    },
+    "fr": {
+        "FOUNDED": "a fondé",
+        "ACQUIRED": "a acquis",
+        "WORKS_AT": "travaille chez",
+        "CEO_OF": "est le directeur général de",
+        "BORN_IN": "est né à",
+        "LOCATED_IN": "se trouve à",
+        "PARTNER_OF": "s'est associé à",
+        "MOVED_TO": "a déménagé à",
+    },
+}
+
+# Definitional-sentence packs: "<surface> <copula> <noun phrase>." — the
+# noun phrase (with its article) keys back to the entity type.
+DEF_I18N: dict[str, tuple[str, dict[str, str]]] = {
+    "en": ("is a", {"company": "org", "person": "person", "place": "place"}),
+    "de": ("ist", {"eine Firma": "org", "eine Person": "person", "ein Ort": "place"}),
+    "fr": ("est", {"une entreprise": "org", "une personne": "person",
+                   "un lieu": "place"}),
+}
+
+EXTRACTION_LANGS = ("en", "de", "fr")
+
+
+def pred_phrase(pred: str, default_phrase: str, lang: str) -> str:
+    """The phrase asserting ``pred`` in ``lang`` (en phrase as fallback)."""
+    return PRED_I18N.get(lang, {}).get(pred, default_phrase)
+
+
+def def_sentence(surface: str, etype: str, lang: str) -> str:
+    """The definitional sentence declaring ``surface``'s type in ``lang``."""
+    copula, nouns = DEF_I18N.get(lang) or DEF_I18N["en"]
+    noun = {v: k for k, v in nouns.items()}[etype]
+    return f"{surface} {copula} {noun}."
+
 
 # --------------------------------------------------------------------------
 # Normalization + similarity primitives (shared with the canonicalizer).

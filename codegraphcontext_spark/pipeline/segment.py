@@ -29,8 +29,13 @@ def sentences_expr(text_col):
 
 
 def segment_stage(docs: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """docs(url, <text_col>, ...) -> sentences(url, sent_id, sentence)."""
+    """docs(url, <text_col>, ...) -> sentences(url, sent_id, sentence[, lang]).
+
+    The page's lang tag rides along (when present) so the extraction stage
+    can dispatch the per-language pattern pack — the analog of the
+    reference's per-file-extension parser choice (graph_builder.py:58-61)."""
+    cols = ["url"] + (["lang"] if "lang" in docs.columns else [])
     return docs.select(
-        "url",
+        *cols,
         F.posexplode(sentences_expr(F.col(text_col))).alias("sent_id", "sentence"),
     )

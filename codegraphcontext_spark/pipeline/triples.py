@@ -23,28 +23,55 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..datagen.vocab import NOUN_TYPE, PREDICATES
+from ..datagen.vocab import DEF_I18N, EXTRACTION_LANGS, PREDICATES, pred_phrase
+
+
+def _eff_lang(df: DataFrame):
+    """The ruleset a row dispatches to: its lang tag when a pack exists for
+    it, else 'en' (the reference's default-parser fallback for unknown file
+    types). Sentences from pre-lang callers (no lang column) are 'en'."""
+    if "lang" not in df.columns:
+        return F.lit("en")
+    return F.when(
+        F.col("lang").isin(*EXTRACTION_LANGS), F.col("lang")
+    ).otherwise(F.lit("en"))
 
 
 def patterns_df(spark: SparkSession) -> DataFrame:
-    """The broadcastable predicate pattern table."""
-    rows = [(p, phrase, list(st), list(ot)) for p, phrase, st, ot in PREDICATES]
+    """The broadcastable predicate pattern table — one row per
+    (lang, predicate): a language pack is pattern ROWS, not code (the
+    per-language parser analog, reference graph_builder.py:58-61 +
+    import_extractor.py:58-110)."""
+    rows = [
+        (lang, p, pred_phrase(p, phrase, lang), list(st), list(ot))
+        for lang in EXTRACTION_LANGS
+        for p, phrase, st, ot in PREDICATES
+    ]
     return spark.createDataFrame(
-        rows, "pred string, phrase string, subj_types array<string>, obj_types array<string>"
+        rows,
+        "plang string, pred string, phrase string, "
+        "subj_types array<string>, obj_types array<string>",
     )
 
 
 def triples_stage(sentences: DataFrame, patterns: DataFrame) -> DataFrame:
-    """sentences(url, sent_id, sentence) x patterns ->
+    """sentences(url, sent_id, sentence[, lang]) x patterns ->
     mentions-level triples(url, sent_id, subj_surface, pred, obj_surface,
     subj_types, obj_types).
 
-    The pattern table is tiny -> broadcast nested-loop join; the instr filter
-    prunes non-matching (sentence, pattern) pairs before any string surgery.
+    The pattern table is tiny -> broadcast nested-loop join; rows pair only
+    with their language's pattern pack (plang dispatch), and the instr
+    filter prunes non-matching (sentence, pattern) pairs before any string
+    surgery.
     """
     needle = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
     pos = F.instr(F.col("sentence"), needle)
-    hit = sentences.join(F.broadcast(patterns)).where(pos > 0).withColumn("pos", pos)
+    hit = (
+        sentences.withColumn("_elang", _eff_lang(sentences))
+        .join(F.broadcast(patterns), F.col("_elang") == F.col("plang"))
+        .where(pos > 0)
+        .withColumn("pos", pos)
+    )
     subj = F.trim(F.substring(F.col("sentence"), F.lit(1), F.col("pos") - 1))
     # object = after the phrase, minus the trailing period
     tail_start = F.col("pos") + F.length("phrase") + 2
@@ -65,32 +92,43 @@ def triples_stage(sentences: DataFrame, patterns: DataFrame) -> DataFrame:
     )
 
 
-_DEF_NOUNS = sorted(NOUN_TYPE)  # company / person / place
-
-
 def defs_stage(sentences: DataFrame) -> DataFrame:
-    """Definitional sentences "X is a <noun>." -> defs(url, sent_id, surface, etype).
+    """Definitional sentences ("X is a <noun>." / "X ist <noun>." / ...) ->
+    defs(url, sent_id, surface, etype).
 
     This is the dictionary pre-scan (E11 analog): the only place entity types
-    are *declared* in the corpus.
+    are *declared* in the corpus. One Catalyst branch per language pack,
+    unioned — each branch applies only to its dispatched rows, so an English
+    copula on a German page (or vice versa) is never parsed.
     """
-    noun_alt = "|".join(_DEF_NOUNS)
-    pat = rf"^(.+) is a ({noun_alt})\.$"
-    surface = F.regexp_extract("sentence", pat, 1)
-    noun = F.regexp_extract("sentence", pat, 2)
-    noun_type = F.create_map(
-        *[x for n, t in NOUN_TYPE.items() for x in (F.lit(n), F.lit(t))]
-    )
-    return (
-        sentences.where(F.col("sentence").rlike(rf" is a ({noun_alt})\.$"))
-        .select(
-            "url",
-            "sent_id",
-            surface.alias("surface"),
-            noun_type[noun].alias("etype"),
+    import re
+
+    eff = _eff_lang(sentences)
+    branches = []
+    for lang in EXTRACTION_LANGS:
+        copula, nouns = DEF_I18N[lang]
+        noun_alt = "|".join(re.escape(n) for n in sorted(nouns))
+        pat = rf"^(.+) {re.escape(copula)} ({noun_alt})\.$"
+        surface = F.regexp_extract("sentence", pat, 1)
+        noun = F.regexp_extract("sentence", pat, 2)
+        noun_type = F.create_map(
+            *[x for n, t in nouns.items() for x in (F.lit(n), F.lit(t))]
         )
-        .where(F.length("surface") > 0)
-    )
+        branches.append(
+            sentences.where(eff == lang)
+            .where(F.col("sentence").rlike(rf" {re.escape(copula)} ({noun_alt})\.$"))
+            .select(
+                "url",
+                "sent_id",
+                surface.alias("surface"),
+                noun_type[noun].alias("etype"),
+            )
+            .where(F.length("surface") > 0)
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def links_stage(pages: DataFrame) -> DataFrame:

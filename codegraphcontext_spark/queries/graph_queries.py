@@ -29,7 +29,9 @@ from .driver_queries import _q
 
 # Bump when the pipeline's node/edge schema or semantics change — stale /tmp
 # caches from older code versions are ignored, not reused.
-_GRAPH_VERSION = 3
+# v4: edge_occurrences provenance table in the workdir
+# v5: corpus renders de/fr pages in their language; per-language extraction
+_GRAPH_VERSION = 5
 _ROOT = f"/tmp/cgc_spark_graph_v{_GRAPH_VERSION}"
 
 
@@ -70,6 +72,14 @@ def ensure_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     nodes = spark.read.parquet(os.path.join(d, "wd", "nodes", "data"))
     edges = spark.read.parquet(os.path.join(d, "wd", "edges", "data"))
     return nodes, edges
+
+
+def load_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-site provenance table (built alongside nodes/edges)."""
+    ensure_graph(spark, sf_dir)
+    return spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "wd", "edge_occurrences", "data")
+    )
 
 
 # The driver's oracle runs at sf0.01 — its SQL must be a fixed string, so the
@@ -468,6 +478,90 @@ def kg_graph_pred_stats(spark, sf_dir):
             F.sum("n_occurrences").alias("n_occ"),
         )
         .orderBy(F.asc("pred"))
+    )
+
+
+@_q(
+    "kg_graph_lang_stats",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    sites AS (SELECT url, COUNT(*) AS n FROM occ
+              WHERE pred NOT IN {_CLOSED_SQL} GROUP BY url)
+    SELECT p.lang AS lang, COUNT(*) AS n_pages,
+           CAST(COALESCE(SUM(sites.n), 0) AS BIGINT) AS n_open_sites
+    FROM nodes p LEFT JOIN sites ON sites.url = p.node_id
+    WHERE p.node_type = 'Page'
+    GROUP BY p.lang ORDER BY lang ASC""",
+)
+def kg_graph_lang_stats(spark, sf_dir):
+    """Per-language extraction coverage: pages and open-predicate assertion
+    sites by the page's lang tag — the observable proof that the
+    per-language pattern packs (reference's per-language parser dispatch,
+    graph_builder.py:58-61) actually extract from non-English pages: de/fr
+    rows must show n_open_sites > 0 (pinned in tests/test_e2e.py).
+
+    Scale shape: sites is a map-side-combinable per-url count over one
+    predicate slice; the join is page-key on both sides (co-partitioned at
+    100 TB); output is |langs| rows."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    sites = (
+        occ.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        nodes.where(F.col("node_type") == "Page")
+        .select(F.col("node_id").alias("url"), "lang")
+        .join(sites, "url", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_open_sites"),
+        )
+        .orderBy(F.asc("lang"))
+    )
+
+
+@_q(
+    "kg_graph_edge_sentences",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet'))
+    SELECT sn.name AS subj, o.pred AS pred, obn.name AS obj,
+           o.url AS url, o.sent_id AS sent_id
+    FROM occ o
+    JOIN nodes sn ON sn.node_id = o.subj_id
+    JOIN nodes obn ON obn.node_id = o.obj_id
+    WHERE o.pred = 'FOUNDED'
+    ORDER BY subj ASC, obj ASC, url ASC, sent_id ASC LIMIT 100""",
+)
+def kg_graph_edge_sentences(spark, sf_dir):
+    """Per-occurrence edge provenance: every (page, sentence) SITE asserting
+    subj FOUNDED obj — the reference keeps (line_number, args,
+    full_call_name) properties on each CALLS edge (graph_builder.py:302-329,
+    one edge per call site); here the sites live in the materialized
+    edge_occurrences table, so "show me every sentence where A FOUNDED B"
+    is a scan of one predicate's slice, not a re-derivation from
+    checkpoint='all' intermediates.
+
+    Scale shape: the occurrence table is written sorted by
+    (subj_id, pred, obj_id), so the pred filter prunes row groups; the two
+    name joins are against the entity dictionary (bounded, AQE broadcasts
+    at any realistic size); top-k compiles to TakeOrderedAndProject."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    names = nodes.select("node_id", "name")
+    return (
+        occ.where(F.col("pred") == "FOUNDED")
+        .join(names.withColumnRenamed("node_id", "subj_id")
+                   .withColumnRenamed("name", "subj"), "subj_id")
+        .join(names.withColumnRenamed("node_id", "obj_id")
+                   .withColumnRenamed("name", "obj"), "obj_id")
+        .select("subj", "pred", "obj", "url", "sent_id")
+        .orderBy(F.asc("subj"), F.asc("obj"), F.asc("url"), F.asc("sent_id"))
+        .limit(100)
     )
 
 
