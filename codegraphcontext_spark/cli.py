@@ -78,7 +78,7 @@ SUPPORTED_QUERIES = (
     "who_references", "doc_references", "importers", "neighbors",
     "top_entities", "entities_by_type", "usage_scope", "class_hierarchy",
     "overrides", "dead_entities", "complexity", "cooccurrence",
-    "all_referencers", "all_referenced", "call_chain",
+    "all_referencers", "all_referenced", "call_chain", "edge_sentences",
 )
 
 
@@ -241,6 +241,10 @@ def cmd_query(args) -> int:
                               relations, shortest first (Q17 analog incl.
                               the '->' target parse, code_finder.py:495-520,
                               679-692); --depth is the reference's max_depth
+    edge_sentences "a->b"  -> every (page, sentence) site asserting an open
+                              relation from a to b, from the materialized
+                              edge_occurrences table (per-call-site edge
+                              properties analog, graph_builder.py:302-329)
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -461,6 +465,37 @@ def cmd_query(args) -> int:
         res = _closure(
             edges, nodes, _entity_ids(nodes, name), forward, args.depth
         ).limit(args.limit)
+    elif args.query == "edge_sentences":
+        # per-site provenance: every (page, sentence) asserting subj->obj
+        # over any open predicate — served from the materialized
+        # edge_occurrences table (the reference keeps per-call-site
+        # properties on each CALLS edge, graph_builder.py:302-329), so no
+        # checkpoint='all' intermediates are needed. Both endpoint lookups
+        # are broadcast semi-joins; the occurrence scan prunes on the
+        # sorted (subj_id, pred, obj_id) layout.
+        if "->" not in (args.arg or ""):
+            print(json.dumps({
+                "error": "for edge_sentences queries, use format "
+                         "'subj_entity->obj_entity'",
+                "example": "ada lovelace->acme corp",
+            }), file=sys.stderr)
+            return 2
+        a, b = (s.strip().lower() for s in args.arg.split("->", 1))
+        occ = spark.read.parquet(f"{args.workdir}/edge_occurrences/data")
+        subj = F.broadcast(
+            _entity_ids(nodes, a).withColumnRenamed("node_id", "subj_id")
+        )
+        obj = F.broadcast(
+            _entity_ids(nodes, b).withColumnRenamed("node_id", "obj_id")
+        )
+        res = (
+            occ.where(~F.col("pred").isin(*_CLOSED_PREDS))
+            .join(subj, on="subj_id", how="left_semi")
+            .join(obj, on="obj_id", how="left_semi")
+            .select("pred", "url", "sent_id")
+            .orderBy(F.asc("pred"), F.asc("url"), F.asc("sent_id"))
+            .limit(args.limit)
+        )
     else:  # call_chain
         if "->" not in (args.arg or ""):
             print(json.dumps({

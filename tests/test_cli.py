@@ -325,3 +325,34 @@ def test_export_subcommand_roundtrip(spark, built_wd, tmp_path, capsys):
     back_edges = spark.read.json(os.path.join(out, "edges")).count()
     assert (back_nodes, back_edges) == (rep["nodes"], rep["edges"])
     assert rep["edges"] > 0
+
+
+def test_query_edge_sentences(spark, built_wd, capsys):
+    """Per-site provenance lookup: every (page, sentence) asserting an open
+    relation between a directly-connected pair, consistent with the edge
+    table's n_occurrences rollup."""
+    cli.main([
+        "sql", "--workdir", built_wd,
+        "SELECT n1.name AS a, n2.name AS b, e.n_occurrences AS n FROM edges e "
+        "JOIN nodes n1 ON n1.node_id = e.subj_id "
+        "JOIN nodes n2 ON n2.node_id = e.obj_id "
+        "WHERE e.pred NOT IN ('MENTIONS','LINKS_TO','HAS_TYPE') "
+        "ORDER BY e.n_occurrences DESC LIMIT 1",
+    ])
+    pair = _rows(capsys)[0]
+    rc = cli.main([
+        "query", "--workdir", built_wd, "edge_sentences",
+        f"{pair['a']}->{pair['b']}", "--limit", "500",
+    ])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert rows, "expected at least one occurrence site"
+    assert {"pred", "url", "sent_id"} <= set(rows[0])
+    # the sites for this pair across ALL its open preds include at least
+    # the top edge's n_occurrences rows
+    assert len(rows) >= pair["n"]
+    # malformed arg -> error contract
+    rc = cli.main([
+        "query", "--workdir", built_wd, "edge_sentences", "no-arrow",
+    ])
+    assert rc == 2
