@@ -191,8 +191,63 @@ def main() -> None:
         "host_mem_gbps_before": health_before,
         "host_mem_gbps_after": health_after,
     }
+    # Full flat detail for the judge: the driver keeps only the last 2000
+    # chars of stdout, and at 75+ queries the flat JSON line outgrew that
+    # window (BENCH_r02.json recorded parsed=null). Persist everything to
+    # BENCH_detail.json, print it once for the log, then print a FINAL line
+    # guaranteed to fit the tail window so the driver can parse it.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
+    print(_final_line(result))
     spark.stop()
+
+
+# Longest-first so kg_graph_* doesn't fall into the kg_ bucket.
+_GROUP_PREFIXES = (
+    "kg_graph_", "dedup_", "curate_", "events_", "embed_", "text_", "mm_", "kg_",
+)
+
+
+def _final_line(result: dict) -> str:
+    """One JSON line ≤1900 chars (the driver's tail window is 2000).
+
+    Flat per-query dict when it fits; otherwise queries are grouped by
+    family prefix (full name = "<group>_<key>", group "other" = verbatim)
+    with the flat dict always available in BENCH_detail.json.
+    """
+    core_keys = (
+        "metric", "value", "unit", "sf", "cpus",
+        "pipeline_docs_per_sec", "curate_docs_per_sec",
+    )
+    core = {k: result[k] for k in core_keys if k in result}
+    flat = dict(core, queries={k: round(v, 2) for k, v in result["queries"].items()})
+    line = json.dumps(flat, separators=(",", ":"))
+    if len(line) <= 1900:
+        return line
+    grouped: dict[str, dict[str, float]] = {}
+    for name, v in result["queries"].items():
+        for p in _GROUP_PREFIXES:
+            if name.startswith(p):
+                grouped.setdefault(p[:-1], {})[name[len(p):]] = round(v, 2)
+                break
+        else:
+            grouped.setdefault("other", {})[name] = round(v, 2)
+    out = dict(
+        core,
+        queries=grouped,
+        queries_grouped="full name = <group>_<key>; flat dict in BENCH_detail.json",
+    )
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= 1950:
+        return line
+    # Last resort (should not trigger below ~90 queries): keep the line
+    # parseable by pointing at the detail file instead of inlining timings.
+    out = dict(core, queries={}, queries_file="BENCH_detail.json")
+    return json.dumps(out, separators=(",", ":"))
 
 
 def scaling() -> None:

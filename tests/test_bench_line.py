@@ -1,0 +1,72 @@
+"""The driver records only the last 2000 chars of bench.py stdout and parses
+the last JSON line it finds there (BENCH_r02.json shows parsed=null because
+the 73-query flat line outgrew that window). These tests pin the contract:
+the final printed line always fits, and the grouped form is lossless."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _GROUP_PREFIXES, _final_line
+
+
+def _mk_result(names, value=12.345):
+    return {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {n: value for n in names},
+        "sf": "0.1",
+        "pipeline_docs_per_sec": 2344.1,
+        "curate_docs_per_sec": 7275.0,
+        "cpus": 32,
+    }
+
+
+def _reconstruct(queries_field):
+    names = set()
+    for g, members in queries_field.items():
+        for k in members:
+            names.add(k if g == "other" else f"{g}_{k}")
+    return names
+
+
+def test_small_query_set_stays_flat():
+    names = [f"q{i}" for i in range(10)]
+    line = _final_line(_mk_result(names))
+    d = json.loads(line)
+    assert d["queries"] == {n: 12.35 for n in names}
+    assert len(line) <= 1900
+
+
+def test_real_query_set_fits_and_is_lossless():
+    import __spark_entry__ as e
+
+    names = list(e.queries().keys())
+    line = _final_line(_mk_result(names))
+    assert len(line) <= 1950, len(line)
+    d = json.loads(line)
+    qs = d["queries"]
+    if qs and isinstance(next(iter(qs.values())), dict):
+        assert _reconstruct(qs) == set(names)
+    else:
+        assert set(qs) == set(names)
+    # core keys survive whichever form is chosen
+    for k in ("metric", "value", "unit", "sf", "cpus", "pipeline_docs_per_sec"):
+        assert k in d
+
+
+def test_huge_query_set_degrades_to_pointer_not_overflow():
+    # 400 long names cannot fit inline in any form; the line must still be
+    # a parseable JSON line under the window with a pointer to the detail.
+    names = [f"kg_graph_extremely_long_query_name_number_{i}" for i in range(400)]
+    line = _final_line(_mk_result(names))
+    assert len(line) <= 1950
+    d = json.loads(line)
+    assert d.get("queries_file") == "BENCH_detail.json"
+
+
+def test_prefixes_are_longest_first():
+    # kg_graph_* must not fall into the kg_ bucket
+    assert _GROUP_PREFIXES.index("kg_graph_") < _GROUP_PREFIXES.index("kg_")
