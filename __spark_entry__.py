@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # surfaced FIRST so CORRECTNESS_r03 records them; the rotated-out tail all
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
+    "kg_graph_hits",
     "kg_graph_edge_sentences",
     "kg_graph_lang_stats",
     "kg_graph_who_references",

