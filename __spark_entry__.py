@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
     "kg_graph_hits",
+    "kg_graph_label_prop",
     "kg_graph_edge_sentences",
     "kg_graph_lang_stats",
     "kg_graph_who_references",

@@ -1166,3 +1166,118 @@ def kg_graph_hits(spark, sf_dir):
         .orderBy(F.desc("auth"), F.desc("hub"), F.asc("node_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection over the undirected entity graph)
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the synchronous label-propagation rounds.
+    Labels are node_id strings; the winner rule (max neighbor-label count,
+    ties -> lexicographically smallest label) is deterministic and identical
+    in both engines (plain byte-wise string comparison on hex ids)."""
+    parts = [
+        f"""{_G_CTE},
+    und AS (SELECT DISTINCT a, b FROM (
+              SELECT subj_id AS a, obj_id AS b FROM edges
+              UNION ALL
+              SELECT obj_id AS a, subj_id AS b FROM edges)
+            WHERE a <> b),
+    ids AS (SELECT node_id FROM nodes),
+    l0 AS (SELECT node_id, node_id AS label FROM ids)"""
+    ]
+    for i in range(1, _LP_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"""    c{i} AS (SELECT und.a AS node_id, l{p}.label, COUNT(*) AS c
+          FROM und JOIN l{p} ON l{p}.node_id = und.b
+          GROUP BY und.a, l{p}.label),
+    w{i} AS (SELECT node_id, label FROM (
+             SELECT node_id, label,
+                    ROW_NUMBER() OVER (PARTITION BY node_id
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM c{i}) WHERE rn = 1),
+    l{i} AS (SELECT l{p}.node_id, COALESCE(w{i}.label, l{p}.label) AS label
+          FROM l{p} LEFT JOIN w{i} USING (node_id))"""
+        )
+    k = _LP_ROUNDS
+    parts.append(
+        f"""    SELECT l{k}.label AS community, nodes.name AS community_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{k} JOIN nodes ON nodes.node_id = l{k}.label
+    GROUP BY l{k}.label, nodes.name
+    ORDER BY n_members DESC, community ASC LIMIT 20"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_label_prop", _label_prop_oracle_sql())
+def kg_graph_label_prop(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    undirected entity/page graph (graph analytics beyond the reference's
+    per-node tools, alongside kg_graph_pagerank / kg_graph_hits — 'which
+    entities cluster together' is the aggregate view of code_finder.py's
+    neighborhood queries at :495-520).
+
+    Semantics: every node starts with its own node_id as label; each of the
+    _LP_ROUNDS synchronous rounds re-labels a node with its neighbors'
+    modal label (ties -> smallest label; isolated nodes keep their label).
+    Bounded rounds + deterministic tie-break = identical output at any
+    parallelism, so the DuckDB unrolled-CTE twin matches exactly.
+
+    Scale shape: the undirected adjacency is built once and
+    localCheckpoint'ed; each round is ONE shuffle join (label vector x
+    adjacency on the neighbor key) + a map-side-combinable
+    groupBy(node,label) + a per-node window whose partition is bounded by
+    the node's distinct-neighbor-label count (the standard LPA shape; AQE
+    skew-join splits hub partitions). Labels are 2 narrow columns; nothing
+    is collected to the driver."""
+    from pyspark.sql import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    e = edges.select("subj_id", "obj_id").where(F.col("subj_id") != F.col("obj_id"))
+    und = (
+        e.select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .unionAll(e.select(F.col("obj_id").alias("a"), F.col("subj_id").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node_id", F.col("node_id").alias("label"))
+    win = Window.partitionBy("node_id").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LP_ROUNDS):
+        labels = labels.localCheckpoint(eager=True)
+        counts = (
+            und.join(labels.withColumnRenamed("node_id", "b"), "b")
+            .groupBy(F.col("a").alias("node_id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("node_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            nodes.select(F.col("node_id").alias("label"), F.col("name")), "label"
+        )
+        .select(
+            F.col("label").alias("community"),
+            F.col("name").alias("community_name"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )

@@ -143,3 +143,25 @@ def test_hits_normalization_and_determinism(spark):
     assert all(0 <= r.hub <= _HITS_SCALE for r in rows)
     # the top authority must dominate: strictly positive score
     assert rows[0].auth > 0
+
+
+def test_label_prop_deterministic_partition(spark):
+    """Synchronous rounds + deterministic tie-break: bit-identical output
+    across runs, and the reported communities are a true partition slice
+    (sizes >= 1, community labels are real node ids with names)."""
+    from codegraphcontext_spark.queries.graph_queries import (
+        ensure_graph,
+        kg_graph_label_prop,
+    )
+
+    rows = kg_graph_label_prop(spark, SF_DIR).collect()
+    rows2 = kg_graph_label_prop(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+    assert rows, "expected at least one community"
+    nodes, _ = ensure_graph(spark, SF_DIR)
+    n = nodes.count()
+    assert all(1 <= r.n_members <= n for r in rows)
+    assert all(r.community_name for r in rows)
+    # sizes are reported descending
+    sizes = [r.n_members for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
