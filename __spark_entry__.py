@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_FIRST = (
     "kg_graph_hits",
     "kg_graph_label_prop",
+    "curate_pack_tokens",
     "kg_graph_edge_sentences",
     "kg_graph_lang_stats",
     "kg_graph_who_references",

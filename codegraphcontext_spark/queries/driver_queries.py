@@ -2389,3 +2389,88 @@ def kg_search_tfidf(spark, sf_dir):
         .orderBy(F.desc("relevance"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# =============================================================================
+# Sequence packing (training-batch composition)
+# =============================================================================
+
+_PACK_BUDGET = 2048   # tokens per packed sequence bin
+_PACK_SHARDS = 8      # independent packing streams per language
+
+
+@_q(
+    "curate_pack_tokens",
+    f"""WITH nt AS (
+      SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, shard, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM nt)
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY lang, shard, bin""",
+)
+def curate_pack_tokens(spark, sf_dir):
+    """Sequence packing — assign documents to fixed-token-budget training
+    bins (the batch-composition step between curation and tokenizer
+    sharding in an LLM data pipeline). Docs are packed greedily in doc_id
+    order within independent (lang, shard) streams: a doc lands in the bin
+    its running-token-offset falls into (bin = floor(preceding_tokens /
+    BUDGET)); a doc may straddle a boundary, which real packers handle by
+    splitting at tokenization time — bin membership here records where each
+    doc STARTS.
+
+    Determinism: ordering is (doc_id) inside a (lang, doc_id % SHARDS)
+    stream — no RNG, no partitioning sensitivity — so the DuckDB window
+    twin matches exactly.
+
+    Scale shape: the token count is a narrow JVM-side HOF fused into the
+    scan; the only shuffle is the window's hash partition on (lang, shard).
+    Each window partition holds corpus/|langs|/SHARDS docs — SHARDS is the
+    explicit knob that bounds per-task state at 100 TB (raise it and each
+    stream still packs independently: any partition of docs into streams is
+    a valid packing). The final groupBy reuses the window's partitioning
+    (no second exchange)."""
+    from pyspark.sql import Window
+
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    nt = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).cast("bigint").alias("shard"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = nt.withColumn(
+        "cum_excl", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    )
+    return (
+        c.groupBy(
+            "lang",
+            "shard",
+            F.expr(f"CAST(cum_excl div {_PACK_BUDGET} AS BIGINT)").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )

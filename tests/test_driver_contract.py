@@ -165,3 +165,38 @@ def test_label_prop_deterministic_partition(spark):
     # sizes are reported descending
     sizes = [r.n_members for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_pack_tokens_bins_hand_computed(spark, tmp_path):
+    """Packing on a hand-built corpus: one lang, doc_ids all in shard 1
+    (ids 1,9,17,25 ≡ 1 mod 8), 1000 tokens each, budget 2048 → docs start
+    at offsets 0/1000/2000/3000 → bins 0,0,0,1. Invariants: every doc
+    packed exactly once, bin token sums reconstruct the corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import curate_pack_tokens
+
+    text = " ".join(["tok"] * 1000)
+    ids = [1, 9, 17, 25]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([text] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(text)] * 4, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        (r.lang, r.shard, r.bin): r
+        for r in curate_pack_tokens(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("en", 1, 0), ("en", 1, 1)}
+    b0, b1 = rows[("en", 1, 0)], rows[("en", 1, 1)]
+    assert (b0.n_docs, b0.sum_tokens, b0.first_doc, b0.last_doc) == (3, 3000, 1, 17)
+    assert (b1.n_docs, b1.sum_tokens, b1.first_doc, b1.last_doc) == (1, 1000, 25, 25)
+    # conservation: every token of the corpus lands in exactly one bin
+    assert sum(r.sum_tokens for r in rows.values()) == 4000
+    assert sum(r.n_docs for r in rows.values()) == 4
