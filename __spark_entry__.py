@@ -40,6 +40,7 @@ _SWEEP_FIRST = (
     "kg_graph_hits",
     "kg_graph_label_prop",
     "curate_pack_tokens",
+    "events_retention",
     "kg_graph_edge_sentences",
     "kg_graph_lang_stats",
     "kg_graph_who_references",

@@ -2474,3 +2474,57 @@ def curate_pack_tokens(spark, sf_dir):
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
     )
+
+
+@_q(
+    "events_retention",
+    """WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohort AS (
+      SELECT user_id, MIN(day) AS c0 FROM act GROUP BY user_id),
+    flags AS (
+      SELECT cohort.user_id, cohort.c0,
+             MAX(CASE WHEN date_diff('day', c0, day) = 1 THEN 1 ELSE 0 END)
+               AS r1,
+             MAX(CASE WHEN date_diff('day', c0, day) = 7 THEN 1 ELSE 0 END)
+               AS r7
+      FROM cohort JOIN act USING (user_id) GROUP BY cohort.user_id, cohort.c0)
+    SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(r1) AS BIGINT) AS d1_retained,
+           CAST(SUM(r7) AS BIGINT) AS d7_retained
+    FROM flags GROUP BY c0""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention — the classic product-analytics rollup: users are
+    cohorted by their first active day; D1/D7 retention counts how many were
+    active exactly 1/7 days later. Day is a string on both sides (same
+    reason as events_daily).
+
+    Scale shape: ONE distinct over (user, day) — map-side combinable and
+    tiny next to the raw stream — then a groupBy(user) for the cohort and a
+    user-keyed join back; both stages hash-partition on user_id, so at
+    100 TB the whole query reuses one partitioning and nothing wide ever
+    materializes (the flags table is one row per user)."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("c0"))
+    flags = (
+        cohort.join(act, "user_id")
+        .groupBy("user_id", "c0")
+        .agg(
+            F.max(
+                F.when(F.datediff("day", "c0") == 1, 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.datediff("day", "c0") == 7, 1).otherwise(0)
+            ).alias("r7"),
+        )
+    )
+    return flags.groupBy(
+        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("r1").cast("bigint").alias("d1_retained"),
+        F.sum("r7").cast("bigint").alias("d7_retained"),
+    )

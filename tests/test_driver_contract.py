@@ -200,3 +200,38 @@ def test_pack_tokens_bins_hand_computed(spark, tmp_path):
     # conservation: every token of the corpus lands in exactly one bin
     assert sum(r.sum_tokens for r in rows.values()) == 4000
     assert sum(r.n_docs for r in rows.values()) == 4
+
+
+def test_retention_hand_computed(spark, tmp_path):
+    """D1/D7 cohort flags on a hand-built stream: A returns next day, B on
+    day 7 exactly, C never, D cohorts two days later and returns next day."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import events_retention
+
+    d = lambda day, h=0: datetime(2024, 3, 1 + day, h)  # noqa: E731
+    rows = [  # (event_id, ts, user_id)
+        (1, d(0), 1), (2, d(1), 1),          # A: d1 yes
+        (3, d(0), 2), (4, d(7), 2),          # B: d7 yes
+        (5, d(0), 3),                         # C: neither
+        (6, d(2), 4), (7, d(3), 4),          # D: later cohort, d1 yes
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r.cohort_day: (r.n_users, r.d1_retained, r.d7_retained)
+        for r in events_retention(spark, str(tmp_path)).collect()
+    }
+    assert got == {"2024-03-01": (3, 1, 1), "2024-03-03": (1, 1, 0)}
