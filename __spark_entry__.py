@@ -41,6 +41,7 @@ _SWEEP_FIRST = (
     "kg_graph_label_prop",
     "curate_pack_tokens",
     "events_retention",
+    "text_keywords",
     "kg_graph_edge_sentences",
     "kg_graph_lang_stats",
     "kg_graph_who_references",

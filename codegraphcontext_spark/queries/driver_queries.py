@@ -2528,3 +2528,69 @@ def events_retention(spark, sf_dir):
         F.sum("r1").cast("bigint").alias("d1_retained"),
         F.sum("r7").cast("bigint").alias("d7_retained"),
     )
+
+
+@_q(
+    "text_keywords",
+    f"""{_TOKS_CTE},
+    toks2 AS (SELECT doc_id, term FROM toks
+              WHERE term <> '' AND term NOT IN {_STOP_SQL}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+           GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2
+           GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks2),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      tf.tf * ((n.n * 1000) // df.df) AS score
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, score,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term ASC)
+                        AS rank
+               FROM scored)
+    SELECT doc_id, term AS keyword, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3""",
+)
+def text_keywords(spark, sf_dir):
+    """Keyword extraction — top-3 TF-IDF terms per document (the metadata-
+    enrichment step a training pipeline runs to tag documents for mixture
+    sampling; the per-doc complement of the query-driven kg_search_tfidf).
+    IDF is the same scaled-integer rule as kg_search_tfidf (N*1000 // df,
+    floor division in both engines) so scores are bit-exact at any
+    parallelism; ties break on the term string.
+
+    Scale shape: tf is a map-side-combinable groupBy(doc, term); df is a
+    map-side-combinable distinct-agg per term; the scalar N arrives via a
+    single-row cross join (broadcast). The df->tf join keys on term (at
+    100 TB the df table is vocabulary-sized — orders below the corpus).
+    The final window partitions by doc_id, bounded by per-doc distinct
+    terms."""
+    from pyspark.sql import Window
+
+    toks = _tokens(_t(spark, sf_dir, "documents")).where(
+        ~F.col("term").isin("the", "a")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * ((n * 1000) div df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("term").alias("keyword"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

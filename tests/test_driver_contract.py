@@ -235,3 +235,35 @@ def test_retention_hand_computed(spark, tmp_path):
         for r in events_retention(spark, str(tmp_path)).collect()
     }
     assert got == {"2024-03-01": (3, 1, 1), "2024-03-03": (1, 1, 0)}
+
+
+def test_keywords_hand_computed(spark, tmp_path):
+    """TF-IDF keywords on a two-doc corpus: N=2, idf_x1000(apple)=2000,
+    (banana)=1000, (cherry)=2000 → doc 1 ranks apple (tf2 × 2000 = 4000)
+    over banana (1000); doc 2 ranks cherry over banana."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import text_keywords
+
+    texts = ["apple apple banana", "banana cherry"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["t", "t"], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_id, r.rank): (r.keyword, r.score)
+        for r in text_keywords(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 1): ("apple", 4000),
+        (1, 2): ("banana", 1000),
+        (2, 1): ("cherry", 2000),
+        (2, 2): ("banana", 1000),
+    }
