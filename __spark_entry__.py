@@ -42,6 +42,7 @@ _SWEEP_FIRST = (
     "curate_pack_tokens",
     "events_retention",
     "text_keywords",
+    "kg_graph_components",
     "kg_graph_edge_sentences",
     "kg_graph_lang_stats",
     "kg_graph_who_references",

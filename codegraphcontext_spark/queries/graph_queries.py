@@ -1281,3 +1281,85 @@ def kg_graph_label_prop(spark, sf_dir):
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(20)
     )
+
+
+@_q(
+    "kg_graph_components",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    e2 AS (SELECT subj_id AS s, obj_id AS d FROM rel
+           UNION ALL SELECT obj_id AS s, subj_id AS d FROM rel),
+    reach(src, dst) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e2) u
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN e2 e ON e.s = r.dst),
+    comp AS (SELECT src AS node_id, MIN(dst) AS component
+             FROM reach GROUP BY src),
+    ents AS (SELECT node_id FROM nodes WHERE node_type = 'Entity'),
+    lab AS (SELECT ents.node_id,
+                   COALESCE(comp.component, ents.node_id) AS component
+            FROM ents LEFT JOIN comp USING (node_id))
+    SELECT lab.component, n2.name AS component_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab JOIN nodes n2 ON n2.node_id = lab.component
+    GROUP BY lab.component, n2.name
+    ORDER BY n_members DESC, component ASC""",
+)
+def kg_graph_components(spark, sf_dir):
+    """Weakly-connected components over the OPEN relation subgraph (the
+    'org families' view: entities transitively tied by FOUNDED/ACQUIRED/...
+    assertions — the aggregate complement of kg_graph_hierarchy's per-node
+    neighborhood, reference code_finder.py:393-412). Reuses the pipeline's
+    canonicalization CC (pipeline/canon.py: driver union-find below the
+    100k-pair cutover, min-label-propagation DataFrame loop above — the
+    exact machinery the north rule's canonicalization stage runs at scale),
+    so the production CC path itself is oracle-checked here against a
+    DuckDB recursive reachability closure.
+
+    Scale shape: the open-edge slice is orders below the MENTIONS-dominated
+    edge table; CC above the cutover is one shuffle (groupBy min) per
+    iteration over narrow (id, label) rows with per-iteration
+    localCheckpoint lineage truncation."""
+    from ..pipeline.canon import connected_components
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+    )
+    verts = (
+        rel.select(F.col("a").alias("surface"))
+        .unionAll(rel.select(F.col("b").alias("surface")))
+        .distinct()
+    )
+    comp = connected_components(verts, rel)
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        F.col("node_id").alias("surface")
+    )
+    lab = ents.join(comp, "surface", "left").select(
+        "surface", F.coalesce("label", "surface").alias("label")
+    )
+    return (
+        lab.groupBy(F.col("label").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            nodes.select(
+                F.col("node_id").alias("component"),
+                F.col("name").alias("component_name"),
+            ),
+            "component",
+        )
+        .select(
+            "component",
+            "component_name",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("component"))
+    )
