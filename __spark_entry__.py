@@ -37,6 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # surfaced FIRST so CORRECTNESS_r03 records them; the rotated-out tail all
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
+    "text_repetition",
+    "text_lm_score",
+    "kg_graph_degree_dist",
+    "kg_graph_kcore",
     "kg_graph_hits",
     "kg_graph_label_prop",
     "curate_pack_tokens",

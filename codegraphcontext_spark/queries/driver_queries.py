@@ -2594,3 +2594,173 @@ def text_keywords(spark, sf_dir):
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# =============================================================================
+# Repetition filtering (Gopher-style duplicate-ngram character fraction)
+# =============================================================================
+
+def _rep_oracle_ngram(n: int, out: str) -> str:
+    """DuckDB CTE chain computing the duplicate-{n}gram char fraction. The
+    oracle uses the explode+groupBy formulation (clarity over scale — it is
+    the spec, not the plan); the Spark side computes the identical quantity
+    with zero shuffle."""
+    return f"""
+    g{n} AS (SELECT doc_id,
+                    unnest([array_to_string(a[i:i+{n - 1}], ' ')
+                            for i in generate_series(1, len(a)-{n - 1})]) AS g
+             FROM t),
+    m{n} AS (SELECT doc_id, g, COUNT(*) AS c, LENGTH(g) AS l FROM g{n}
+             GROUP BY doc_id, g),
+    {out} AS (SELECT doc_id,
+                     SUM(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup,
+                     SUM(c * l) AS tot
+              FROM m{n} GROUP BY doc_id)"""
+
+
+def _rep_spark_expr(sorted_col: str) -> str:
+    """Scaled duplicate-char fraction over a SORTED ngram array: an element
+    belongs to a duplicate group iff it equals its sorted predecessor or
+    successor (try_element_at is 1-based; IF keeps index 0 out of its
+    domain — ANSI mode rejects it even for the try_ variant)."""
+    s = sorted_col
+    tot = f"aggregate({s}, 0L, (acc, x) -> acc + length(x))"
+    dup = (
+        f"aggregate(filter({s}, (x, i) -> "
+        f"IF(i = 0, NULL, try_element_at({s}, i)) = x "
+        f"OR try_element_at({s}, i + 2) = x), "
+        f"0L, (acc, x) -> acc + length(x))"
+    )
+    return (
+        f"CAST(CASE WHEN {tot} > 0 THEN {dup} * 1000 DIV {tot} "
+        f"ELSE 0 END AS BIGINT)"
+    )
+
+
+@_q(
+    "text_repetition",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+                   FROM documents),{_rep_oracle_ngram(2, "r2")},{_rep_oracle_ngram(3, "r3")}
+    SELECT t.doc_id,
+           CAST(COALESCE(r2.dup * 1000 // r2.tot, 0) AS BIGINT) AS rep2_x1000,
+           CAST(COALESCE(r3.dup * 1000 // r3.tot, 0) AS BIGINT) AS rep3_x1000
+    FROM t LEFT JOIN r2 USING (doc_id) LEFT JOIN r3 USING (doc_id)""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-rule repetition filter: per document, the fraction of
+    characters covered by word {2,3}-grams that occur more than once inside
+    that document (Rae et al. 2021 'repetition removal'; the filter that
+    drops template/boilerplate-heavy webtext before pretraining). Scaled to
+    x1000 integers, floor division on both engines.
+
+    Scale shape: duplicate detection is WITHIN-document, so the whole
+    computation stays inside array HOFs on the scan stage — build ngrams
+    (transform over sequence), array_sort, count members of runs >= 2 via
+    sorted-neighbor equality — emitting ONE row per doc with ZERO shuffles
+    (no explode, no groupBy; at 100 TB this runs at scan speed). The
+    oracle recomputes the same quantity via explode+groupBy."""
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = docs.select("doc_id", F.split("text", " ").alias("a"))
+    for n in (2, 3):
+        d = d.withColumn(
+            f"s{n}",
+            F.expr(
+                f"array_sort(CASE WHEN size(a) >= {n} THEN "
+                f"transform(sequence(0, size(a) - {n}), "
+                f"i -> concat_ws(' ', slice(a, i + 1, {n}))) "
+                f"ELSE array() END)"
+            ),
+        )
+    return d.select(
+        "doc_id",
+        F.expr(_rep_spark_expr("s2")).alias("rep2_x1000"),
+        F.expr(_rep_spark_expr("s3")).alias("rep3_x1000"),
+    )
+
+
+# =============================================================================
+# LM-likelihood scoring (CCNet-style model-based quality filtering)
+# =============================================================================
+
+@_q(
+    "text_lm_score",
+    """WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '')
+                           AS a
+                  FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([a[i] || ' ' || a[i+1]
+                         for i in generate_series(1, len(a)-1)]) AS g
+          FROM t),
+    dg AS (SELECT doc_id, g, COUNT(*) AS cg FROM g GROUP BY doc_id, g),
+    m AS (SELECT g, SUM(cg) AS c12 FROM dg GROUP BY g),
+    pre AS (SELECT string_split(g, ' ')[1] AS w1, SUM(c12) AS c1 FROM m
+            GROUP BY w1),
+    p AS (SELECT m.g, m.c12 * 1000000 // pre.c1 AS p
+          FROM m JOIN pre ON string_split(m.g, ' ')[1] = pre.w1),
+    s AS (SELECT dg.doc_id, SUM(dg.cg) AS nb, SUM(dg.cg * p.p) AS tot
+          FROM dg JOIN p USING (g) GROUP BY dg.doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.tot // s.nb, 0) AS BIGINT) AS lm_x1e6
+    FROM t LEFT JOIN s USING (doc_id)""",
+)
+def text_lm_score(spark, sf_dir):
+    """Model-based quality scoring, CCNet-style (Wenzek et al. 2020): fit a
+    bigram language model ON the corpus itself, then score each document by
+    its mean conditional bigram probability P(w2|w1) — the 'does this look
+    like the rest of the corpus' filter a pretraining pipeline thresholds
+    on (low scorers are gibberish/boilerplate, extreme high scorers are
+    repetitive templates). Probabilities are scaled-integer
+    (c12 * 1e6 // c1) so both engines floor identically; the doc score is
+    the cg-weighted floor mean.
+
+    Scale shape: per-doc bigram counts (dg) are a map-side-combinable
+    groupBy; the model (m, pre) is vocabulary²-bounded — orders below the
+    corpus; the dg->model join keys on the bigram string (AQE broadcasts
+    the model when it fits, plain shuffle join otherwise — no forced
+    hint); the final per-doc agg is map-side combinable. No window, no
+    driver state."""
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("a"),
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN transform("
+                "sequence(0, size(a) - 2), "
+                "i -> concat(a[i], ' ', a[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    dg = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cg"))
+    m = dg.groupBy("g").agg(F.sum("cg").alias("c12"))
+    pre = (
+        m.withColumn("w1", F.expr("split(g, ' ')[0]"))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    p = (
+        m.withColumn("w1", F.expr("split(g, ' ')[0]"))
+        .join(pre, "w1")
+        .select("g", F.expr("c12 * 1000000 DIV c1").alias("p"))
+    )
+    s = (
+        dg.join(p, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cg").alias("nb"),
+            F.sum(F.expr("cg * p")).alias("tot"),
+        )
+    )
+    return t.join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.expr("tot DIV nb"), F.lit(0))
+        .cast("bigint")
+        .alias("lm_x1e6"),
+    )

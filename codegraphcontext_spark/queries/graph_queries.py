@@ -1363,3 +1363,134 @@ def kg_graph_components(spark, sf_dir):
         )
         .orderBy(F.desc("n_members"), F.asc("component"))
     )
+
+
+@_q(
+    "kg_graph_degree_dist",
+    f"""{_G_CTE},
+    inc AS (SELECT subj_id AS node_id FROM edges
+            UNION ALL SELECT obj_id FROM edges),
+    deg AS (SELECT node_id, COUNT(*) AS deg FROM inc GROUP BY node_id),
+    b AS (SELECT node_id, deg, LENGTH(bin(deg)) AS bucket FROM deg)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM b GROUP BY bucket ORDER BY bucket""",
+)
+def kg_graph_degree_dist(spark, sf_dir):
+    """Log2-bucketed degree histogram of the materialized graph (the
+    power-law shape check a web-scale KG needs before choosing skew
+    strategies: which hub buckets exist and how heavy they are; reference
+    surfaces per-node degree via code_finder's most-referenced ranking —
+    this is its corpus-level aggregate). Bucket = floor(log2(deg)) + 1
+    computed INTEGER-exactly as the binary-representation length (conv /
+    bin), never floating log2 (log2(8.0) rounding would misbucket exact
+    powers).
+
+    Scale shape: one map-side-combinable groupBy(node_id) over the edge
+    list, then a ~64-row histogram agg — no joins, no window."""
+    _, edges = ensure_graph(spark, sf_dir)
+    inc = edges.select(F.col("subj_id").alias("node_id")).unionAll(
+        edges.select(F.col("obj_id").alias("node_id"))
+    )
+    deg = inc.groupBy("node_id").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.select(F.expr("length(conv(deg, 10, 2))").alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "min_deg",
+            "max_deg",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# k-core: K and the fixed peel-round count are part of the operator's
+# contract — BOTH engines run exactly _KCORE_ROUNDS rounds, so results are
+# bit-identical whether or not the peel has converged (it converges in <=4
+# rounds on every tier's corpus; the fixed bound keeps the oracle a finite
+# unrolled SQL chain).
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    sql = f"""{_G_CTE},
+    rel AS (SELECT DISTINCT subj_id AS s, obj_id AS d FROM edges
+            WHERE subj_id <> obj_id),
+    e AS (SELECT s, d FROM rel UNION SELECT d, s FROM rel),
+    a0 AS (SELECT DISTINCT s AS n FROM e)"""
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        sql += f""",
+    d{r} AS (SELECT e.s AS n, COUNT(*) AS c FROM e
+             JOIN a{p} x ON e.s = x.n JOIN a{p} y ON e.d = y.n
+             GROUP BY e.s),
+    a{r} AS (SELECT n FROM d{r} WHERE c >= {_KCORE_K})"""
+    R = _KCORE_ROUNDS
+    return sql + f"""
+    SELECT d.n AS node_id, nodes.name, CAST(d.c AS BIGINT) AS core_deg
+    FROM d{R} d JOIN a{R} a ON d.n = a.n
+    JOIN nodes ON nodes.node_id = d.n
+    ORDER BY core_deg DESC, node_id ASC LIMIT 50"""
+
+
+@_q("kg_graph_kcore", _kcore_oracle())
+def kg_graph_kcore(spark, sf_dir):
+    """{K}-core decomposition of the undirected graph (K=3): iteratively
+    peel nodes with fewer than K surviving distinct neighbors — the dense
+    backbone a web-KG keeps when trimming the long tail of one-mention
+    entities/pages (the graph-native analog of quality-threshold curation).
+    Both engines run EXACTLY _KCORE_ROUNDS peel rounds (converged =
+    fixpoint; contract holds either way), so the oracle is a finite
+    unrolled CTE chain.
+
+    Scale shape: per round, two broadcast-or-shuffle semi-joins of the edge
+    list against the shrinking alive set plus one map-side-combinable
+    degree agg; alive is localCheckpoint-ed each round to truncate lineage
+    (the same discipline as kg_graph_pagerank). Top-50 compiles to
+    TakeOrderedAndProject."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(F.col("subj_id") != F.col("obj_id"))
+        .select(F.col("subj_id").alias("s"), F.col("obj_id").alias("d"))
+        .distinct()
+    )
+    e = (
+        rel.unionAll(rel.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = e.select(F.col("s").alias("n")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.join(alive.withColumnRenamed("n", "s"), "s", "left_semi")
+            .join(alive.withColumnRenamed("n", "d"), "d", "left_semi")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = (
+            deg.where(F.col("c") >= _KCORE_K)
+            .select(F.col("s").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        deg.join(alive.withColumnRenamed("n", "s"), "s", "left_semi")
+        .join(nodes.select(F.col("node_id").alias("s"), "name"), "s")
+        .select(
+            F.col("s").alias("node_id"),
+            "name",
+            F.col("c").cast("bigint").alias("core_deg"),
+        )
+        .orderBy(F.desc("core_deg"), F.asc("node_id"))
+        .limit(50)
+    )
