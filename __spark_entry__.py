@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_FIRST = (
     "text_repetition",
     "text_lm_score",
+    "text_pii_scrub",
     "kg_graph_degree_dist",
     "kg_graph_kcore",
     "kg_graph_hits",

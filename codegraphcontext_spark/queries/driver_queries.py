@@ -2764,3 +2764,74 @@ def text_lm_score(spark, sf_dir):
         .cast("bigint")
         .alias("lm_x1e6"),
     )
+
+
+# =============================================================================
+# PII scrubbing (C4-style redaction pass)
+# =============================================================================
+
+# The synthetic corpus is lowercase word-soup with no PII, so the operator
+# is exercised over text || a deterministic per-doc contact footer that BOTH
+# engines construct from doc_id with identical integer/string arithmetic
+# (the mm_* precedent: the stand-in payload is synthesized in-query; what
+# the oracle pins is the real machinery — here the cross-engine regex
+# match/redaction semantics over 500 distinct strings). Real-PII behavior
+# (multi-match, overlaps, boundary cases) is pinned by tests/test_pii.py
+# through the same functions/pii.py surface.
+_PII_FOOTER_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call ' || "
+    "CAST(100 + doc_id % 900 AS VARCHAR) || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+@_q(
+    "text_pii_scrub",
+    f"""WITH t AS (SELECT doc_id, text || {_PII_FOOTER_SQL} AS full_text
+                   FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(full_text,
+                 '\\b[0-9]{{3}}-[0-9]{{4}}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(full_text,
+                 '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+             AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b[0-9]{{3}}-[0-9]{{4}}\\b', '<PHONE>', 'g'),
+                 '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                 '<IP>', 'g')) AS redacted_md5
+    FROM t""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrub (C4-family redaction): count + redact emails, phone
+    numbers, and IPv4 addresses, emitting the redacted text's md5. Runs
+    the real functions/pii.py surface (regexp_extract_all /
+    regexp_replace — JVM-side, whole-stage codegen, zero shuffles at any
+    scale); the corpus rows are extended with a deterministic synthetic
+    contact footer so every pattern actually fires (see _PII_FOOTER_SQL
+    note)."""
+    from ..functions.pii import pii_counts, pii_redact
+
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    footer = F.expr(
+        "concat(' contact user', CAST(doc_id AS STRING), "
+        "'@example.com or call ', CAST(100 + doc_id % 900 AS STRING), '-', "
+        "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' at 10.', "
+        "CAST(doc_id % 256 AS STRING), '.0.', "
+        "CAST((doc_id * 7) % 256 AS STRING))"
+    )
+    t = docs.select(
+        "doc_id", F.concat(F.col("text"), footer).alias("full_text")
+    )
+    c = F.col("full_text")
+    return t.select(
+        "doc_id",
+        *[cnt.cast("bigint").alias(n) for cnt, n in zip(
+            pii_counts(c), ("n_emails", "n_phones", "n_ips"))],
+        F.md5(pii_redact(c)).alias("redacted_md5"),
+    )
