@@ -40,6 +40,7 @@ _SWEEP_FIRST = (
     "text_repetition",
     "text_lm_score",
     "text_pii_scrub",
+    "events_anomaly",
     "kg_graph_degree_dist",
     "kg_graph_kcore",
     "kg_graph_hits",

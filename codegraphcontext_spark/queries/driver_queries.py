@@ -2835,3 +2835,71 @@ def text_pii_scrub(spark, sf_dir):
             pii_counts(c), ("n_emails", "n_phones", "n_ips"))],
         F.md5(pii_redact(c)).alias("redacted_md5"),
     )
+
+
+# =============================================================================
+# Anomaly detection over the event stream (integer-exact z-score)
+# =============================================================================
+
+@_q(
+    "events_anomaly",
+    """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                         COUNT(*) AS cnt
+                  FROM events GROUP BY event_type, day),
+    s AS (SELECT event_type, COUNT(*) AS n, SUM(cnt) AS tot,
+                 SUM(cnt * cnt) AS sumsq
+          FROM d GROUP BY event_type),
+    z AS (SELECT d.event_type, d.day, d.cnt,
+                 (d.cnt * s.n - s.tot) * (d.cnt * s.n - s.tot) AS num,
+                 s.n * s.sumsq - s.tot * s.tot AS var_n2
+          FROM d JOIN s USING (event_type))
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(CASE WHEN var_n2 > 0 THEN num * 1000 // var_n2
+                     ELSE 0 END AS BIGINT) AS z2_x1000,
+           CAST(CASE WHEN var_n2 > 0 AND num > 4 * var_n2
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM z ORDER BY event_type, day""",
+)
+def events_anomaly(spark, sf_dir):
+    """Daily volume anomaly detection per event type — the drift monitor a
+    training-data ingestion pipeline runs over its event/telemetry stream.
+    A day is anomalous when its count sits more than 2 population-stddevs
+    from that type's daily mean; the z² test is pure integer arithmetic
+    ((c*n - tot)² vs 4*(n*sumsq - tot²) — both engines compare exactly,
+    no float stddev). The squared term stays inside bigint up to daily
+    counts ~3e9 per type; beyond that, lift `num` to decimal(38,0) (both
+    engines support it exactly).
+
+    Scale shape: daily counts are a map-side-combinable groupBy over the
+    raw events; per-type stats aggregate the tiny daily table; the
+    stats-side of the join is |event_types| rows (AQE broadcasts it). No
+    window over raw events, no driver state."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.expr("cnt * cnt")).alias("sumsq"),
+    )
+    z = d.join(s, "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        F.expr("(cnt * n - tot) * (cnt * n - tot)").alias("num"),
+        F.expr("n * sumsq - tot * tot").alias("var_n2"),
+    )
+    return z.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr(
+            "CAST(CASE WHEN var_n2 > 0 THEN num * 1000 DIV var_n2 "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("z2_x1000"),
+        F.expr(
+            "CAST(CASE WHEN var_n2 > 0 AND num > 4 * var_n2 "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
