@@ -41,6 +41,8 @@ _SWEEP_FIRST = (
     "text_lm_score",
     "text_pii_scrub",
     "events_anomaly",
+    "dedup_semantic",
+    "sample_mixture",
     "kg_graph_degree_dist",
     "kg_graph_kcore",
     "kg_graph_hits",

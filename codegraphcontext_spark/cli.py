@@ -530,8 +530,9 @@ def cmd_delete(args) -> int:
 
 def cmd_curate(args) -> int:
     """Training-data curation chain over a documents table: exact dedup ->
-    MinHash-LSH near-dup dedup -> quality threshold -> language allowlist
-    -> curated parquet + stats (see curate.py for stage semantics)."""
+    MinHash-LSH near-dup dedup -> quality threshold -> repetition ceiling
+    -> language allowlist -> PII redaction -> curated parquet + stats
+    (see curate.py for stage semantics)."""
     from .curate import curate_documents
 
     spark = _spark(args)
@@ -542,7 +543,9 @@ def cmd_curate(args) -> int:
         args.out,
         jaccard=args.jaccard,
         min_quality=args.min_quality,
+        max_rep3=args.max_rep3,
         langs=args.langs.split(",") if args.langs else None,
+        redact_pii=not args.no_pii_redact,
     )
     print(json.dumps(stats))
     return 0
@@ -871,7 +874,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--out", required=True)
     cu.add_argument("--jaccard", type=float, default=0.8)
     cu.add_argument("--min-quality", type=int, default=600)
+    cu.add_argument("--max-rep3", type=int, default=180,
+                    help="duplicate-trigram char per-mille ceiling")
     cu.add_argument("--langs", default=None, help="comma-separated allowlist")
+    cu.add_argument("--no-pii-redact", action="store_true",
+                    help="skip the in-place PII redaction pass")
     cu.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("status", help="per-stage manifests + lineage summary")

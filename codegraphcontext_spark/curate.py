@@ -2,7 +2,8 @@
 ``dedup_*`` / ``text_*`` operators exist for, as one resumable batch job.
 
     documents --> exact dedup --> near-dup dedup (MinHash-LSH + CC)
-              --> quality threshold --> language allowlist --> curated parquet
+              --> quality threshold --> repetition ceiling
+              --> language allowlist --> PII redaction --> curated parquet
 
 Each filter is a pure DataFrame transform; the only driver-side loop is the
 connected-components labeling shared with the canonicalizer
@@ -17,7 +18,15 @@ connected-components labeling shared with the canonicalizer
   when A,C never collide directly.
 * **quality**: the integer-stable score of ``text_quality`` must reach
   ``min_quality``.
+* **repetition**: the duplicate-trigram character fraction of
+  ``text_repetition`` (Gopher repetition-removal rule) must stay at or
+  below ``max_rep3`` per-mille — drops template/boilerplate-heavy pages
+  that score fine on the length/alpha heuristics. Computed shuffle-free
+  inside array HOFs (scan-speed at any corpus size).
 * **lang**: optional allowlist.
+* **pii**: emails/phones/IPv4s redacted IN PLACE with typed tags
+  (``functions/pii.py``, C4-style) — a rewrite, not a filter; the stats
+  record how many surviving docs were touched.
 
 At 100 TB every stage is shuffle-bounded by design: the exact stage
 shuffles 16-byte hashes, the LSH band join shuffles bare (key, band) keys
@@ -51,6 +60,9 @@ BAND_BUCKET_CAP = 64
 
 DEFAULT_JACCARD = 0.8
 DEFAULT_MIN_QUALITY = 600
+# Gopher-ish ceiling: drop docs with > 18% of characters inside duplicated
+# word trigrams (Rae et al. 2021 use 0.18 for the dup-3gram fraction).
+DEFAULT_MAX_REP3 = 180
 
 
 def _doc_key(col):
@@ -170,7 +182,9 @@ def curate_documents(
     out_dir: str,
     jaccard: float = DEFAULT_JACCARD,
     min_quality: int = DEFAULT_MIN_QUALITY,
+    max_rep3: int = DEFAULT_MAX_REP3,
     langs: list[str] | None = None,
+    redact_pii: bool = True,
 ) -> dict:
     """Run the full curation chain; write curated parquet + stats json.
 
@@ -227,9 +241,35 @@ def curate_documents(
     )
     n_qual = qual.count()
 
-    # 4. language allowlist
-    kept = qual.where(F.col("lang").isin(langs)) if langs else qual
+    # 4. repetition ceiling (Gopher repetition-removal): duplicate-trigram
+    # char fraction computed inside array HOFs — no explode, no shuffle
+    # (the same sorted-neighbor rule as text_repetition).
+    from .queries.driver_queries import _rep_spark_expr
+
+    rep = qual.withColumn(
+        "_s3",
+        F.expr(
+            "array_sort(CASE WHEN size(split(text, ' ')) >= 3 THEN "
+            "transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) "
+            "ELSE array() END)"
+        ),
+    ).where(F.expr(_rep_spark_expr("_s3")) <= max_rep3).drop("_s3")
+    n_rep = rep.count()
+
+    # 5. language allowlist
+    kept = rep.where(F.col("lang").isin(langs)) if langs else rep
     n_out = kept.count()
+
+    # 6. PII redaction (C4-style, in place — a rewrite, not a filter)
+    n_pii = 0
+    if redact_pii:
+        from .functions.pii import pii_redact
+
+        kept = kept.withColumn("_red", pii_redact(F.col("text")))
+        kept = kept.localCheckpoint(eager=True)
+        n_pii = kept.where(F.col("_red") != F.col("text")).count()
+        kept = kept.drop("text").withColumnRenamed("_red", "text")
 
     kept.drop("key").write.mode("overwrite").parquet(
         os.path.join(out_dir, "curated.parquet")
@@ -239,10 +279,13 @@ def curate_documents(
         "removed_exact_dup": n_in - n_exact,
         "removed_near_dup": n_exact - n_near,
         "removed_low_quality": n_near - n_qual,
-        "removed_lang": n_qual - n_out,
+        "removed_repetition": n_qual - n_rep,
+        "removed_lang": n_rep - n_out,
+        "pii_redacted_docs": n_pii,
         "n_out": n_out,
         "jaccard": jaccard,
         "min_quality": min_quality,
+        "max_rep3": max_rep3,
         "langs": langs,
     }
     with open(os.path.join(out_dir, "stats.json"), "w") as f:

@@ -1561,6 +1561,43 @@ _IVF_K = 8       # inverted-file cells (deterministic seed centroids)
 _IVF_NPROBE = 2  # cells probed per query
 
 
+def _round_half_away(x):
+    """SQL ROUND rounds halves AWAY FROM ZERO; np.rint rounds half-to-even
+    — an exact x.5 cosine would diverge between engines otherwise."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _seed_centroids(emb: DataFrame, k: int) -> "np.ndarray":
+    """Row-normalized K x dim float64 centroid matrix from the first K
+    vectors. Tiny driver collect by design: K centroid vectors (the
+    "model", the stand-in for a k-means|| training pass), not data — the
+    same role as a broadcast dimension table."""
+    cents = np.stack(
+        [
+            r["embedding"]
+            for r in emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+        ]
+    ).astype("float64")
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _assign_cell_udf(cn: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment against the broadcast
+    normalized centroid matrix ``cn``. Rounds cosine to 1e6 BEFORE the
+    argmax and breaks ties on the lowest cent_id (np.argmax returns the
+    first max), exactly like the oracle's ORDER BY cos_x1e6 DESC,
+    cent_id ASC — so the inverted file is float-order-independent."""
+
+    @pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = _round_half_away(m @ cn.T * 1e6)
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return assign_cell
+
+
 @_q(
     "embed_ann_ivf",
     f"""{_EMB_CTE},
@@ -1616,36 +1653,12 @@ def embed_ann_ivf(spark, sf_dir):
     emb = _fan_out(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    # Tiny driver collect by design: K centroid vectors (the "model"), not
-    # data — same role as a broadcast dimension table.
-    cents = np.stack(
-        [
-            r["embedding"]
-            for r in emb.where(F.col("vec_id") < _IVF_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
-    ).astype("float64")
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-
-    def _round_half_away(x):
-        # SQL ROUND rounds halves AWAY FROM ZERO; np.rint rounds half-to-even
-        # — an exact x.5 cosine would diverge between engines otherwise
-        return np.sign(x) * np.floor(np.abs(x) + 0.5)
-
-    @pandas_udf("int")
-    def assign_cell(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = _round_half_away(m @ cn.T * 1e6)  # round like the oracle, THEN argmax
-        # np.argmax returns the first max -> lowest cent_id wins ties,
-        # matching ORDER BY cos_x1e6 DESC, cent_id ASC.
-        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+    cn = _seed_centroids(emb, _IVF_K)
+    assign_cell = _assign_cell_udf(cn)
 
     # Probe cells for the query vector (vec_id 0): numpy on the driver over
     # the same broadcast centroid matrix.
-    qv = cents[0] / np.linalg.norm(cents[0])
-    qcos = _round_half_away(cn @ qv * 1e6)
+    qcos = _round_half_away(cn @ cn[0] * 1e6)
     order = np.lexsort((np.arange(_IVF_K), -qcos))  # cos desc, cent_id asc
     probe_cells = [int(c) for c in order[:_IVF_NPROBE]]
 
@@ -2903,3 +2916,178 @@ def events_anomaly(spark, sf_dir):
             "THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# =============================================================================
+# Semantic dedup (SemDeDup-style: cluster, then dedup within cluster)
+# =============================================================================
+
+_SEM_T = 350000  # keep threshold: rounded cos_x1e6 >= T marks a semantic dup
+
+
+@_q(
+    "dedup_semantic",
+    f"""{_EMB_CTE},
+    cents AS (SELECT vec_id AS cent_id, i, x FROM e WHERE vec_id < {_IVF_K}),
+    sims AS (
+      SELECT e.vec_id, c.cent_id,
+             CAST(ROUND(SUM(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE))))
+               * 1e6) AS BIGINT) AS cos_x1e6
+      FROM e JOIN cents c ON e.i = c.i
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_x1e6 DESC, cent_id ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    pr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM assign a JOIN assign b
+             ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+    pc AS (
+      SELECT pr.va, pr.vb,
+             CAST(ROUND(SUM(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE))
+               / (SQRT(SUM(CAST(ea.x AS DOUBLE) * CAST(ea.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(eb.x AS DOUBLE) * CAST(eb.x AS DOUBLE))))
+               * 1e6) AS BIGINT) AS cos_x1e6
+      FROM pr JOIN e ea ON ea.vec_id = pr.va
+              JOIN e eb ON eb.vec_id = pr.vb AND eb.i = ea.i
+      GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT vb FROM pc WHERE cos_x1e6 >= {_SEM_T})
+    SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cell,
+           CAST(CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_kept
+    FROM assign a LEFT JOIN dup d ON d.vb = a.vec_id
+    ORDER BY a.vec_id""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings to K seed centroids (the same deterministic assignment as
+    embed_ann_ivf — rounded-cosine argmax, lowest-cell tie-break), then
+    WITHIN each cell mark a vector as a duplicate if any lower-id
+    cell-mate has rounded cosine >= T with it (greedy keep-first — the
+    epsilon-dedup rule with a deterministic survivor). Pair search never
+    leaves a cell, so the quadratic term is C(cell,2), not C(n,2).
+
+    At 100 TB: K scales with the corpus (SemDeDup uses n/1e4-ish cells),
+    keeping cell populations bounded, so the intra-cell pair join stays
+    linear-ish in n; assignment is one Arrow-batched narrow pass against
+    the broadcast centroid matrix; the pair join shuffles on cell then
+    joins narrow (vec_id, cell) rows, re-attaching vectors only to
+    admitted pairs (the dedup_cc_clusters discipline)."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cn = _seed_centroids(emb, _IVF_K)
+    assigned = emb.withColumn(
+        "cell", _assign_cell_udf(cn)("embedding")
+    ).localCheckpoint(eager=True)
+
+    slim = assigned.select("vec_id", "cell")
+    pairs = (
+        slim.alias("a")
+        .join(slim.alias("b"), "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+    )
+    cand = pairs.join(
+        assigned.select(F.col("vec_id").alias("va"),
+                        F.col("embedding").alias("ea")), "va"
+    ).join(
+        assigned.select(F.col("vec_id").alias("vb"),
+                        F.col("embedding").alias("eb")), "vb"
+    )
+    cos = _dot_udf("ea", "eb") / (_norm_udf("ea") * _norm_udf("eb"))
+    dup = (
+        cand.select("vb", F.round(cos * 1e6).cast("bigint").alias("c"))
+        .where(F.col("c") >= _SEM_T)
+        .select("vb")
+        .distinct()
+    )
+    return (
+        slim.join(dup, slim.vec_id == dup.vb, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.when(F.col("vb").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# =============================================================================
+# Mixture sampling (source-balanced corpus composition)
+# =============================================================================
+
+@_q(
+    "sample_mixture",
+    """WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                  GROUP BY source),
+    s AS (SELECT SUM(n_docs) AS tot, COUNT(*) AS k FROM n),
+    r AS (SELECT n.source, n.n_docs,
+                 LEAST(4096, ((s.tot // s.k) * 4096) // n.n_docs)
+                   AS rate_x4096
+          FROM n CROSS JOIN s),
+    kept AS (SELECT d.source, COUNT(*) AS n_kept
+             FROM documents d JOIN r USING (source)
+             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 3))
+                        AS INTEGER) < r.rate_x4096
+             GROUP BY d.source)
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.rate_x4096 AS BIGINT) AS rate_x4096,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN kept USING (source)
+    ORDER BY source""",
+)
+def sample_mixture(spark, sf_dir):
+    """Source-balanced mixture sampling — the data-mixing step that
+    composes a pretraining corpus from skewed sources: each source is
+    down-sampled toward the mean source size (keep-rate =
+    min(1, mean/n_s), i.e. temperature alpha->0 source balancing), so no
+    single crawl dominates the mixture. The keep decision is the shared
+    deterministic hash rule (md5 nibbles — the THIRD trio, independent of
+    curate_split's nibble 1 and sample_stratified's nibble 2), in 1/4096
+    granularity: reproducible under any partitioning, no sampling RNG.
+    Rates are scaled-integer floor division on both engines; the hex
+    parse is conv(,16,10) / CAST('0x..' ) — both exact.
+
+    Scale shape: per-source counts are a map-side-combinable groupBy; the
+    rate table is |sources| rows (AQE broadcasts it into the probe); the
+    keep predicate fuses into the scan. No window, no driver state."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = n.agg(F.sum("n_docs").alias("tot"), F.count(F.lit(1)).alias("k"))
+    r = n.crossJoin(s).select(
+        "source",
+        "n_docs",
+        F.expr("LEAST(4096, ((tot DIV k) * 4096) DIV n_docs)").alias(
+            "rate_x4096"
+        ),
+    )
+    h3 = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 3), 16, 10) "
+        "AS BIGINT)"
+    )
+    kept = (
+        docs.join(r.select("source", "rate_x4096"), "source")
+        .where(h3 < F.col("rate_x4096"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("rate_x4096").cast("bigint").alias("rate_x4096"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -160,3 +160,45 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_out"] == 3
+
+
+def test_repetition_and_pii_stages(spark, tmp_path):
+    """Round-3 stages: a template-repetitive doc that sails through the
+    length/alpha quality score is dropped by the Gopher repetition
+    ceiling, and PII in a surviving doc is redacted in place (a rewrite,
+    not a filter)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, _BASE_A + "alpha ending one", "en"),
+        # passes quality (long, alpha, stopword band) but ~100% of its
+        # chars sit in duplicated trigrams -> repetition removes it
+        (1, ("the quick brown fox jumps over a lazy dog " * 10).strip(),
+         "en"),
+        (2, _BASE_B + "contact me at crow.keeper@harbor.example.org soon",
+         "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "c")
+    stats = curate_documents(
+        spark, docs, out, jaccard=0.5, min_quality=400, langs=["en"]
+    )
+    assert stats["removed_repetition"] == 1
+    assert stats["pii_redacted_docs"] == 1
+    assert stats["n_out"] == 2
+    kept = spark.read.parquet(os.path.join(out, "curated.parquet"))
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 2]
+    red = kept.where(F.col("doc_id") == 2).collect()[0].text
+    assert "<EMAIL>" in red and "@" not in red
+
+
+def test_pii_redaction_can_be_disabled(spark, tmp_path):
+    rows = [(0, _BASE_A + "mail a@b.co now", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "nopii")
+    stats = curate_documents(
+        spark, docs, out, jaccard=0.5, min_quality=0, redact_pii=False
+    )
+    assert stats["pii_redacted_docs"] == 0
+    kept = spark.read.parquet(os.path.join(out, "curated.parquet"))
+    assert "a@b.co" in kept.collect()[0].text

@@ -70,3 +70,20 @@ def test_lineitem_pricing_partial_aggregates(spark):
     # map-side combine: partial + final HashAggregate pair around one shuffle
     p = _plan(spark, "lineitem_pricing")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_text_repetition_is_exchange_free(spark):
+    # the Gopher repetition filter computes duplicate-ngram fractions
+    # entirely inside array HOFs — one row per doc at scan speed. The only
+    # allowed Exchange is _fan_out's round-robin scan repartition (a
+    # single-file-testdata artifact); a hashpartitioning Exchange means
+    # someone reintroduced explode+groupBy
+    p = _plan(spark, "text_repetition")
+    assert "hashpartitioning" not in p, p
+
+
+def test_events_anomaly_stats_join_not_forced(spark):
+    # the per-type stats side is tiny; AQE should pick broadcast at this
+    # scale, but nothing may FORCE it (the type cardinality is unbounded)
+    p = _plan(spark, "events_anomaly")
+    assert "SortMergeJoin" not in p
