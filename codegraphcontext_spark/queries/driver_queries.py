@@ -3091,3 +3091,142 @@ def sample_mixture(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# =============================================================================
+# K-means clustering over embeddings (exact-integer Lloyd iterations)
+# =============================================================================
+
+_KM_K = 8  # clusters; seed = the first K vectors (deterministic, like _IVF_K)
+
+
+def _km_sql() -> str:
+    """Unrolled 2-iteration Lloyd k-means as a DuckDB CTE chain. Quantizes
+    each component to round(x * 1e6) int64 up front, so every distance is
+    an exact integer (no float summation order) and every centroid update
+    is floor(sum/count) — bit-identical to the Spark side regardless of
+    partitioning. The FLOOR(double) form is exact while |sum| < 2^53; the
+    100 TB variant swaps the cast for DECIMAL division."""
+    dist = (
+        "SELECT eq.vec_id, c.cent_id, "
+        "CAST(SUM((eq.xq - c.xq) * (eq.xq - c.xq)) AS BIGINT) AS dist "
+        "FROM eq JOIN {cents} c USING (i) GROUP BY 1, 2"
+    )
+    amin = (
+        "SELECT vec_id, cent_id, dist FROM ("
+        "SELECT vec_id, cent_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn "
+        "FROM {dists}) WHERE rn = 1"
+    )
+    upd = (
+        "SELECT a.cent_id, eq.i, "
+        "CAST(FLOOR(CAST(SUM(eq.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS xq "
+        "FROM eq JOIN {assign} a ON eq.vec_id = a.vec_id GROUP BY 1, 2"
+    )
+    return f"""{_EMB_CTE},
+    eq AS (SELECT vec_id, i,
+                  CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           FROM e),
+    c0 AS (SELECT vec_id AS cent_id, i, xq FROM eq WHERE vec_id < {_KM_K}),
+    d1 AS ({dist.format(cents='c0')}),
+    a1 AS ({amin.format(dists='d1')}),
+    c1 AS ({upd.format(assign='a1')}),
+    d2 AS ({dist.format(cents='c1')}),
+    a2 AS ({amin.format(dists='d2')}),
+    c2 AS ({upd.format(assign='a2')}),
+    d3 AS ({dist.format(cents='c2')})
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster, dist
+    FROM ({amin.format(dists='d3')})"""
+
+
+def _km_assign_udf(cent_ids: list, cents: "np.ndarray"):
+    """Arrow-batched exact-int64 nearest-centroid assignment. ``cents``
+    rows are sorted by cent_id ascending, so np.argmin's first-minimum
+    rule == the oracle's ORDER BY dist ASC, cent_id ASC tie-break."""
+    ids = np.asarray(cent_ids, dtype="int64")
+
+    @pandas_udf("cluster int, dist bigint")
+    def assign(q: pd.Series) -> pd.DataFrame:
+        m = np.stack(q.to_numpy()).astype("int64")
+        diff = m[:, None, :] - cents[None, :, :]
+        d = (diff * diff).sum(axis=2)  # exact int64, no float order issues
+        pos = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": ids[pos].astype("int32"),
+                "dist": d[np.arange(len(pos)), pos],
+            }
+        )
+
+    return assign
+
+
+@_q("embed_kmeans", _km_sql())
+def embed_kmeans(spark, sf_dir):
+    """K-means over the embedding column: 2 full Lloyd iterations (assign ->
+    recompute centroids, twice) from a deterministic seed (the first K
+    vectors), then the final assignment with its squared distance. All
+    arithmetic is scaled-integer: components quantize to round(x*1e6) int64
+    once, distances are exact int64 sums, and centroid updates floor-divide
+    — so Spark and DuckDB agree bit-for-bit and the result is independent
+    of partition count and float summation order (test_driver_contract).
+
+    Scale shape (MLlib-style): centroids live on the driver as the model
+    (K x dim ints — a few KB, broadcast into the Arrow-batched assignment
+    UDF); each iteration is one narrow map over the vectors plus one
+    map-side-combinable groupBy(cluster, i) whose output is K*dim rows.
+    Nothing driver-side grows with the corpus; iterations stay O(n*dim)
+    with a K*dim-row shuffle. Empty clusters drop out of the centroid
+    table identically on both engines (the update groupBy simply has no
+    rows for them).
+
+    Reference analog: CodeGraphContext has no clustering; this implements
+    the task addendum's embedding-clustering scale path next to
+    embed_ann_ivf's fixed-seed inverted file (driver_queries.py's
+    _seed_centroids is the shared seeding rule)."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    # quantize once; reused by 3 assignment passes + 2 updates
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    seed = {
+        r["vec_id"]: r["q"]
+        for r in q.where(F.col("vec_id") < _KM_K).collect()
+    }
+    cent_ids = sorted(seed)
+    cents = np.asarray([seed[c] for c in cent_ids], dtype="int64")
+
+    for _ in range(2):  # Lloyd iterations
+        assigned = q.withColumn("a", _km_assign_udf(cent_ids, cents)("q"))
+        upd = (
+            assigned.select(
+                F.col("a.cluster").alias("cluster"),
+                F.posexplode("q").alias("i", "xq"),
+            )
+            .groupBy("cluster", "i")
+            .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # K*dim rows — the model, not data
+        )
+        by_c: dict = {}
+        for r in upd:
+            by_c.setdefault(r["cluster"], {})[r["i"]] = r["s"] // r["n"]
+        cent_ids = sorted(by_c)
+        cents = np.asarray(
+            [[by_c[c][i] for i in sorted(by_c[c])] for c in cent_ids],
+            dtype="int64",
+        )
+
+    return q.select(
+        "vec_id", _km_assign_udf(cent_ids, cents)("q").alias("a")
+    ).select(
+        "vec_id",
+        F.col("a.cluster").cast("bigint").alias("cluster"),
+        F.col("a.dist").alias("dist"),
+    )
