@@ -3230,3 +3230,194 @@ def embed_kmeans(spark, sf_dir):
         F.col("a.cluster").cast("bigint").alias("cluster"),
         F.col("a.dist").alias("dist"),
     )
+
+
+# =============================================================================
+# Product-quantization ANN (compressed-code similarity, the 100 TB index)
+# =============================================================================
+
+_PQ_M = 8    # subspaces (64-dim -> 8 x 8-dim)
+_PQ_KS = 16  # codes per subspace; codebook seed = the first 16 vectors
+
+
+def _pq_sql() -> str:
+    """PQ twin: quantize to int64, split dimensions into M subspaces, code
+    each (vector, subspace) as its nearest seed sub-centroid (exact integer
+    distance, ties to the lowest code), then rank non-query vectors by the
+    asymmetric distance — the sum over subspaces of the QUERY's distance to
+    each vector's code."""
+    d = 64 // _PQ_M
+    return f"""{_EMB_CTE},
+    eq AS (SELECT vec_id, (i - 1) // {d} AS s, i,
+                  CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           FROM e),
+    cb AS (SELECT vec_id AS code, s, i, xq FROM eq WHERE vec_id < {_PQ_KS}),
+    dsub AS (
+      SELECT eq.vec_id, cb.s, cb.code,
+             CAST(SUM((eq.xq - cb.xq) * (eq.xq - cb.xq)) AS BIGINT) AS dst
+      FROM eq JOIN cb ON eq.i = cb.i GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY dst ASC, code ASC) AS rn
+        FROM dsub) WHERE rn = 1),
+    qtab AS (SELECT s, code, dst FROM dsub WHERE vec_id = 0)
+    SELECT c.vec_id, CAST(SUM(q.dst) AS BIGINT) AS adc_dist
+    FROM codes c JOIN qtab q ON c.s = q.s AND c.code = q.code
+    WHERE c.vec_id <> 0
+    GROUP BY 1 ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+
+
+def _pq_adc_udf(cb: "np.ndarray", qtab: "np.ndarray"):
+    """Arrow-batched PQ encode + asymmetric-distance lookup. ``cb`` is the
+    (M, K, d) int64 codebook, ``qtab`` the (M, K) int64 query distance
+    table. Encoding argmin's exact int64 distances (first minimum = lowest
+    code id, matching the oracle's tie-break); the ADC sum is then a pure
+    table lookup — the full-precision vector is never touched at query
+    time, which is the entire point of the PQ index at 100 TB."""
+    m_sub, k_sub, d_sub = cb.shape
+
+    @pandas_udf("bigint")
+    def adc(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("int64")
+        m = m.reshape(len(m), m_sub, d_sub)
+        out = np.zeros(len(m), dtype="int64")
+        for s in range(m_sub):  # per-subspace to bound the temp to n*K*d
+            diff = m[:, s, None, :] - cb[s][None, :, :]
+            codes = np.argmin((diff * diff).sum(-1), axis=1)
+            out += qtab[s][codes]
+        return pd.Series(out)
+
+    return adc
+
+
+@_q("embed_pq", _pq_sql())
+def embed_pq(spark, sf_dir):
+    """Product-quantization ANN — the compressed-index scale path next to
+    embed_ann_lsh (hyperplane buckets) and embed_ann_ivf (inverted file):
+    dimensions split into M=8 subspaces, each subvector coded as its
+    nearest of K=16 seed sub-centroids, and candidates ranked by the
+    asymmetric distance (sum over subspaces of the query-to-code distance).
+    All distances are exact int64 over round(x*1e6) quantized components,
+    ties to the lowest code id on both engines.
+
+    Scale shape: the codebook is M*K*(dim/M) ints (a few KB, broadcast);
+    each document compresses to M uint8 codes (8 bytes vs 256 — a 32x
+    index shrink at 100 TB), and query-time ADC is one table lookup per
+    subspace over a narrow scan of the codes column. Here encode + lookup
+    fuse into one Arrow-batched pass; a persisted variant would write the
+    codes once and scan only them. Top-k is TakeOrderedAndProject.
+
+    Reference analog: CodeGraphContext has no vector search; this
+    implements the task addendum's compressed-ANN variant (seed rule
+    shared with _seed_centroids / embed_ann_ivf)."""
+    d_sub = 64 // _PQ_M
+    emb = _fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
+        ).alias("q"),
+    )
+    seed = {
+        r["vec_id"]: np.asarray(r["q"], dtype="int64")
+        for r in q.where(F.col("vec_id") < _PQ_KS).collect()
+    }
+    # (M, K, d) codebook: subspace s of seed vector k — the model collect,
+    # like _seed_centroids (K vectors, not data)
+    cb = np.stack([seed[k] for k in sorted(seed)]).reshape(
+        _PQ_KS, _PQ_M, d_sub
+    ).transpose(1, 0, 2).copy()
+    qvec = seed.get(0)
+    if qvec is None:
+        qvec = np.asarray(
+            q.where(F.col("vec_id") == 0).collect()[0]["q"], dtype="int64"
+        )
+    qsub = qvec.reshape(_PQ_M, d_sub)
+    diff = qsub[:, None, :] - cb  # (M, K, d)
+    qtab = (diff * diff).sum(-1)  # (M, K) exact int64 distance table
+    return (
+        q.where(F.col("vec_id") != 0)
+        .select("vec_id", _pq_adc_udf(cb, qtab)("q").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# =============================================================================
+# KMV distinct-count sketch (mergeable cardinality estimation)
+# =============================================================================
+
+_KMV_K = 64
+_KMV_SPACE = 281474976710656  # 2^48: the md5-prefix hash space
+
+
+@_q(
+    "events_distinct_kmv",
+    f"""WITH hh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM events),
+    r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY h ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM hh)
+    SELECT event_type,
+           CAST(MAX(nd) AS BIGINT) AS n_distinct_exact,
+           CAST(CASE WHEN MAX(nd) < {_KMV_K} THEN MAX(nd)
+                     ELSE ({_KMV_K - 1} * {_KMV_SPACE})
+                          // MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                END AS BIGINT) AS est_distinct
+    FROM r GROUP BY event_type ORDER BY event_type""",
+)
+def events_distinct_kmv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per event type: hash
+    every user to a 48-bit value (md5 prefix — the one hash both engines
+    compute identically), keep the K smallest distinct hashes, estimate
+    |distinct| = (K-1) * 2^48 / h_K by integer floor division. Exact when
+    fewer than K distinct values were seen (the kept set IS the distinct
+    set). The exact count rides along as the verification column.
+
+    This is the engine's mergeable-sketch primitive: unlike HyperLogLog
+    (whose Spark and DuckDB implementations hash differently and can't be
+    oracle-compared), KMV over an agreed hash is deterministic, and two
+    sketches merge by unioning hash sets and re-taking the K smallest —
+    at 100 TB each partition keeps its local K minima (map-side), the
+    merge is a K-row-per-group shuffle, and nothing unbounded is held.
+    The window form here is the oracle-parity expression of that top-K.
+
+    Reference analog: none (CodeGraphContext counts exactly); task
+    addendum's sketch family."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT)"
+    )
+    hh = events.select("event_type", h.alias("h")).distinct()
+    r = hh.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.asc("h"))
+        ),
+    ).withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    agg = r.groupBy("event_type").agg(
+        F.max("nd").alias("nd"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(F.col("nd") < _KMV_K, F.col("nd")).otherwise(
+        F.expr(f"({_KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT)) DIV hk")
+    )
+    return agg.select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_distinct_exact"),
+        est.cast("bigint").alias("est_distinct"),
+    ).orderBy("event_type")
