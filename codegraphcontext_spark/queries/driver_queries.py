@@ -3421,3 +3421,90 @@ def events_distinct_kmv(spark, sf_dir):
         F.col("nd").cast("bigint").alias("n_distinct_exact"),
         est.cast("bigint").alias("est_distinct"),
     ).orderBy("event_type")
+
+
+# =============================================================================
+# TPC-H Q5 shape: local-supplier volume (the 6-way dim snowflake join)
+# =============================================================================
+
+@_q(
+    "supplier_nation_revenue",
+    """SELECT n.n_name,
+              CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) AS BIGINT)
+                AS revenue_x10k
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_x10k DESC, n_name ASC""",
+)
+def supplier_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+    ordering customer and the line's supplier share a nation, one region,
+    one order year — the classic 6-way snowflake join that stresses join
+    ordering. Revenue sums per-row scaled BIGINTs (the orders_topk_revenue
+    convention) so partial-aggregation order can't flip a hash bit.
+
+    Scale shape: region->nation prune first (nation is a CONSTANT-bounded
+    25-row dim — the one place a forced broadcast is correct at any
+    corpus size); supplier and the date-windowed orders are unbounded
+    dims, left to AQE. The fact join (lineitem |><| orders) keys on
+    orderkey — co-located under the fact table's natural bucketing; the
+    customer join carries the local-supplier constraint as a composite
+    equi-key (custkey, nationkey), so it stays a hash join, never a
+    filtered cross product. Predicates (r_name, the date window) all
+    reach their scans as pushed filters."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                region.select(F.col("r_regionkey").alias("n_regionkey"))
+            ),
+            on="n_regionkey",
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.withColumnRenamed("n_nationkey", "s_nationkey")),
+            on="s_nationkey",
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev.alias("rev")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("bigint").alias("revenue_x10k"))
+        .orderBy(F.desc("revenue_x10k"), F.asc("n_name"))
+    )
