@@ -1494,3 +1494,137 @@ def kg_graph_kcore(spark, sf_dir):
         .orderBy(F.desc("core_deg"), F.asc("node_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-anchored relatedness over the graph)
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_NAME = "acme corp"
+
+
+def _ppr_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the personalized power iteration: all
+    restart mass (and all dangling mass) returns to the SEED node instead
+    of spreading uniformly; otherwise identical scaled-integer arithmetic
+    to _pagerank_oracle_sql, so the two engines match bit-for-bit."""
+    s, dn, dd = _PR_SCALE, _PR_DAMP_NUM, _PR_DAMP_DEN
+    parts = [
+        f"""WITH
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges),
+    deg AS (SELECT subj_id, COUNT(*) AS outdeg FROM adj GROUP BY subj_id),
+    adjdeg AS (SELECT adj.subj_id, adj.obj_id, deg.outdeg
+               FROM adj JOIN deg USING (subj_id)),
+    ids AS (SELECT node_id FROM nodes),
+    seed AS (SELECT node_id AS seed_id FROM nodes
+             WHERE node_type = 'Entity' AND name = '{_PPR_SEED_NAME}'),
+    r0 AS (SELECT ids.node_id,
+                  CASE WHEN ids.node_id = seed.seed_id
+                       THEN {s} ELSE 0 END AS rank
+           FROM ids CROSS JOIN seed)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""    c{i} AS (SELECT a.obj_id AS node_id,
+                 SUM(r{p}.rank // a.outdeg) AS inc
+          FROM adjdeg a JOIN r{p} ON r{p}.node_id = a.subj_id
+          GROUP BY a.obj_id),
+    d{i} AS (SELECT COALESCE(SUM(r{p}.rank), 0) AS dang
+          FROM r{p} LEFT JOIN deg ON deg.subj_id = r{p}.node_id
+          WHERE deg.subj_id IS NULL),
+    r{i} AS (SELECT ids.node_id,
+                 (CASE WHEN ids.node_id = seed.seed_id
+                       THEN ({dd - dn} * {s}) // {dd} ELSE 0 END)
+                 + ({dn} * (COALESCE(c{i}.inc, 0)
+                            + CASE WHEN ids.node_id = seed.seed_id
+                                   THEN d{i}.dang ELSE 0 END)) // {dd} AS rank
+          FROM ids CROSS JOIN seed CROSS JOIN d{i}
+          LEFT JOIN c{i} USING (node_id))"""
+        )
+    parts.append(
+        f"""    SELECT r{_PR_ITERS}.node_id, nodes.name,
+           CAST(r{_PR_ITERS}.rank AS BIGINT) AS rank
+    FROM r{_PR_ITERS} JOIN nodes USING (node_id)
+    WHERE r{_PR_ITERS}.rank > 0
+    ORDER BY rank DESC, node_id ASC LIMIT 20"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_ppr", _ppr_oracle_sql())
+def kg_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from one seed entity — 'what is most related
+    to X by graph structure', the random-walk-with-restart upgrade of the
+    1-hop who_references/cooccurrence views (reference analog: the rank
+    fusion of code_finder.py:81-118 is static; this is seed-conditioned).
+    All restart mass and all dangling mass return to the seed, so rank
+    decays with graph distance from it.
+
+    Same scaled-integer arithmetic as kg_graph_pagerank (floor division
+    everywhere, bit-identical to the DuckDB twin); same per-iteration
+    shape: one shuffle join (ranks x adjdeg), one map-side-combinable
+    groupBy, one single-row dangling agg cross-joined back broadcast. The
+    seed id is a 1-row point lookup (the query parameter, not data).
+    Nodes the walk never reaches keep rank 0 and are filtered — output is
+    the seed's neighborhood ranked by relatedness."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    seed_id = (
+        nodes.where(
+            (F.col("node_type") == "Entity")
+            & (F.col("name") == _PPR_SEED_NAME)
+        )
+        .head()
+        .node_id
+    )
+    adj = edges.select("subj_id", "obj_id").distinct()
+    deg = adj.groupBy("subj_id").agg(F.count(F.lit(1)).alias("outdeg"))
+    adjdeg = adj.join(deg, "subj_id").localCheckpoint(eager=True)
+    non_dangling = deg.select(F.col("subj_id").alias("node_id"))
+    ids = nodes.select("node_id").localCheckpoint(eager=True)
+    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // _PR_DAMP_DEN
+    is_seed = F.col("node_id") == F.lit(seed_id)
+    ranks = ids.select(
+        "node_id",
+        F.when(is_seed, F.lit(_PR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        ranks = ranks.localCheckpoint(eager=True)
+        contribs = (
+            adjdeg.join(
+                ranks.withColumnRenamed("node_id", "subj_id"), "subj_id"
+            )
+            .select("obj_id", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy(F.col("obj_id").alias("node_id"))
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        dang = ranks.join(non_dangling, "node_id", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang")
+        )
+        ranks = (
+            ids.join(contribs, "node_id", "left")
+            .crossJoin(dang)
+            .select(
+                "node_id",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({_PR_DAMP_NUM} * (coalesce(inc, 0L)"
+                        f" + IF(node_id = '{seed_id}', dang, 0L)))"
+                        f" div {_PR_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.where(F.col("rank") > 0)
+        .join(nodes.select("node_id", "name"), "node_id")
+        .select("node_id", "name", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(20)
+    )
