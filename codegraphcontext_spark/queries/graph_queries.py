@@ -1628,3 +1628,100 @@ def kg_graph_ppr(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + reciprocity (whole-graph structural profile)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "kg_graph_degree_dist",
+    f"""{_G_CTE},
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges),
+    deg AS (SELECT node_id, COUNT(*) AS d FROM (
+              SELECT subj_id AS node_id, obj_id FROM adj
+              UNION ALL
+              SELECT obj_id AS node_id, subj_id FROM adj)
+            GROUP BY node_id)
+    SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS log2_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1 ORDER BY 1""",
+)
+def kg_graph_degree_dist(spark, sf_dir):
+    """Total-degree distribution in log2 buckets — the power-law profile of
+    the web entity graph (hub detection, skew planning: the bucket holding
+    max_degree tells you which entities need salting in downstream joins).
+    Degree counts distinct neighbors in either direction.
+
+    Scale shape: one distinct + one union + two map-side-combinable
+    groupBys; the histogram is <64 rows regardless of corpus size. LOG2 of
+    an exact integer floor-bucketed identically on both engines (exact for
+    d < 2^53; bucket edges are powers of two so no float-boundary risk)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = edges.select("subj_id", "obj_id").distinct()
+    deg = (
+        adj.select(F.col("subj_id").alias("node_id"))
+        .unionAll(adj.select(F.col("obj_id").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(
+            F.floor(F.log2("d")).cast("bigint").alias("log2_degree")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("log2_degree")
+    )
+
+
+@_q(
+    "kg_graph_reciprocity",
+    f"""{_G_CTE},
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE subj_id <> obj_id),
+    recip AS (SELECT COUNT(*) AS n_recip FROM adj a
+              JOIN adj b ON a.subj_id = b.obj_id AND a.obj_id = b.subj_id),
+    tot AS (SELECT COUNT(*) AS n_edges FROM adj)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_recip AS BIGINT) AS n_reciprocated,
+           CAST((n_recip * 1000000) // n_edges AS BIGINT)
+             AS reciprocity_x1e6
+    FROM tot CROSS JOIN recip""",
+)
+def kg_graph_reciprocity(spark, sf_dir):
+    """Edge reciprocity: the fraction of directed edges whose reverse edge
+    also exists (A FOUNDED B and B FOUNDED A — in a web KG, high
+    reciprocity flags symmetric predicates and template echo). Ratio
+    reported as a floor-divided scaled integer.
+
+    Scale shape: the reverse-pair check is a self-join of the distinct
+    edge set on the swapped key pair — hash-partitioned both sides, no
+    broadcast hint (the edge set is unbounded); counts are single-row
+    aggs cross-joined (broadcast-by-construction)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.select("subj_id", "obj_id")
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = adj.select(
+        F.col("obj_id").alias("subj_id"), F.col("subj_id").alias("obj_id")
+    )
+    n_recip = adj.join(rev, ["subj_id", "obj_id"]).agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    tot = adj.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tot.crossJoin(n_recip).select(
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_recip").cast("bigint").alias("n_reciprocated"),
+        F.expr("(n_recip * 1000000L) div n_edges")
+        .cast("bigint")
+        .alias("reciprocity_x1e6"),
+    )
