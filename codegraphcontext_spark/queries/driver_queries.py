@@ -3508,3 +3508,68 @@ def supplier_nation_revenue(spark, sf_dir):
         .agg(F.sum("rev").cast("bigint").alias("revenue_x10k"))
         .orderBy(F.desc("revenue_x10k"), F.asc("n_name"))
     )
+
+
+# =============================================================================
+# TPC-H Q14 shape: part-type revenue mix (covers the part dimension)
+# =============================================================================
+
+@_q(
+    "part_type_revenue",
+    """WITH r AS (
+      SELECT p.p_type,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS rev_x10k,
+             COUNT(*) AS n_items
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l.l_shipdate < TIMESTAMP '1996-06-01'
+      GROUP BY p.p_type),
+    t AS (SELECT SUM(rev_x10k) AS total FROM r)
+    SELECT r.p_type, CAST(r.rev_x10k AS BIGINT) AS rev_x10k,
+           CAST(r.n_items AS BIGINT) AS n_items,
+           CAST((r.rev_x10k * 1000000) // t.total AS BIGINT) AS share_x1e6
+    FROM r CROSS JOIN t ORDER BY rev_x10k DESC, p_type ASC""",
+)
+def part_type_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped revenue mix by part type over one ship-date window
+    (promo-share generalized to the full type breakdown). Revenue sums
+    per-row scaled BIGINTs; the share of total is floor-divided against a
+    single-row total cross-joined back (broadcast-by-construction).
+
+    Scale shape: the date predicate pushes into the lineitem scan; the
+    part join is a plain hash join with NO broadcast hint — part is an
+    unbounded dimension (200k x SF rows in TPC-H), so AQE picks broadcast
+    only when the runtime size allows; groupBy(p_type) is map-side
+    combinable into a constant-bounded result."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    r = (
+        li.select(F.col("l_partkey").alias("p_partkey"), rev.alias("rev"))
+        .join(part, "p_partkey")
+        .groupBy("p_type")
+        .agg(
+            F.sum("rev").alias("rev_x10k"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    t = r.agg(F.sum("rev_x10k").alias("total"))
+    return (
+        r.crossJoin(t)
+        .select(
+            "p_type",
+            F.col("rev_x10k").cast("bigint").alias("rev_x10k"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.expr("(rev_x10k * 1000000L) div total")
+            .cast("bigint")
+            .alias("share_x1e6"),
+        )
+        .orderBy(F.desc("rev_x10k"), F.asc("p_type"))
+    )
