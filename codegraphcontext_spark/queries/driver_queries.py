@@ -37,6 +37,10 @@ ORACLE_SQL: dict[str, str] = {}
 
 def _q(name: str, sql: str | None):
     def deco(fn):
+        if name in SPARK_QUERIES:  # a silent overwrite would shadow the
+            raise ValueError(       # original and skew the driver sweep
+                f"duplicate query registration: {name}"
+            )
         SPARK_QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql

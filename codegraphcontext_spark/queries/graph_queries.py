@@ -1631,54 +1631,8 @@ def kg_graph_ppr(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Degree distribution + reciprocity (whole-graph structural profile)
+# Reciprocity (whole-graph structural profile, next to kg_graph_degree_dist)
 # ---------------------------------------------------------------------------
-
-@_q(
-    "kg_graph_degree_dist",
-    f"""{_G_CTE},
-    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges),
-    deg AS (SELECT node_id, COUNT(*) AS d FROM (
-              SELECT subj_id AS node_id, obj_id FROM adj
-              UNION ALL
-              SELECT obj_id AS node_id, subj_id FROM adj)
-            GROUP BY node_id)
-    SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS log2_degree,
-           CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(MIN(d) AS BIGINT) AS min_degree,
-           CAST(MAX(d) AS BIGINT) AS max_degree
-    FROM deg GROUP BY 1 ORDER BY 1""",
-)
-def kg_graph_degree_dist(spark, sf_dir):
-    """Total-degree distribution in log2 buckets — the power-law profile of
-    the web entity graph (hub detection, skew planning: the bucket holding
-    max_degree tells you which entities need salting in downstream joins).
-    Degree counts distinct neighbors in either direction.
-
-    Scale shape: one distinct + one union + two map-side-combinable
-    groupBys; the histogram is <64 rows regardless of corpus size. LOG2 of
-    an exact integer floor-bucketed identically on both engines (exact for
-    d < 2^53; bucket edges are powers of two so no float-boundary risk)."""
-    nodes, edges = ensure_graph(spark, sf_dir)
-    adj = edges.select("subj_id", "obj_id").distinct()
-    deg = (
-        adj.select(F.col("subj_id").alias("node_id"))
-        .unionAll(adj.select(F.col("obj_id").alias("node_id")))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    return (
-        deg.groupBy(
-            F.floor(F.log2("d")).cast("bigint").alias("log2_degree")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.min("d").cast("bigint").alias("min_degree"),
-            F.max("d").cast("bigint").alias("max_degree"),
-        )
-        .orderBy("log2_degree")
-    )
-
 
 @_q(
     "kg_graph_reciprocity",
