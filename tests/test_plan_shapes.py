@@ -87,3 +87,40 @@ def test_events_anomaly_stats_join_not_forced(spark):
     # scale, but nothing may FORCE it (the type cardinality is unbounded)
     p = _plan(spark, "events_anomaly")
     assert "SortMergeJoin" not in p
+
+
+def test_embed_pq_topk_and_single_scan_pass(spark):
+    # PQ encode + ADC must fuse into one projected pass over the vectors
+    # with a TakeOrderedAndProject top-k — never a global sort, never a
+    # join back to full-precision embeddings
+    p = _plan(spark, "embed_pq")
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_supplier_nation_revenue_pushdown_and_joins(spark):
+    p = _plan(spark, "supplier_nation_revenue")
+    # region + date predicates must reach their scans
+    assert "EqualTo(r_name,ASIA)" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    # constant-bounded dims broadcast
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_part_type_revenue_pushdown_no_forced_broadcast(spark):
+    # the ship-date window must reach the lineitem scan; the part join is
+    # hint-free (unbounded dim at 100 TB — AQE decides)
+    df = SPARK_QUERIES["part_type_revenue"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_kmv_sketch_partial_distinct(spark):
+    # the distinct over (event_type, h) must partial-aggregate map-side
+    # before the shuffle (the 'local K minima' scale story's first half)
+    p = _plan(spark, "events_distinct_kmv")
+    assert p.count("HashAggregate") >= 2, p
