@@ -244,9 +244,27 @@ def _final_line(result: dict) -> str:
     line = json.dumps(out, separators=(",", ":"))
     if len(line) <= 1950:
         return line
-    # Last resort (should not trigger below ~90 queries): keep the line
-    # parseable by pointing at the detail file instead of inlining timings.
-    out = dict(core, queries={}, queries_file="BENCH_detail.json")
+    # Bounded form (any query count): per-group totals say where the time
+    # goes, the slowest queries are named inline, and the flat per-query
+    # dict lives in BENCH_detail.json (committed alongside).
+    by_group: dict[str, dict[str, float]] = {}
+    for g, members in grouped.items():
+        by_group[g] = {
+            "n": len(members),
+            "sum": round(sum(members.values()), 1),
+        }
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in result["queries"].items()),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
+    out = dict(
+        core,
+        queries_by_group=by_group,
+        slowest=slowest,
+        queries_file="BENCH_detail.json",
+    )
     return json.dumps(out, separators=(",", ":"))
 
 

@@ -40,18 +40,28 @@ def test_small_query_set_stays_flat():
     assert len(line) <= 1900
 
 
-def test_real_query_set_fits_and_is_lossless():
+def test_real_query_set_fits_and_is_accounted(*, _value=12.345):
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
     line = _final_line(_mk_result(names))
     assert len(line) <= 1950, len(line)
     d = json.loads(line)
-    qs = d["queries"]
-    if qs and isinstance(next(iter(qs.values())), dict):
-        assert _reconstruct(qs) == set(names)
+    if "queries" in d:
+        qs = d["queries"]
+        if qs and isinstance(next(iter(qs.values())), dict):
+            assert _reconstruct(qs) == set(names)
+        else:
+            assert set(qs) == set(names)
     else:
-        assert set(qs) == set(names)
+        # bounded form: every query is accounted for in a group total, the
+        # slowest are named inline, and the flat detail is pointed to
+        assert d["queries_file"] == "BENCH_detail.json"
+        bg = d["queries_by_group"]
+        assert sum(g["n"] for g in bg.values()) == len(names)
+        total = sum(g["sum"] for g in bg.values())
+        assert abs(total - _value * len(names)) < 0.1 * len(names)
+        assert d["slowest"] and set(d["slowest"]) <= set(names)
     # core keys survive whichever form is chosen
     for k in ("metric", "value", "unit", "sf", "cpus", "pipeline_docs_per_sec"):
         assert k in d
