@@ -37,6 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # surfaced FIRST so CORRECTNESS_r03 records them; the rotated-out tail all
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
+    "embed_kmeans",
+    "embed_pq",
+    "events_distinct_kmv",
+    "supplier_nation_revenue",
+    "part_type_revenue",
+    "kg_graph_ppr",
+    "kg_graph_reciprocity",
     "text_repetition",
     "text_lm_score",
     "text_pii_scrub",
