@@ -557,8 +557,8 @@ def cmd_delete(args) -> int:
 def cmd_curate(args) -> int:
     """Training-data curation chain over a documents table: exact dedup ->
     MinHash-LSH near-dup dedup -> quality threshold -> repetition ceiling
-    -> language allowlist -> PII redaction -> curated parquet + stats
-    (see curate.py for stage semantics)."""
+    -> language allowlist -> optional source balancing -> PII redaction
+    -> curated parquet + stats (see curate.py for stage semantics)."""
     from .curate import curate_documents
 
     spark = _spark(args)
@@ -572,6 +572,7 @@ def cmd_curate(args) -> int:
         max_rep3=args.max_rep3,
         langs=args.langs.split(",") if args.langs else None,
         redact_pii=not args.no_pii_redact,
+        balance_sources=args.balance_sources,
     )
     print(json.dumps(stats))
     return 0
@@ -905,6 +906,9 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--langs", default=None, help="comma-separated allowlist")
     cu.add_argument("--no-pii-redact", action="store_true",
                     help="skip the in-place PII redaction pass")
+    cu.add_argument("--balance-sources", action="store_true",
+                    help="down-sample each source toward the mean source "
+                         "size (deterministic md5-nibble mixture rule)")
     cu.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("status", help="per-stage manifests + lineage summary")

@@ -3,7 +3,8 @@
 
     documents --> exact dedup --> near-dup dedup (MinHash-LSH + CC)
               --> quality threshold --> repetition ceiling
-              --> language allowlist --> PII redaction --> curated parquet
+              --> language allowlist --> source balancing (optional)
+              --> PII redaction --> curated parquet
 
 Each filter is a pure DataFrame transform; the only driver-side loop is the
 connected-components labeling shared with the canonicalizer
@@ -24,6 +25,9 @@ connected-components labeling shared with the canonicalizer
   that score fine on the length/alpha heuristics. Computed shuffle-free
   inside array HOFs (scan-speed at any corpus size).
 * **lang**: optional allowlist.
+* **balance** (optional): each source down-sampled toward the mean source
+  size (temperature alpha->0 mixture composition) by the deterministic
+  md5-nibble rule shared with the oracle-checked ``sample_mixture`` query.
 * **pii**: emails/phones/IPv4s redacted IN PLACE with typed tags
   (``functions/pii.py``, C4-style) — a rewrite, not a filter; the stats
   record how many surviving docs were touched.
@@ -185,6 +189,7 @@ def curate_documents(
     max_rep3: int = DEFAULT_MAX_REP3,
     langs: list[str] | None = None,
     redact_pii: bool = True,
+    balance_sources: bool = False,
 ) -> dict:
     """Run the full curation chain; write curated parquet + stats json.
 
@@ -259,9 +264,41 @@ def curate_documents(
 
     # 5. language allowlist
     kept = rep.where(F.col("lang").isin(langs)) if langs else rep
+    n_lang = kept.count()
+
+    # 6. source balancing (mixture composition, optional): down-sample each
+    # source toward the mean source size with the SAME deterministic
+    # md5-nibble rule as the oracle-checked sample_mixture query — keep-rate
+    # = min(1, mean/n_s) in 1/4096 granularity, reproducible under any
+    # partitioning. The rate table is |sources| rows (AQE broadcasts it);
+    # the keep predicate fuses into the scan — no window, no driver state.
+    if balance_sources:
+        if "source" not in kept.columns:
+            raise ValueError(
+                "balance_sources=True needs a 'source' column on docs"
+            )
+        n = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        s = n.agg(
+            F.sum("n_docs").alias("tot"), F.count(F.lit(1)).alias("k")
+        )
+        rates = n.crossJoin(s).select(
+            "source",
+            F.expr("LEAST(4096, ((tot DIV k) * 4096) DIV n_docs)").alias(
+                "_rate"
+            ),
+        )
+        h3 = F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 3), 16, 10) "
+            "AS BIGINT)"
+        )
+        kept = (
+            kept.join(rates, on="source")
+            .where(h3 < F.col("_rate"))
+            .drop("_rate")
+        )
     n_out = kept.count()
 
-    # 6. PII redaction (C4-style, in place — a rewrite, not a filter)
+    # 7. PII redaction (C4-style, in place — a rewrite, not a filter)
     n_pii = 0
     if redact_pii:
         from .functions.pii import pii_redact
@@ -280,13 +317,15 @@ def curate_documents(
         "removed_near_dup": n_exact - n_near,
         "removed_low_quality": n_near - n_qual,
         "removed_repetition": n_qual - n_rep,
-        "removed_lang": n_rep - n_out,
+        "removed_lang": n_rep - n_lang,
+        "removed_balance": n_lang - n_out,
         "pii_redacted_docs": n_pii,
         "n_out": n_out,
         "jaccard": jaccard,
         "min_quality": min_quality,
         "max_rep3": max_rep3,
         "langs": langs,
+        "balance_sources": balance_sources,
     }
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f)

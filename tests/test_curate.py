@@ -202,3 +202,55 @@ def test_pii_redaction_can_be_disabled(spark, tmp_path):
     assert stats["pii_redacted_docs"] == 0
     kept = spark.read.parquet(os.path.join(out, "curated.parquet"))
     assert "a@b.co" in kept.collect()[0].text
+
+
+def test_balance_sources_stage(spark, tmp_path):
+    """Source balancing down-samples each source toward the mean source
+    size with the md5-nibble rule — pinned against a pure-Python
+    recomputation of the keep set (deterministic, partitioning-free)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta {i}", "en",
+         "crawlA")
+        for i in range(40)
+    ] + [
+        (i, f"one two three four five six seven eight {i}", "en", "crawlB")
+        for i in range(40, 45)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    stats = curate_documents(
+        spark, docs, str(tmp_path / "o"),
+        jaccard=0.99, min_quality=0, max_rep3=1000,
+        langs=None, redact_pii=False, balance_sources=True,
+    )
+    # rule: mean = (45 DIV 2) = 22; rate_s = min(4096, 22*4096 DIV n_s);
+    # keep doc when int(md5(doc_id)[2:5], 16) < rate_s  (1-based substr 3,3)
+    def h3(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[2:5], 16)
+
+    rate = {"crawlA": min(4096, 22 * 4096 // 40),
+            "crawlB": min(4096, 22 * 4096 // 5)}
+    exp_a = sum(1 for i in range(40) if h3(i) < rate["crawlA"])
+    exp_b = sum(1 for i in range(40, 45) if h3(i) < rate["crawlB"])
+    assert stats["removed_balance"] == 45 - exp_a - exp_b
+    assert stats["n_out"] == exp_a + exp_b
+    out = spark.read.parquet(str(tmp_path / "o" / "curated.parquet"))
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"crawlA": exp_a, "crawlB": exp_b}
+
+
+def test_balance_sources_requires_source_column(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="source"):
+        curate_documents(
+            spark, docs, str(tmp_path / "o"),
+            redact_pii=False, balance_sources=True,
+        )
