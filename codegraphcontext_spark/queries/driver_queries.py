@@ -3577,3 +3577,80 @@ def part_type_revenue(spark, sf_dir):
         )
         .orderBy(F.desc("rev_x10k"), F.asc("p_type"))
     )
+
+
+# =============================================================================
+# Span-level exact dedup (C4's three-sentence-span rule, token-block form)
+# =============================================================================
+
+_SPAN_W = 10  # tokens per non-overlapping span
+
+
+@_q(
+    "text_dedup_spans",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+    k AS (SELECT doc_id, toks,
+                 unnest(range((len(toks) // {_SPAN_W})::BIGINT)) AS k
+          FROM t WHERE len(toks) >= {_SPAN_W}),
+    d AS (SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                       list_slice(toks, k*{_SPAN_W}+1, k*{_SPAN_W}+{_SPAN_W}),
+                       ' ')) AS h
+          FROM k),
+    w AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h),
+    j AS (SELECT d.doc_id,
+                 CASE WHEN d.doc_id = w.keeper THEN 1 ELSE 0 END AS kept
+          FROM d JOIN w USING (h))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_removed
+    FROM j GROUP BY doc_id""",
+)
+def text_dedup_spans(spark, sf_dir):
+    """Span-level exact deduplication — C4's 'discard every repeated
+    three-sentence span' rule (Raffel et al. 2020), in token-block form for
+    this corpus (non-overlapping 10-token spans; the corpus has no sentence
+    punctuation): a span survives only in the lowest-doc_id document
+    containing it, and every document reports how many of its spans it
+    keeps vs loses. The doc-level exact/near-dup family can't see this —
+    partially-copied pages share spans, not whole documents.
+
+    Scale shape: spans never shuffle as text — each span becomes its md5
+    up front, so the winner groupBy and the membership join move 16-byte
+    keys; both are map-side-combinable/hash-partitioned on the hash. The
+    span explode is linear in corpus tokens (the same budget as any
+    tokenization pass). Distinct-per-doc first, so a span repeated inside
+    one document counts once.
+
+    Reference analog: none (MERGE dedups whole keys); task addendum's
+    sub-document dedup next to text_boilerplate_frac's df signal."""
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) DIV {_SPAN_W} - 1), "
+                    f"k -> md5(concat_ws(' ', "
+                    f"slice(toks, k*{_SPAN_W}+1, {_SPAN_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = spans.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = spans.join(w, "h").select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0).alias(
+            "kept"
+        ),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_removed"),
+    )
