@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # surfaced FIRST so CORRECTNESS_r03 records them; the rotated-out tail all
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
+    "text_winnow",
     "text_dedup_spans",
     "embed_kmeans",
     "embed_pq",

@@ -3654,3 +3654,80 @@ def text_dedup_spans(spark, sf_dir):
         F.sum("kept").cast("bigint").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_removed"),
     )
+
+
+# =============================================================================
+# Winnowing fingerprints (MOSS-style local document fingerprinting)
+# =============================================================================
+
+_WINNOW_W = 4  # consecutive shingle-hashes per winnowing window
+
+
+@_q(
+    "text_winnow",
+    f"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(
+                     range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ) AS hs
+          FROM s0),
+    f0 AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(hs) - {_WINNOW_W - 1},
+                                        least(len(hs), 1)) + 1),
+                      j -> list_min(hs[j:j+{_WINNOW_W - 1}]))) AS fps
+           FROM h WHERE len(hs) > 0),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+    sh AS (SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_fps
+    FROM fp JOIN sh USING (fp) GROUP BY doc_id""",
+)
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    algorithm): hash every positional word-3-gram (the ONE shingling rule,
+    order kept, duplicates kept), slide a window of W consecutive hashes,
+    and keep each window's minimum. The guarantee `text_fingerprint`'s
+    single global min cannot give: any shared token run spanning at least
+    W+2 tokens yields at least one IDENTICAL fingerprint in both documents,
+    so substring-level overlap (partial plagiarism, benchmark contamination)
+    is detectable without comparing texts. Output is the per-doc density
+    signal: total distinct fingerprints and how many are shared with any
+    other document corpus-wide.
+
+    Scale shape: the window-min selection runs entirely inside one
+    whole-stage-codegen projection (transform/sequence/slice/array_min HOFs
+    over the in-row hash array — no shuffle, no UDF); only 16-byte md5
+    fingerprints are exploded and shuffled, once for the per-fp posting
+    count and once for the per-doc rollup, both map-side-combinable. The
+    fingerprint set is ~1/W of the shingle count by the winnowing density
+    bound, so the shuffle is strictly cheaper than any full-shingle join.
+
+    Reference analog: none (Lucene indexes whole terms); task addendum's
+    document-fingerprinting family, upgraded from global-min to local."""
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    hashes = F.transform(
+        _shingle_array(F.split("text", " ")), lambda s: F.md5(s)
+    )
+    h = docs.select("doc_id", hashes.alias("hs")).where(F.size("hs") > 0)
+    fp = h.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, "
+                f"least(size(hs), 1))), "
+                f"j -> array_min(slice(hs, j, {_WINNOW_W}))))"
+            )
+        ).alias("fp"),
+    )
+    shared = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    return fp.join(shared, "fp").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.sum((F.col("n_docs") >= 2).cast("int"))
+        .cast("bigint")
+        .alias("n_shared_fps"),
+    )

@@ -267,3 +267,38 @@ def test_keywords_hand_computed(spark, tmp_path):
         (2, 1): ("cherry", 2000),
         (2, 2): ("banana", 1000),
     }
+
+
+def test_winnow_shared_substring_guarantee(spark, tmp_path):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents sharing a
+    token run of at least W+k-1 = 4+3-1 = 6 tokens MUST share at least one
+    fingerprint, while documents with no 3-gram in common share none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import text_winnow
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= W+k-1
+    texts = [
+        "one two three " + shared_run + " four five six",
+        "seven eight nine ten " + shared_run,
+        "p q r s t u v w x y z aa bb cc",  # disjoint vocabulary
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in text_winnow(spark, str(tmp_path)).collect()}
+    # docs 0 and 1 share the 6-token run -> each reports >= 1 shared fp
+    assert rows[0].n_shared_fps >= 1
+    assert rows[1].n_shared_fps >= 1
+    # doc 2 shares no 3-gram with anything -> zero shared fingerprints
+    assert rows[2].n_shared_fps == 0
+    # density bound: fingerprints never exceed shingle count
+    assert 1 <= rows[2].n_fps <= 14 - 2
