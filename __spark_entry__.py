@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds green rows in CORRECTNESS_r02.
 _SWEEP_FIRST = (
     "text_winnow",
+    "kg_graph_link_predict",
     "text_dedup_spans",
     "embed_kmeans",
     "embed_pq",

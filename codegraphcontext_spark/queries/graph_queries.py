@@ -1686,3 +1686,102 @@ def kg_graph_reciprocity(spark, sf_dir):
         .cast("bigint")
         .alias("reciprocity_x1e6"),
     )
+
+
+# hub-witness cap for link prediction: a common neighbor with more than CAP
+# neighbors adds <= 1e6/(CAP+1) per pair but C(d,2) candidate pairs — the
+# classic quadratic hub blowup. Both engines apply the IDENTICAL cap, so the
+# approximation is part of the operator's definition, not engine drift.
+_AA_WITNESS_CAP = 32
+
+
+@_q(
+    "kg_graph_link_predict",
+    f"""{_G_CTE},
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    und AS (SELECT subj_id AS s, obj_id AS d FROM rel
+            UNION SELECT obj_id AS s, subj_id AS d FROM rel),
+    deg AS (SELECT s AS z, COUNT(*) AS dz FROM und GROUP BY s),
+    w AS (SELECT u.s AS z, u.d, deg.dz FROM und u JOIN deg ON deg.z = u.s
+          WHERE deg.dz <= {_AA_WITNESS_CAP}),
+    cand AS (SELECT a.d AS ea, b.d AS eb,
+                    SUM(1000000 // a.dz) AS score
+             FROM w a JOIN w b ON a.z = b.z AND a.d < b.d
+             GROUP BY 1, 2),
+    new AS (SELECT c.* FROM cand c
+            LEFT JOIN und e ON e.s = c.ea AND e.d = c.eb
+            WHERE e.s IS NULL)
+    SELECT na.name AS name_a, nb.name AS name_b,
+           CAST(new.score AS BIGINT) AS aa_score_x1e6
+    FROM new JOIN nodes na ON na.node_id = new.ea
+    JOIN nodes nb ON nb.node_id = new.eb
+    ORDER BY aa_score_x1e6 DESC, name_a ASC, name_b ASC LIMIT 20""",
+)
+def kg_graph_link_predict(spark, sf_dir):
+    """Link prediction (KG completion): score entity pairs NOT yet connected
+    by any open relation with the resource-allocation / Adamic-Adar family
+    index — the sum over shared open-relation neighbors z of 1/deg(z),
+    floor-scaled to x1e6 integers so both engines rank bit-identically.
+    Shared rare collaborators are strong evidence (1e6/2), ubiquitous hubs
+    are weak (1e6/33 at the cap boundary). This is the edge-suggestion
+    counterpart of kg_graph_similar_entities: that one ranks co-MENTION
+    affinity over pages; this one predicts MISSING structural edges from
+    the open subgraph itself and anti-joins away every pair that already
+    has one.
+
+    Scale shape: candidate pairs enumerate per-WITNESS (C(deg,2) per z),
+    bounded by the shared _AA_WITNESS_CAP so a hub cannot go quadratic —
+    the same cap discipline as dedup_cc_clusters' bucket cap. Everything
+    else is equi-joins on ids and one map-side-combinable sum; the
+    existing-edge exclusion is a left-anti equi-join; top-k compiles to
+    TakeOrderedAndProject. Name/degree sides carry no forced broadcast.
+
+    Reference analog: none (no prediction surface); standard KG-completion
+    operator (Adamic-Adar, resource-allocation) over the materialized
+    graph."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    und = (
+        rel.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("d"))
+        .union(rel.select(F.col("obj_id").alias("s"), F.col("subj_id").alias("d")))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dz"))
+    w = (
+        und.join(deg.withColumnRenamed("s", "z"), und.s == F.col("z"))
+        .where(F.col("dz") <= _AA_WITNESS_CAP)
+        .select("z", "d", "dz")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    cand = (
+        a.join(b, (F.col("a.z") == F.col("b.z")) & (F.col("a.d") < F.col("b.d")))
+        .select(
+            F.col("a.d").alias("ea"), F.col("b.d").alias("eb"),
+            F.col("a.dz").alias("dz"),
+        )
+        .groupBy("ea", "eb")
+        .agg(F.sum(F.expr("1000000 div dz")).alias("score"))
+    )
+    existing = und.select(F.col("s").alias("ea"), F.col("d").alias("eb"))
+    new = cand.join(existing, ["ea", "eb"], "left_anti")
+    names = nodes.select("node_id", "name")
+    return (
+        new.join(names.withColumnRenamed("node_id", "ea"), "ea")
+        .withColumnRenamed("name", "name_a")
+        .join(names.withColumnRenamed("node_id", "eb"), "eb")
+        .withColumnRenamed("name", "name_b")
+        .select(
+            "name_a", "name_b",
+            F.col("score").cast("bigint").alias("aa_score_x1e6"),
+        )
+        .orderBy(F.desc("aa_score_x1e6"), F.asc("name_a"), F.asc("name_b"))
+        .limit(20)
+    )
