@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_FIRST = (
     "text_winnow",
     "kg_graph_link_predict",
+    "events_kmv_daily",
     "text_dedup_spans",
     "embed_kmeans",
     "embed_pq",

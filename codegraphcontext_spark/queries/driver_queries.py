@@ -3427,6 +3427,101 @@ def events_distinct_kmv(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@_q(
+    "events_kmv_daily",
+    f"""WITH ev AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM events),
+    r AS (SELECT day, h,
+                 ROW_NUMBER() OVER (PARTITION BY day ORDER BY h ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY day) AS nd
+          FROM ev),
+    daily AS (SELECT day AS scope,
+           CAST(MAX(nd) AS BIGINT) AS n_distinct_exact,
+           CAST(CASE WHEN MAX(nd) < {_KMV_K} THEN MAX(nd)
+                     ELSE ({_KMV_K - 1} * {_KMV_SPACE})
+                          // MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                END AS BIGINT) AS est_distinct
+      FROM r GROUP BY day),
+    sk AS (SELECT DISTINCT h FROM r WHERE rn <= {_KMV_K}),
+    m AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn,
+                 COUNT(*) OVER () AS nk FROM sk),
+    merged AS (SELECT 'ALL' AS scope,
+           CAST((SELECT COUNT(DISTINCT h) FROM ev) AS BIGINT)
+               AS n_distinct_exact,
+           CAST(CASE WHEN MAX(nk) < {_KMV_K} THEN MAX(nk)
+                     ELSE ({_KMV_K - 1} * {_KMV_SPACE})
+                          // MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                END AS BIGINT) AS est_distinct
+      FROM m)
+    SELECT * FROM daily UNION ALL SELECT * FROM merged
+    ORDER BY scope""",
+)
+def events_kmv_daily(spark, sf_dir):
+    """KMV sketch MERGE, demonstrated: per-day distinct-user sketches (the
+    K smallest 48-bit user hashes per day) are merged upward — union the
+    day sketches, re-take the K global minima — into the all-days estimate.
+    The merged row's estimate uses ONLY the <= 7K sketch rows, never the raw
+    stream, while its exact count rides along from the full data: the
+    mergeability contract (K-minima of a union = K-minima of the union of
+    per-part K-minima) that lets a 1000-executor job compute per-partition
+    sketches map-side and combine them in a K-row shuffle. Exact below K by
+    completeness: if the merged sketch holds < K hashes, every day held < K
+    distinct users and the sketches ARE the distinct sets.
+
+    Shares every constant and the hash rule with events_distinct_kmv; day
+    extraction is the events_daily string idiom (date objects hash-differ
+    across engines).
+
+    Reference analog: none; task addendum's sketch family (merge leg)."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT)"
+    )
+    ev = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), h.alias("h")
+    ).distinct()
+    r = ev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("day").orderBy(F.asc("h")))
+    ).withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("day")))
+    daily = r.groupBy(F.col("day").alias("scope")).agg(
+        F.max("nd").alias("nd"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    sk = r.where(F.col("rn") <= _KMV_K).select("h").distinct()
+    m = sk.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("h")))
+    ).withColumn("nk", F.count(F.lit(1)).over(Window.partitionBy()))
+    exact_all = ev.select("h").distinct().agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    merged = m.groupBy().agg(
+        F.max("nk").alias("nk"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    ).crossJoin(exact_all).select(
+        F.lit("ALL").alias("scope"),
+        F.col("nd").cast("bigint").alias("n_distinct_exact"),
+        F.when(F.col("nk") < _KMV_K, F.col("nk"))
+        .otherwise(F.expr(f"({_KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT)) DIV hk"))
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+    daily_out = daily.select(
+        "scope",
+        F.col("nd").cast("bigint").alias("n_distinct_exact"),
+        F.when(F.col("nd") < _KMV_K, F.col("nd"))
+        .otherwise(F.expr(f"({_KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT)) DIV hk"))
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+    return daily_out.union(merged).orderBy("scope")
+
+
 # =============================================================================
 # TPC-H Q5 shape: local-supplier volume (the 6-way dim snowflake join)
 # =============================================================================

@@ -302,3 +302,38 @@ def test_winnow_shared_substring_guarantee(spark, tmp_path):
     assert rows[2].n_shared_fps == 0
     # density bound: fingerprints never exceed shingle count
     assert 1 <= rows[2].n_fps <= 14 - 2
+
+
+def test_kmv_merge_is_lossless(spark):
+    """KMV mergeability: the ALL row's estimate — computed ONLY from the
+    per-day sketches — equals the estimate a direct whole-stream sketch
+    gives, because the K minima of a union equal the K minima of the union
+    of per-part K minima."""
+    from pyspark.sql import functions as F
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        _KMV_K,
+        _KMV_SPACE,
+        events_kmv_daily,
+    )
+
+    rows = {r.scope: r for r in events_kmv_daily(spark, SF_DIR).collect()}
+    merged = rows["ALL"]
+    # direct whole-stream sketch, computed independently of any day split
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT)"
+    )
+    hs = sorted(
+        r.h for r in ev.select(h.alias("h")).distinct().collect()
+    )
+    direct = (
+        len(hs)
+        if len(hs) < _KMV_K
+        else ((_KMV_K - 1) * _KMV_SPACE) // hs[_KMV_K - 1]
+    )
+    assert merged.est_distinct == direct
+    assert merged.n_distinct_exact == len(hs)
+    # the estimate is a real estimate: within 40% of exact at K=64
+    assert abs(merged.est_distinct - len(hs)) <= 0.4 * len(hs)
