@@ -79,7 +79,7 @@ SUPPORTED_QUERIES = (
     "top_entities", "entities_by_type", "usage_scope", "class_hierarchy",
     "overrides", "dead_entities", "complexity", "cooccurrence",
     "all_referencers", "all_referenced", "call_chain", "edge_sentences",
-    "related",
+    "related", "suggest",
 )
 
 
@@ -250,6 +250,10 @@ def cmd_query(args) -> int:
                               seed entity (seed-conditioned upgrade of the
                               find_related_code rank fusion,
                               code_finder.py:81-118)
+    suggest <name>         -> link prediction: entities NOT yet connected
+                              to the seed by any open relation, ranked by
+                              the shared-witness resource-allocation score
+                              (KG-completion counterpart of `related`)
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -395,6 +399,23 @@ def cmd_query(args) -> int:
             )
             .select("name", "node_type", F.col("rank").alias("ppr_rank"))
             .orderBy(F.desc("ppr_rank"), F.asc("name"))
+            .limit(args.limit)
+        )
+    elif args.query == "suggest":
+        # link prediction from the seed: shared-witness resource-allocation
+        # score over the open subgraph, existing neighbors anti-joined away
+        from .queries.graph_queries import aa_suggest
+
+        seed = _entity_ids(nodes, name).head()
+        if seed is None:
+            print(json.dumps({"error": f"no entity named {name!r}"}),
+                  file=sys.stderr)
+            return 2
+        res = (
+            aa_suggest(edges, seed.node_id)
+            .join(nodes.select("node_id", "name", "node_type"), on="node_id")
+            .select("name", "node_type", "aa_score_x1e6")
+            .orderBy(F.desc("aa_score_x1e6"), F.asc("name"))
             .limit(args.limit)
         )
     elif args.query == "doc_references":

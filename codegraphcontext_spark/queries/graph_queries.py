@@ -1695,6 +1695,55 @@ def kg_graph_reciprocity(spark, sf_dir):
 _AA_WITNESS_CAP = 32
 
 
+def _open_witnesses(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(und, w): the undirected open-relation adjacency (s, d) and its
+    cap-filtered witness table (z, d, dz) — z's neighbors d with z's degree
+    dz attached, hubs above _AA_WITNESS_CAP excluded as witnesses."""
+    rel = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    und = (
+        rel.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("d"))
+        .union(rel.select(F.col("obj_id").alias("s"), F.col("subj_id").alias("d")))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dz"))
+    w = (
+        und.join(deg.withColumnRenamed("s", "z"), und.s == F.col("z"))
+        .where(F.col("dz") <= _AA_WITNESS_CAP)
+        .select("z", "d", "dz")
+    )
+    return und, w
+
+
+def aa_suggest(edges: DataFrame, seed_id: str) -> DataFrame:
+    """Seed-conditioned link prediction (the CLI `suggest` core): rank
+    entities NOT yet connected to the seed by the same resource-allocation
+    score, summed over shared capped witnesses z in N(seed) ∩ N(candidate).
+    Returns (node_id, aa_score_x1e6). Scale shape: the seed's witness set
+    is one filtered slice of the witness table (entity-degree-sized), the
+    candidate expansion is one equi-join on z, the exclusion a left-anti
+    join on the seed's neighbor list."""
+    und, w = _open_witnesses(edges)
+    seed_witnesses = w.where(F.col("d") == seed_id).select("z")
+    cand = (
+        w.join(seed_witnesses, "z")  # w carries dz = deg(z) already
+        .where(F.col("d") != seed_id)
+        .groupBy("d")
+        .agg(F.sum(F.expr("1000000 div dz")).alias("aa_score_x1e6"))
+    )
+    nb = und.where(F.col("s") == seed_id).select(F.col("d"))
+    return (
+        cand.join(nb, "d", "left_anti")
+        .select(F.col("d").alias("node_id"), "aa_score_x1e6")
+    )
+
+
 @_q(
     "kg_graph_link_predict",
     f"""{_G_CTE},
@@ -1741,25 +1790,7 @@ def kg_graph_link_predict(spark, sf_dir):
     operator (Adamic-Adar, resource-allocation) over the materialized
     graph."""
     nodes, edges = ensure_graph(spark, sf_dir)
-    rel = (
-        edges.where(
-            (~F.col("pred").isin(*_CLOSED_PREDS))
-            & (F.col("subj_id") != F.col("obj_id"))
-        )
-        .select("subj_id", "obj_id")
-        .distinct()
-    )
-    und = (
-        rel.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("d"))
-        .union(rel.select(F.col("obj_id").alias("s"), F.col("subj_id").alias("d")))
-        .distinct()
-    )
-    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dz"))
-    w = (
-        und.join(deg.withColumnRenamed("s", "z"), und.s == F.col("z"))
-        .where(F.col("dz") <= _AA_WITNESS_CAP)
-        .select("z", "d", "dz")
-    )
+    und, w = _open_witnesses(edges)
     a, b = w.alias("a"), w.alias("b")
     cand = (
         a.join(b, (F.col("a.z") == F.col("b.z")) & (F.col("a.d") < F.col("b.d")))

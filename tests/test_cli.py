@@ -375,3 +375,49 @@ def test_query_related_unknown_entity(spark, built_wd, capsys):
     rc = cli.main(["query", "--workdir", built_wd, "related", "no such thing"])
     assert rc == 2
     assert "no entity named" in capsys.readouterr().err
+
+
+def test_query_suggest_link_prediction(spark, built_wd, capsys):
+    """Link prediction: suggestions exclude the seed AND its existing
+    open-relation neighbors, scores positive and non-increasing. Seed = the
+    LOWEST-degree entity (a high-degree seed in the dense smoke graph is
+    already connected to everyone -> correctly zero suggestions)."""
+    from pyspark.sql import functions as F
+
+    nodes = spark.read.parquet(f"{built_wd}/nodes/data")
+    edges = spark.read.parquet(f"{built_wd}/edges/data")
+    open_e = edges.where(
+        ~F.col("pred").isin("MENTIONS", "LINKS_TO", "HAS_TYPE")
+    ).where(F.col("subj_id") != F.col("obj_id"))
+    und = open_e.select(
+        F.col("subj_id").alias("s"), F.col("obj_id").alias("d")
+    ).union(
+        open_e.select(F.col("obj_id").alias("s"), F.col("subj_id").alias("d"))
+    ).distinct()
+    seed_row = (
+        und.groupBy("s").agg(F.count("*").alias("dz"))
+        .join(nodes.where("node_type='Entity'")
+                   .select(F.col("node_id").alias("s"), "name"), "s")
+        .orderBy(F.asc("dz"), F.asc("name")).head()
+    )
+    rc = cli.main(["query", "--workdir", built_wd, "suggest", seed_row.name])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows  # a min-degree node has 2-hop non-neighbors in this graph
+    assert all(r["name"] != seed_row.name for r in rows)
+    scores = [r["aa_score_x1e6"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # no suggestion may already be an open-relation neighbor of the seed
+    nb_ids = {r.d for r in und.where(F.col("s") == seed_row.s).collect()}
+    nb_names = {
+        r.name
+        for r in nodes.where(F.col("node_id").isin(list(nb_ids))).collect()
+    }
+    assert not (nb_names & {r["name"] for r in rows})
+
+
+def test_query_suggest_unknown_entity(spark, built_wd, capsys):
+    rc = cli.main(["query", "--workdir", built_wd, "suggest", "no such thing"])
+    assert rc == 2
+    assert "no entity named" in capsys.readouterr().err
