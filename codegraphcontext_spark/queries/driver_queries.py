@@ -255,8 +255,9 @@ def kg_dead_terms(spark, sf_dir):
 
     Scale shape: the anchor filter runs INSIDE the array HOF (narrow map,
     whole-stage codegen), so only the anchor's own adjacency pairs are ever
-    exploded; vocab is a map-side-combinable distinct; the anti-join
-    broadcasts the (tiny) neighbor set."""
+    exploded; vocab is a map-side-combinable distinct; the anti-join is
+    hint-free — a hub anchor's neighbor set is vocabulary-sized in the
+    worst case, so AQE decides broadcast vs shuffle from its real size."""
     docs = _fan_out(_t(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n = F.greatest(F.size(toks) - 1, F.lit(0))
@@ -282,7 +283,7 @@ def kg_dead_terms(spark, sf_dir):
         .distinct()
         .where(F.col("term") != "spark")
     )
-    return vocab.join(F.broadcast(neighbors), on="term", how="left_anti")
+    return vocab.join(neighbors, on="term", how="left_anti")
 
 
 @_q(
@@ -942,12 +943,15 @@ def orders_topk_revenue(spark, sf_dir):
     for one market segment — the multi-way dim->fact join leg of the
     analytics surface (customer |><| orders |><| lineitem + top-k).
 
-    Scale shape: the segment-filtered customer side is a sliver of an
-    already-small dimension -> broadcast into orders; the orders->lineitem
-    join keys both sides on orderkey (the fact table's natural partitioning
-    at 100 TB, so co-located); revenue is summed as per-row scaled BIGINTs
-    so partial aggregation order can never flip a hash bit; top-10 compiles
-    to TakeOrderedAndProject, never a full sort."""
+    Scale shape: the segment-filtered customer side is small at test scale
+    but GROWS with the corpus (TPC-H customer is linear in SF), so it
+    carries NO forced broadcast hint — planner stats / AQE pick broadcast
+    while it fits and fall back to shuffle when it doesn't; the
+    orders->lineitem join keys both sides on orderkey (the fact table's
+    natural partitioning at 100 TB, so co-located); revenue is summed as
+    per-row scaled BIGINTs so partial aggregation order can never flip a
+    hash bit; top-10 compiles to TakeOrderedAndProject, never a full
+    sort."""
     cust = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -961,7 +965,7 @@ def orders_topk_revenue(spark, sf_dir):
     return (
         li.join(
             orders.join(
-                F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+                cust.select(F.col("c_custkey").alias("o_custkey")),
                 on="o_custkey",
             ).select(
                 F.col("o_orderkey").alias("l_orderkey"),

@@ -29,12 +29,19 @@ def test_topk_compiles_to_take_ordered(spark, name):
 
 
 def test_orders_topk_pushdown_and_join_strategy(spark):
-    p = _plan(spark, "orders_topk_revenue")
+    df = SPARK_QUERIES["orders_topk_revenue"](spark, SF_DIR)
+    # the customer side grows with SF — it must NOT be hint-forced
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     # the segment filter must reach the customer parquet scan
     assert "EqualTo(c_mktsegment,BUILDING)" in p, p
     # the date filter must reach the orders scan
     assert "LessThan(o_orderdate" in p, p
-    # dims broadcast; the fact table is never sort-merge shuffled
+    # at this scale planner stats still pick broadcast on their own; the
+    # fact table is never sort-merge shuffled
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
 
@@ -46,13 +53,19 @@ def test_curate_split_is_exchange_free(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["events_funnel", "kg_graph_triangles", "kg_graph_similar_entities"],
+    [
+        "events_funnel",
+        "kg_graph_triangles",
+        "kg_graph_similar_entities",
+        "kg_dead_terms",
+    ],
 )
 def test_unbounded_sides_not_hint_forced(spark, name):
-    """Per-user stage tables, degree tables, and name dimensions are
-    O(users)/O(|V|) — unbounded at web scale — so they must NOT carry a
-    forced broadcast hint (a hint OOMs at 100 TB); at test scale AQE/stats
-    must still pick broadcast joins on its own."""
+    """Per-user stage tables, degree tables, name dimensions, and a hub
+    anchor's neighbor set are O(users)/O(|V|)/O(vocab) — unbounded at web
+    scale — so they must NOT carry a forced broadcast hint (a hint OOMs at
+    100 TB); at test scale AQE/stats must still pick broadcast joins on
+    their own."""
     from codegraphcontext_spark.queries import graph_queries  # noqa: F401
 
     df = SPARK_QUERIES[name](spark, SF_DIR)
