@@ -220,11 +220,20 @@ def curate_documents(
     )
     n_near = near.count()
 
-    # 3. quality threshold (same integer-stable score as text_quality)
+    # 3+4+5. quality / repetition / language, ONE annotation pass.
+    # Stages 3-5 are pure per-doc predicates; computing them as separate
+    # count()ed DataFrames replays the token explode+groupBy and the
+    # trigram array_sort once PER STAGE COUNT (4-5 full recomputes — the
+    # round-3 bench showed the chain at 27x its round-2 wall from exactly
+    # this). Instead: annotate every near-dup survivor with both scores in
+    # one job, checkpoint the annotated table, and read every stage count
+    # out of ONE conditional aggregation. The sequential-filter accounting
+    # is preserved exactly: repetition removals are counted among quality
+    # passers, language removals among quality+repetition passers.
     toks = near.select(
         "key", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
-    from .queries.driver_queries import STOPWORDS
+    from .queries.driver_queries import STOPWORDS, _rep_spark_expr
 
     m = toks.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -239,32 +248,35 @@ def curate_documents(
             "THEN 300 ELSE 0 END AS BIGINT)"
         ).alias("quality_x1000"),
     )
-    qual = near.join(
-        scored.where(F.col("quality_x1000") >= min_quality),
-        on="key",
-        how="left_semi",
+    ann = (
+        near.join(scored, on="key", how="left")
+        .withColumn(
+            "_s3",
+            F.expr(
+                "array_sort(CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 3), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) "
+                "ELSE array() END)"
+            ),
+        )
+        .withColumn("_rep3", F.expr(_rep_spark_expr("_s3")))
+        .drop("_s3")
+        # a doc with no non-empty tokens has no quality row -> fails the
+        # threshold, same as the old semi-join against scored survivors
+        .withColumn("_q", F.coalesce(F.col("quality_x1000"), F.lit(-1)))
+        .drop("quality_x1000")
+        .localCheckpoint(eager=True)
     )
-    n_qual = qual.count()
-
-    # 4. repetition ceiling (Gopher repetition-removal): duplicate-trigram
-    # char fraction computed inside array HOFs — no explode, no shuffle
-    # (the same sorted-neighbor rule as text_repetition).
-    from .queries.driver_queries import _rep_spark_expr
-
-    rep = qual.withColumn(
-        "_s3",
-        F.expr(
-            "array_sort(CASE WHEN size(split(text, ' ')) >= 3 THEN "
-            "transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) "
-            "ELSE array() END)"
-        ),
-    ).where(F.expr(_rep_spark_expr("_s3")) <= max_rep3).drop("_s3")
-    n_rep = rep.count()
-
-    # 5. language allowlist
-    kept = rep.where(F.col("lang").isin(langs)) if langs else rep
-    n_lang = kept.count()
+    q_ok = F.col("_q") >= min_quality
+    r_ok = F.col("_rep3") <= max_rep3
+    l_ok = F.col("lang").isin(langs) if langs else F.lit(True)
+    counts = ann.agg(
+        F.count(F.when(q_ok, 1)).alias("n_qual"),
+        F.count(F.when(q_ok & r_ok, 1)).alias("n_rep"),
+        F.count(F.when(q_ok & r_ok & l_ok, 1)).alias("n_lang"),
+    ).collect()[0]
+    n_qual, n_rep, n_lang = counts["n_qual"], counts["n_rep"], counts["n_lang"]
+    kept = ann.where(q_ok & r_ok & l_ok).drop("_q", "_rep3")
 
     # 6. source balancing (mixture composition, optional): down-sample each
     # source toward the mean source size with the SAME deterministic
