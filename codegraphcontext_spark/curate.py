@@ -75,21 +75,16 @@ def _doc_key(col):
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(key, shingle) distinct word-3-gram shingles, df-capped."""
-    toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - 2, F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
+    """(key, shingle) distinct word-3-gram shingles, df-capped. Shares the
+    ONE let-bound shingling rule (`_shingle_array`): the tokenizer runs once
+    per row, not once per shingle position (interpreted HOF lambdas
+    re-evaluate outer subtrees per element — quadratic in doc length)."""
+    from .queries.driver_queries import _shingle_array
+
     out = (
-        docs.where(F.size(toks) >= 3)
-        .select("key", F.explode(sh).alias("shingle"))
+        docs.select(
+            "key", F.explode(_shingle_array(F.split("text", " "))).alias("shingle")
+        )
         .distinct()
     )
     w = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -233,7 +228,11 @@ def curate_documents(
     toks = near.select(
         "key", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
-    from .queries.driver_queries import STOPWORDS, _rep_spark_expr
+    from .queries.driver_queries import (
+        STOPWORDS,
+        _rep_spark_expr,
+        _shingle_array,
+    )
 
     m = toks.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -251,13 +250,7 @@ def curate_documents(
     ann = (
         near.join(scored, on="key", how="left")
         .withColumn(
-            "_s3",
-            F.expr(
-                "array_sort(CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                "transform(sequence(0, size(split(text, ' ')) - 3), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) "
-                "ELSE array() END)"
-            ),
+            "_s3", F.array_sort(_shingle_array(F.split("text", " ")))
         )
         .withColumn("_rep3", F.expr(_rep_spark_expr("_s3")))
         .drop("_s3")

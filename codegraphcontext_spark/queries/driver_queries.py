@@ -483,23 +483,47 @@ _SHINGLE_CTE = (
 )
 
 
+def _let(bound, body):
+    """HOF let-binding: evaluate `bound` ONCE per row and hand the result to
+    `body` as a lambda variable. Higher-order functions evaluate their
+    lambdas interpreted (no codegen, no common-subexpression elimination
+    inside the lambda body), so a lambda that references an outer expression
+    SUBTREE — e.g. ``element_at(split(text, ' '), i)`` — re-evaluates that
+    subtree for EVERY element: an O(n) split per position turns shingling
+    into O(n²) per document, quadratic in document length (measured 19x on
+    the winnow fingerprint stage, and fatal on real web documents at 100 TB
+    where docs are 10-100x the test fixtures). Wrapping the subtree in a
+    one-element array and transforming it binds the value to a
+    NamedLambdaVariable, which inner lambdas reference by value. Column
+    references (aliases from a previous projection) don't need this —
+    CollapseProject refuses to inline a multi-referenced non-trivial alias —
+    but any expensive subtree used INSIDE a lambda does."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def _shingle_array(toks):
     """array of word-3-gram shingles of a token-array column (JVM-side:
     sequence+element_at) — the ONE shingling rule, shared by every consumer
-    so the Spark side cannot drift from the shared `_SHINGLE_CTE` oracle."""
-    n = F.size(toks)
-    return F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+    so the Spark side cannot drift from the shared `_SHINGLE_CTE` oracle.
+    The token array is let-bound so the shingle lambda reads a computed
+    value instead of re-evaluating the tokenizer per position (see _let)."""
+
+    def _sh(t):
+        n = F.size(t)
+        return F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(toks, _sh)
 
 
 def _shingles(docs: DataFrame) -> DataFrame:

@@ -137,3 +137,27 @@ def test_kmv_sketch_partial_distinct(spark):
     # before the shuffle (the 'local K minima' scale story's first half)
     p = _plan(spark, "events_distinct_kmv")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_shingle_array_is_let_bound(spark):
+    """Interpreted HOF lambdas re-evaluate outer expression SUBTREES once
+    per element — a lambda body that references split(text) directly makes
+    shingling O(n^2) in document length (measured 2.7x on the winnow stage
+    at sf0.1, and unbounded on real web docs). Pin the let-binding shape:
+    the tokenizer output is bound via transform(array(...)) so every
+    element access reads a lambda variable, never the split subtree."""
+    from pyspark.sql import functions as F
+
+    from codegraphcontext_spark.queries.driver_queries import _shingle_array
+
+    df = (
+        spark.range(1)
+        .select(F.lit("a b c d").alias("text"))
+        .select(_shingle_array(F.split("text", " ")).alias("sh"))
+    )
+    s = df._jdf.queryExecution().analyzed().toString()
+    # the binding wrapper is present ...
+    assert "transform(array(split(" in s, s
+    # ... and the per-shingle accesses read the bound lambda variable
+    assert "element_at(lambda" in s, s
+    assert df.collect()[0]["sh"] == ["a b c", "b c d"]
