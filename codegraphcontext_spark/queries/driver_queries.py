@@ -3854,3 +3854,238 @@ def text_winnow(spark, sf_dir):
         .cast("bigint")
         .alias("n_shared_fps"),
     )
+
+
+# =============================================================================
+# TPC-H Q4 shape: priority counts gated on an EXISTS semi-join
+# =============================================================================
+
+@_q(
+    "orders_priority_exists",
+    """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= TIMESTAMP '1996-08-01')
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority ASC""",
+)
+def orders_priority_exists(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority check: count one quarter's orders per
+    priority class, keeping only orders for which at least one line item
+    shipped on/after a cutoff (the corpus carries no commit/receipt dates,
+    so the late-shipment EXISTS is expressed against l_shipdate). The point
+    is the EXISTS shape: a LEFT SEMI join, never an inner join + distinct —
+    an order with five qualifying lines must count once, and the semi join
+    stops probing an order's lines at the first hit.
+
+    Scale shape: both predicates push into their parquet scans (the
+    orders date window and the lineitem shipdate cutoff — the semi join's
+    build side is pre-shrunk before any shuffle); the semi join keys on
+    l_orderkey = o_orderkey, co-located under the fact table's natural
+    bucketing; the final groupBy collapses to a 5-row constant-bounded
+    result map-side. No distinct, no broadcast hint — AQE picks the
+    strategy from runtime sizes."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1996-08-01").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(shipped, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+# =============================================================================
+# TPC-H Q13 shape: customer order-count distribution (outer join + 2 aggs)
+# =============================================================================
+
+@_q(
+    "customer_order_dist",
+    """WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM co GROUP BY n_orders
+    ORDER BY n_custs DESC, n_orders DESC""",
+)
+def customer_order_dist(spark, sf_dir):
+    """TPC-H Q13-shaped customer distribution: how many customers placed
+    exactly N qualifying orders (urgent-priority orders excluded — the
+    analog of Q13's comment filter), INCLUDING the zero-order customers
+    that an inner join would silently drop. The two-level aggregation —
+    per-customer count, then histogram over counts — is the canonical
+    left-outer + double-groupBy shape.
+
+    Scale shape: the priority filter is applied to the orders side BEFORE
+    the join (it pushes into the scan; filtering inside an outer join's
+    ON clause would block pushdown), and COUNT(o_orderkey) counts only
+    matched rows, preserving outer-join semantics exactly. Both groupBys
+    are map-side combinable; the second collapses |customers| rows to a
+    handful of histogram buckets, so the expensive shuffle happens once,
+    keyed on c_custkey — the same key the join just used, which AQE can
+    reuse without a second exchange."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    )
+    co = (
+        cust.join(orders, "c_custkey", "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        co.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_custs"))
+        .select(F.col("n_orders").cast("bigint").alias("n_orders"), "n_custs")
+        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
+    )
+
+
+# =============================================================================
+# TPC-H Q16 shape: supplier variety per part group (anti-join + distinct)
+# =============================================================================
+
+@_q(
+    "part_supplier_counts",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""",
+)
+def part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16-shaped supplier variety: how many distinct acceptable
+    suppliers can deliver each (brand, size) part group, excluding one
+    brand, off-list sizes, and suppliers flagged by the complaint analog
+    (negative account balance). The corpus has no partsupp table, so the
+    part<->supplier association is recovered from lineitem as the distinct
+    (l_partkey, l_suppkey) pairs — the same availability relation.
+
+    Scale shape: the distinct pair projection reads two columns (column
+    pruning) and partial-aggregates map-side before its shuffle; the
+    flagged-supplier exclusion is a LEFT ANTI join (never NOT IN over a
+    collected list — the flagged set is unbounded at corpus scale, and
+    anti-join lets AQE broadcast it only when it measures small); the
+    brand/size predicates push into the part scan before the join; the
+    final COUNT(DISTINCT) runs as Spark's two-phase distinct-aggregate,
+    partial per partition. No forced broadcast anywhere."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 7, 14, 21, 28, 35, 42, 49)
+        )
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
+    )
+    return (
+        ps.join(bad, "l_suppkey", "left_anti")
+        .join(part, "l_partkey")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "supplier_cnt",
+        )
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+# =============================================================================
+# TPC-H Q10 shape: returned-item revenue per customer, top 20
+# =============================================================================
+
+@_q(
+    "returned_item_customers",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_x10k
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_x10k DESC, c_custkey ASC
+    LIMIT 20""",
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: the 20 customers who
+    returned the most revenue in one quarter, with their nation name.
+    Revenue sums per-row scaled BIGINTs (the shared x10k convention) so
+    no float summation order can flip the ranking or the hash.
+
+    Scale shape: the returnflag and date predicates push into the
+    lineitem and orders scans; the fact-side join (lineitem |><| orders)
+    keys on orderkey before anything touches customer, so the revenue
+    rows are maximally shrunk entering the customer join; nation is the
+    one CONSTANT-bounded dim (25 rows at any SF) and is force-broadcast
+    by the same rule supplier_nation_revenue documents; customer is
+    unbounded and left to AQE. The top-20 compiles to
+    TakeOrderedAndProject — per-partition heaps, never a global sort."""
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"), rev.alias("rev"))
+    )
+    return (
+        li.join(orders, "o_orderkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), "c_nationkey")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev").cast("bigint").alias("revenue_x10k"))
+        .orderBy(F.desc("revenue_x10k"), F.asc("c_custkey"))
+        .limit(20)
+    )

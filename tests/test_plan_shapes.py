@@ -161,3 +161,45 @@ def test_shingle_array_is_let_bound(spark):
     # ... and the per-shingle accesses read the bound lambda variable
     assert "element_at(lambda" in s, s
     assert df.collect()[0]["sh"] == ["a b c", "b c d"]
+
+
+def test_orders_priority_exists_semi_join_pushdown(spark):
+    df = SPARK_QUERIES["orders_priority_exists"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the lineitem probe side grows with SF — it must never be hint-forced
+    assert "ResolvedHint" not in analyzed
+    p = _plan(spark, "orders_priority_exists")
+    # EXISTS must stay a semi join (one hit per order), never join+distinct
+    assert "LeftSemi" in p, p
+    # both predicates reach their scans
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_customer_order_dist_outer_join_pushdown(spark):
+    p = _plan(spark, "customer_order_dist")
+    # the priority filter is applied scan-side, not inside the outer join
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_part_supplier_counts_anti_join(spark):
+    df = SPARK_QUERIES["part_supplier_counts"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the flagged-supplier set is unbounded — exclusion must be a plain
+    # anti join with no forced broadcast
+    assert "ResolvedHint" not in analyzed
+    p = _plan(spark, "part_supplier_counts")
+    assert "LeftAnti" in p, p
+    # brand/size predicates reach the part scan
+    assert "Not(EqualTo(p_brand,Brand#1))" in p, p
+
+
+def test_returned_item_customers_topk_pushdown(spark):
+    p = _plan(spark, "returned_item_customers")
+    # top-20 compiles to per-partition heaps, never a global sort
+    assert "TakeOrderedAndProject" in p, p
+    # returnflag and date window reach their scans
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
