@@ -697,6 +697,48 @@ def cmd_warehouse(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Rewrite a parquet table Z-order-clustered on the given columns
+    (``pipeline/layout.py``): pays one range shuffle at write time so
+    selective scans on ANY layout column skip most row groups via parquet
+    min/max stats — the scan-side twin of ``warehouse``'s join-side
+    bucketing. Prints the written file count and the measured min/max
+    overlap fraction per layout column for a mid-range probe band."""
+    from .pipeline.layout import overlap_fraction, zorder_layout
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        print(json.dumps({"error": f"unknown columns: {missing}"}))
+        return 2
+    n_files = zorder_layout(
+        df, cols, args.out, target_rows_per_file=args.rows_per_file
+    )
+    from pyspark.sql import functions as F
+
+    probes = {}
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t in ("timestamp", "timestamp_ntz") or t in (
+            "bigint", "long", "int", "integer", "double", "float",
+        ):
+            lo, hi = df.agg(F.min(c), F.max(c)).collect()[0]
+            if lo is not None and hi != lo:
+                # probe band: middle 2% of the value range
+                a = lo + (hi - lo) * 49 // 100 if t not in (
+                    "timestamp", "timestamp_ntz", "double", "float"
+                ) else lo + (hi - lo) * 0.49
+                b = lo + (hi - lo) * 51 // 100 if t not in (
+                    "timestamp", "timestamp_ntz", "double", "float"
+                ) else lo + (hi - lo) * 0.51
+                probes[c] = round(overlap_fraction(args.out, c, a, b), 3)
+    print(json.dumps({"out": args.out, "n_files": n_files, "cols": cols,
+                      "overlap_probe": probes}))
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Read-only SQL passthrough over the materialized graph (S9 analog;
     reference ``server.py:319-373`` execute_cypher_query with write-keyword
@@ -949,6 +991,17 @@ def main(argv: list[str] | None = None) -> int:
     wh.add_argument("--buckets", type=int, default=16)
     wh.add_argument("--location", default=None)
     wh.set_defaults(fn=cmd_warehouse)
+
+    ly = sub.add_parser(
+        "layout", help="Z-order-cluster a parquet table for scan pruning"
+    )
+    ly.add_argument("--input", required=True, help="input parquet path")
+    ly.add_argument("--out", required=True, help="output parquet path")
+    ly.add_argument(
+        "--cols", required=True, help="comma-separated layout columns"
+    )
+    ly.add_argument("--rows-per-file", type=int, default=250_000)
+    ly.set_defaults(fn=cmd_layout)
 
     sq = sub.add_parser("sql", help="read-only SQL over nodes/edges/docs views")
     sq.add_argument("--workdir", required=True)

@@ -421,3 +421,30 @@ def test_query_suggest_unknown_entity(spark, built_wd, capsys):
     rc = cli.main(["query", "--workdir", built_wd, "suggest", "no such thing"])
     assert rc == 2
     assert "no entity named" in capsys.readouterr().err
+
+
+def test_layout_subcommand(spark, tmp_path, capsys):
+    out = str(tmp_path / "zordered")
+    rc = cli.main([
+        "layout", "--input", "/root/testdata/sf0.001/events.parquet",
+        "--out", out, "--cols", "user_id,ts", "--rows-per-file", "100",
+    ])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_files"] > 1
+    # both layout columns carry a measured pruning probe < 1.0
+    assert set(line["overlap_probe"]) == {"user_id", "ts"}
+    assert all(v < 1.0 for v in line["overlap_probe"].values())
+    # rewrite preserves every row
+    orig = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert spark.read.parquet(out).count() == orig.count()
+
+
+def test_layout_subcommand_rejects_unknown_column(capsys):
+    rc = cli.main([
+        "layout", "--input", "/root/testdata/sf0.001/events.parquet",
+        "--out", "/tmp/never_written_zorder", "--cols", "nope",
+    ])
+    assert rc == 2
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "unknown columns" in line["error"]

@@ -1,0 +1,118 @@
+"""Z-order layout: the scan-pruning contract.
+
+The operator's whole value is a storage-side property — written files carry
+tight min/max stats on EVERY layout column — so the tests measure exactly
+that, from the parquet footers (``overlap_fraction``), against the two
+counterfactual layouts: a single-column sort (tight on one dim, useless on
+the other) and an unsorted write (useless on both)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphcontext_spark.pipeline.layout import (
+    overlap_fraction,
+    zorder_layout,
+    zorder_value,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+N_FILES = 32
+
+USER_LO, USER_HI = 100, 120  # ~1.4% of the 0..1499 user range
+DAY_LO = datetime.datetime(2024, 1, 10)
+DAY_HI = datetime.datetime(2024, 1, 11)  # 1 of 30 days
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, events, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layouts")
+    n = events.count()
+    paths = {k: str(base / k) for k in ("zorder", "sort_user", "unsorted")}
+    zorder_layout(
+        events, ["user_id", "ts"], paths["zorder"],
+        target_rows_per_file=max(1, n // N_FILES),
+    )
+    (
+        events.repartitionByRange(N_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(paths["sort_user"])
+    )
+    events.repartition(N_FILES).write.mode("overwrite").parquet(
+        paths["unsorted"]
+    )
+    return paths
+
+
+def _fingerprint(df):
+    # order-independent: xor of row hashes + row count
+    return df.agg(
+        F.expr(
+            "bit_xor(xxhash64(event_id, ts, user_id, event_type, value, props))"
+        ),
+        F.count("*"),
+    ).collect()[0]
+
+
+def test_zorder_roundtrip_exact(spark, events, layouts):
+    # layout rewrites rows, never values
+    assert _fingerprint(spark.read.parquet(layouts["zorder"])) == _fingerprint(
+        events
+    )
+
+
+def test_zorder_prunes_both_dimensions(layouts):
+    u = overlap_fraction(layouts["zorder"], "user_id", USER_LO, USER_HI)
+    t = overlap_fraction(layouts["zorder"], "ts", DAY_LO, DAY_HI)
+    # each dimension's narrow predicate must skip a large share of row
+    # groups (with ~32 files the z-curve allots ~sqrt(32) bands per
+    # dimension, so per-dim overlap lands near 1/sqrt(files) + boundary
+    # effects — the contract is "prunes BOTH", not a specific ratio)
+    assert u < 0.6, u
+    assert t < 0.6, t
+
+
+def test_single_sort_is_blind_on_second_dimension(layouts):
+    # the counterfactual the operator exists to beat: sorting by user_id
+    # prunes user_id but reads EVERYTHING for a time predicate
+    u = overlap_fraction(layouts["sort_user"], "user_id", USER_LO, USER_HI)
+    t = overlap_fraction(layouts["sort_user"], "ts", DAY_LO, DAY_HI)
+    assert u < 0.5, u
+    assert t == pytest.approx(1.0), t
+
+
+def test_unsorted_is_blind_on_both(layouts):
+    assert (
+        overlap_fraction(layouts["unsorted"], "user_id", USER_LO, USER_HI)
+        > 0.9
+    )
+
+
+def test_zorder_value_deterministic(spark, events):
+    a = events.select(zorder_value(events, ["user_id", "ts"])).collect()
+    b = events.select(zorder_value(events, ["user_id", "ts"])).collect()
+    assert a == b
+
+
+def test_zorder_value_bit_budget_guard(spark, events):
+    with pytest.raises(ValueError, match="exceeds int64"):
+        zorder_value(events, ["user_id"] * 6, bits=12)
+
+
+def test_zorder_handles_string_and_constant_columns(spark, events, tmp_path):
+    # string columns rank by xxhash64; a constant column contributes zero
+    # bits instead of dividing by zero
+    df = events.withColumn("const", F.lit(7))
+    out = str(tmp_path / "zs")
+    zorder_layout(df, ["event_type", "const"], out, target_rows_per_file=5000)
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
