@@ -24,13 +24,35 @@ from .windowed import EVENTS_SCHEMA
 __all__ = ["EVENTS_SCHEMA", "enrich_events"]
 
 
-def enrich_events(events: DataFrame, dims: DataFrame) -> DataFrame:
+def enrich_events(
+    events: DataFrame,
+    dims: DataFrame,
+    n_salts: int | None = None,
+) -> DataFrame:
     """Join a (possibly streaming) events frame against the static user
     dimension ``(user_id, segment, weight)``; unmatched users are kept with
-    segment 'unknown' and weight 0 so downstream aggregates stay total."""
-    d = F.broadcast(dims.select("user_id", "segment", "weight"))
+    segment 'unknown' and weight 0 so downstream aggregates stay total.
+
+    Default: broadcast the dimension — the right call while it fits in
+    executor memory, and the only way to keep the streaming stage
+    exchange-free. When the dimension outgrows broadcast (a web-scale user
+    table) the join must shuffle, and a whale user then funnels every
+    micro-batch through one partition with no AQE to split it (AQE never
+    re-plans streaming stages): pass ``n_salts`` to switch to the
+    deterministic salted shuffle join (``functions/skew.py``), which is
+    row-identical and spreads each hot key over ``n_salts`` partitions."""
+    d = dims.select("user_id", "segment", "weight")
+    if n_salts:
+        from ..functions.skew import salted_join
+
+        joined = salted_join(
+            events, d, "user_id", spread_cols=["event_id"],
+            n_salts=n_salts, how="left",
+        )
+    else:
+        joined = events.join(F.broadcast(d), on="user_id", how="left")
     return (
-        events.join(d, on="user_id", how="left")
+        joined
         .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
         .withColumn("weight", F.coalesce("weight", F.lit(0)))
         .withColumn(

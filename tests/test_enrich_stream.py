@@ -82,3 +82,22 @@ def test_enrichment_plan_is_broadcast(spark):
     )
     plan = enrich_events(ev, _dims(spark))._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_enrichment_salted_variant_identical(spark, tmp_path):
+    # the big-dimension path: salted shuffle join must give row-identical
+    # output to the broadcast default (only physical distribution differs)
+    watch = str(tmp_path / "salted_in")
+    os.makedirs(watch)
+    rows = [(i, 7 if i < 40 else i % 5, float(i)) for i in range(60)]
+    pq.write_table(_events_table(rows), os.path.join(watch, "b.parquet"))
+    ev = spark.read.parquet(watch)
+    base = enrich_events(ev, _dims(spark))
+    salted = enrich_events(ev, _dims(spark), n_salts=4)
+    key = sorted(base.columns)
+    assert sorted(map(tuple, salted.select(*key).collect())) == sorted(
+        map(tuple, base.select(*key).collect())
+    )
+    # and the salted plan really shuffles instead of broadcasting the dim
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
