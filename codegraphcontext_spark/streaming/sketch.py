@@ -1,0 +1,161 @@
+"""Streaming KMV distinct-count: the mergeable cardinality sketch as keyed
+streaming state.
+
+The batch side (``queries/driver_queries.py`` ``events_distinct_kmv`` /
+``events_kmv_daily``) establishes the sketch contract: per key, keep the K
+smallest distinct 48-bit md5-prefix hashes; estimate |distinct| as
+(K-1)·2^48 // h_K, exact below K. Its merge rule — K-minima of a union equal
+K-minima of the union of per-part K-minima — is exactly what an unbounded
+stream needs: each micro-batch folds its hashes into the per-key state and
+the state NEVER grows past K longs, no matter how many billions of events
+stream through. That bounded-state property is the whole point: an exact
+streaming distinct-count needs state ∝ distinct users (the stateful-dedup
+operator's cost, right for dedup, wrong for a dashboard metric); the sketch
+answers the same question in K·8 bytes per key with a ~1/sqrt(K) error.
+
+State lives in the streaming state store hash-partitioned by key (scales
+with executors, survives restarts via the checkpoint); each batch emits the
+key's CURRENT estimate in append mode, stamped with the cumulative row count
+``n_seen`` so the latest row per key (max n_seen) is the final answer.
+
+Reference analog: none (CodeGraphContext counts exactly); task addendum's
+sketch family, streaming leg. Hash rule and constants are imported from the
+batch queries so stream and batch can never drift.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..queries.driver_queries import _KMV_K as KMV_K
+from ..queries.driver_queries import _KMV_SPACE as KMV_SPACE
+from .windowed import EVENTS_SCHEMA
+
+__all__ = ["KMV_K", "KMV_SPACE", "kmv_keyed", "kmv_stream", "kmv_estimate"]
+
+_OUT_SCHEMA = "event_type string, n_seen long, n_kept long, est_distinct long"
+_STATE_SCHEMA = "hs array<long>, n_seen long"
+
+# the ONE hash rule, shared verbatim with events_distinct_kmv's Spark and
+# DuckDB sides: 48-bit prefix of md5 of the decimal user id
+_HASH_EXPR = (
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+)
+
+
+def kmv_keyed(events: DataFrame) -> DataFrame:
+    """Attach the sketch hash column (shared by stream and batch twin)."""
+    return events.withColumn("h", F.expr(_HASH_EXPR))
+
+
+def kmv_estimate(n_kept: int, h_k: int) -> int:
+    """The estimate rule, identical to the batch queries: exact below K
+    (the kept set IS the distinct set), else (K-1)·2^48 // h_K."""
+    if n_kept < KMV_K:
+        return n_kept
+    return (KMV_K - 1) * KMV_SPACE // h_k
+
+
+def _kmv_fn(
+    key: Tuple[str], pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's hashes into the K-minima state and emit the key's
+    updated estimate. Union + re-take-K is the sketch's merge operation, so
+    the state after any prefix of batches equals the direct sketch of that
+    prefix — stream == batch by construction."""
+    if state.exists:
+        hs, n_seen = state.get
+        hs = np.asarray(hs, dtype=np.int64)
+    else:
+        hs, n_seen = np.empty(0, dtype=np.int64), 0
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        n_seen += len(pdf)
+        merged = np.union1d(hs, pdf["h"].to_numpy(dtype=np.int64))
+        hs = merged[:KMV_K]  # union1d returns sorted distinct values
+    state.update((hs.tolist(), n_seen))
+    n_kept = len(hs)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n_seen],
+            "n_kept": [n_kept],
+            "est_distinct": [kmv_estimate(n_kept, int(hs[-1]) if n_kept else 0)],
+        }
+    )
+
+
+def kmv_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    once: bool = True,
+    processing_time: str = "2 seconds",
+    max_files_per_trigger: int | None = None,
+) -> Any:
+    """Per-event-type distinct-user KMV sketch over a streaming events
+    directory. Emits one row per (key, batch) with the cumulative estimate;
+    the latest row per key (max ``n_seen``) is the current answer. State is
+    ≤ K longs per key forever. Returns the StreamingQuery."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(watch_dir)
+    sketched = (
+        kmv_keyed(stream)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_fn,
+            _OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        sketched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def kmv_batch_twin(events: DataFrame) -> DataFrame:
+    """The batch sketch the stream's final rows must equal: per key, the K
+    smallest distinct hashes over ALL input, same estimate rule."""
+    from pyspark.sql.window import Window
+
+    hh = kmv_keyed(events).select("event_type", "h").distinct()
+    r = hh.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.asc("h"))
+        ),
+    ).withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    agg = r.groupBy("event_type").agg(
+        F.max("nd").alias("nd"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(F.col("nd") < KMV_K, F.col("nd")).otherwise(
+        F.expr(f"({KMV_K - 1} * CAST({KMV_SPACE} AS BIGINT)) DIV hk")
+    )
+    return agg.select(
+        "event_type",
+        F.least(F.col("nd"), F.lit(KMV_K)).cast("long").alias("n_kept"),
+        est.cast("long").alias("est_distinct"),
+    )
