@@ -4089,3 +4089,76 @@ def returned_item_customers(spark, sf_dir):
         .orderBy(F.desc("revenue_x10k"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# =============================================================================
+# Salted holistic aggregation surfaced as a query (functions/skew.py consumer)
+# =============================================================================
+
+@_q(
+    "events_user_type_sets",
+    """SELECT user_id,
+              list_sort(list_distinct(list(event_type))) AS type_set,
+              CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id ASC""",
+)
+def events_user_type_sets(spark, sf_dir):
+    """Per-user sorted distinct event-type set, computed through the salted
+    two-phase collect (``functions/skew.py`` ``salted_collect_set``): phase 1
+    collects per (user, salt) so a whale user's values spread over 8
+    reducers, phase 2 merges the ≤ 8 bounded partial sets. The oracle is the
+    plain holistic aggregate — the operator's contract is that salting is
+    invisible in the result (sorted output makes it partitioning-proof).
+
+    Scale shape: the one aggregation whose map-side combine does NOT bound
+    reducer memory (collect_set values accumulate); the salt bounds each
+    partial at 1/n_salts of the hot key. Everything is built-in exprs —
+    xxhash64 salt, collect_set, flatten/array_distinct/sort_array."""
+    from ..functions.skew import salted_collect_set
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_collect_set(
+        ev, ["user_id"], "event_type", spread_cols=["event_id"], n_salts=8
+    )
+    return out.select(
+        "user_id",
+        F.col("values").alias("type_set"),
+        F.size("values").cast("bigint").alias("n_types"),
+    ).orderBy(F.asc("user_id"))
+
+
+@_q(
+    "events_salted_enrich",
+    """WITH c AS (SELECT user_id, COUNT(*) AS n_user_events
+                  FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           CAST(c.n_user_events AS BIGINT) AS n_user_events
+    FROM events e JOIN c USING (user_id)
+    ORDER BY event_id ASC""",
+)
+def events_salted_enrich(spark, sf_dir):
+    """Fact-side enrichment through the salted join (``functions/skew.py``
+    ``salted_join``): every event annotated with its user's total event
+    count, the dimension replicated 8x and each fact row routed to one
+    deterministic salt — so a whale user's events spread over 8 shuffle
+    partitions instead of one. The oracle is the PLAIN join: salting must
+    be row-invisible.
+
+    Scale shape: this is the stream-static join's batch twin — the case
+    where the dimension outgrows broadcast and AQE can't split a streaming
+    stage's skew. The salt is xxhash64(event_id) % 8: reproducible across
+    retries and partitionings, never rand()."""
+    from ..functions.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_events")
+    )
+    return (
+        salted_join(
+            ev.select("event_id", "user_id"), dim, "user_id",
+            spread_cols=["event_id"], n_salts=8,
+        )
+        .select("event_id", "user_id", "n_user_events")
+        .orderBy(F.asc("event_id"))
+    )
