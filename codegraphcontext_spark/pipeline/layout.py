@@ -169,3 +169,51 @@ def overlap_fraction(path: str, col: str, lo, hi) -> float:
             ):
                 overlapping += 1
     return overlapping / max(total, 1)
+
+
+def zorder_stream_sink(
+    stream_df,
+    cols: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    bits: int = DEFAULT_BITS,
+    target_rows_per_file: int = 250_000,
+    once: bool = True,
+    processing_time: str = "2 seconds",
+):
+    """Streaming ingestion with per-micro-batch Z-order clustering: each
+    batch is written as its own ``batch=<id>`` partition directory, rows
+    inside it range-partitioned and sorted along the Z-curve of ``cols``.
+
+    The layout story for a stream: a plain ``writeStream.format("parquet")``
+    appends files in arrival order, so row-group stats are tight on nothing
+    and every later scan reads everything. Clustering at write time costs
+    one in-batch range exchange (the batch is already in memory) and buys
+    the same min/max skipping ``zorder_layout`` gives batch rewrites —
+    without ever re-reading the table. Batches keep separate directories so
+    the sink stays append-only (exactly-once via the checkpoint: a replayed
+    batch overwrites ITS OWN directory, never another's — the idempotent
+    foreachBatch pattern).
+
+    Returns the StreamingQuery."""
+
+    def _write_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        zorder_layout(
+            batch_df,
+            cols,
+            f"{out_dir}/batch={batch_id}",
+            bits=bits,
+            target_rows_per_file=target_rows_per_file,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -116,3 +116,34 @@ def test_zorder_handles_string_and_constant_columns(spark, events, tmp_path):
     zorder_layout(df, ["event_type", "const"], out, target_rows_per_file=5000)
     got = spark.read.parquet(out)
     assert got.count() == events.count()
+
+
+def test_zorder_stream_sink(spark, tmp_path):
+    import glob
+
+    from codegraphcontext_spark.pipeline.layout import zorder_stream_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = zorder_stream_sink(
+        stream, ["user_id", "ts"], out, ckpt, target_rows_per_file=500
+    )
+    q.awaitTermination(180)
+    got = spark.read.option("basePath", out).parquet(out)
+    # every row landed exactly once
+    assert got.count() == ev.count()
+    # each batch directory is clustered: the narrow user band skips most
+    # row groups inside it
+    bdirs = sorted(glob.glob(out + "/batch=*"))
+    assert bdirs
+    for b in bdirs:
+        assert overlap_fraction(b, "user_id", USER_LO, USER_HI) < 0.6
