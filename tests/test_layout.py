@@ -147,3 +147,27 @@ def test_zorder_stream_sink(spark, tmp_path):
     assert bdirs
     for b in bdirs:
         assert overlap_fraction(b, "user_id", USER_LO, USER_HI) < 0.6
+
+
+def test_zorder_dominance_monotone(spark):
+    """Morton codes are monotone under coordinate dominance: if a row is
+    <= another in EVERY layout dimension, its z-value is <= too (bit
+    interleaving is order-preserving per coordinate). This is the property
+    that makes range predicates on any single dimension map to bounded
+    z-ranges — the basis of the pruning the other tests measure."""
+    import itertools
+    import random
+
+    rnd = random.Random(42)
+    rows = [(rnd.randrange(0, 10_000), rnd.randrange(0, 10_000)) for _ in range(120)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    from codegraphcontext_spark.pipeline.layout import zorder_value
+
+    got = {
+        (r["a"], r["b"]): r["__z"]
+        for r in df.select("a", "b", zorder_value(df, ["a", "b"])).collect()
+    }
+    for (p, q) in itertools.combinations(rows, 2):
+        lo, hi = (p, q) if (p[0] <= q[0] and p[1] <= q[1]) else (q, p)
+        if lo[0] <= hi[0] and lo[1] <= hi[1]:
+            assert got[lo] <= got[hi], (lo, hi, got[lo], got[hi])
