@@ -4252,3 +4252,86 @@ def events_salted_enrich(spark, sf_dir):
         .select("event_id", "user_id", "n_user_events")
         .orderBy(F.asc("event_id"))
     )
+
+
+# =============================================================================
+# Wide-multiprobe LSH (Hamming-2): the recall knob of the bucketed index
+# =============================================================================
+
+_LSH2_MASKS = (
+    [0]
+    + [1 << j for j in range(16)]
+    + [(1 << i) | (1 << j) for i in range(16) for j in range(i + 1, 16)]
+)  # 137 probe buckets: Hamming distance <= 2 from the query signature
+_LSH2_VALUES = ",".join(f"({v})" for v in _LSH2_MASKS)
+
+
+@_q(
+    "embed_ann_lsh_wide",
+    f"""{_EMB_CTE},
+    hp AS (SELECT * FROM (VALUES {_HP_SQL}) AS t(b, i, s)),
+    proj AS (
+      SELECT e.vec_id, hp.b, SUM(CAST(e.x AS DOUBLE) * hp.s) AS dot
+      FROM e JOIN hp ON e.i = hp.i GROUP BY 1, 2),
+    buck AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN POW(2, b) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY 1),
+    qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+    probes AS (SELECT DISTINCT xor(qb.bucket, t.v) AS bucket
+               FROM qb, (VALUES {_LSH2_VALUES}) t(v)),
+    cand AS (SELECT bk.vec_id FROM buck bk JOIN probes p ON bk.bucket = p.bucket
+             WHERE bk.vec_id <> 0),
+    d AS (
+      SELECT b.vec_id,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a
+      JOIN e b ON a.i = b.i AND a.vec_id = 0
+      JOIN cand c ON b.vec_id = c.vec_id
+      GROUP BY 1)
+    SELECT vec_id, CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM d ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 10""",
+)
+def embed_ann_lsh_wide(spark, sf_dir):
+    """embed_ann_lsh's recall knob turned up: probe every bucket within
+    Hamming distance 2 of the query signature (1 + 16 + 120 = 137
+    enumerated buckets — still 137/2^16 = 0.2% of the bucket space, still
+    partition-pruned equi-join point lookups, never a bit_count scan).
+    Multiprobe IS the LSH cost/recall dial: on this corpus's near-random
+    embeddings Hamming-1's 17 probes recall 0.4 of the true top-k; the
+    137-probe widening lifts that (measured in scripts/ann_recall.py) at
+    ~8x the candidate re-rank cost, which stays a tiny corpus fraction.
+
+    Scale shape identical to embed_ann_lsh: signatures computed once
+    (Arrow-batched numpy), probe keys broadcast, exact cosine only inside
+    probed buckets, top-k via TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _lsh_bucket_udf("embedding").alias("bucket")
+    )
+    flips = F.array(*[F.lit(v) for v in _LSH2_MASKS])
+    q = (
+        bucketed.where(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            F.explode(flips).alias("_flip"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select(
+            "q_emb", F.col("q_bucket").bitwiseXOR(F.col("_flip")).alias("bucket")
+        )
+    )
+    cand = bucketed.where(F.col("vec_id") != 0).join(F.broadcast(q), on="bucket")
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
+    )
+    return (
+        cand.select(
+            "vec_id", F.round(cos * 1e6).cast("bigint").alias("cos_x1e6")
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+        .limit(10)
+    )

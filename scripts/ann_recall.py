@@ -34,7 +34,13 @@ def main() -> int:
     truth = [r["vec_id"] for r in truth_rows]
     print(f"{'variant':22s} {'k':>3s} {'recall@k':>9s} {'sec(warm)':>10s}")
     print(f"{'embed_topk_cosine':22s} {len(truth):3d} {'1.000':>9s} {t_brute:10.2f}")
-    for name in ("embed_ann_lsh", "embed_ann_ivf", "embed_pq", "embed_pq_rerank"):
+    for name in (
+        "embed_ann_lsh",
+        "embed_ann_lsh_wide",
+        "embed_ann_ivf",
+        "embed_pq",
+        "embed_pq_rerank",
+    ):
         rows, dt = run(name)
         got = [r["vec_id"] for r in rows]
         k = min(len(got), len(truth))
