@@ -254,13 +254,15 @@ def curate_documents(
         )
         .withColumn("_rep3", F.expr(_rep_spark_expr("_s3")))
         .drop("_s3")
-        # a doc with no non-empty tokens has no quality row -> fails the
-        # threshold, same as the old semi-join against scored survivors
-        .withColumn("_q", F.coalesce(F.col("quality_x1000"), F.lit(-1)))
+        # a doc with no non-empty tokens has no quality row -> always fails,
+        # REGARDLESS of min_quality (a numeric sentinel would leak token-less
+        # docs through for any caller passing min_quality <= sentinel)
+        .withColumn("_scored", F.col("quality_x1000").isNotNull())
+        .withColumn("_q", F.coalesce(F.col("quality_x1000"), F.lit(0)))
         .drop("quality_x1000")
         .localCheckpoint(eager=True)
     )
-    q_ok = F.col("_q") >= min_quality
+    q_ok = F.col("_scored") & (F.col("_q") >= min_quality)
     r_ok = F.col("_rep3") <= max_rep3
     l_ok = F.col("lang").isin(langs) if langs else F.lit(True)
     counts = ann.agg(
@@ -269,7 +271,7 @@ def curate_documents(
         F.count(F.when(q_ok & r_ok & l_ok, 1)).alias("n_lang"),
     ).collect()[0]
     n_qual, n_rep, n_lang = counts["n_qual"], counts["n_rep"], counts["n_lang"]
-    kept = ann.where(q_ok & r_ok & l_ok).drop("_q", "_rep3")
+    kept = ann.where(q_ok & r_ok & l_ok).drop("_q", "_rep3", "_scored")
 
     # 6. source balancing (mixture composition, optional): down-sample each
     # source toward the mean source size with the SAME deterministic

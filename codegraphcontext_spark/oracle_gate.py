@@ -44,15 +44,41 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a column dtype to the kind the driver's type-strict hash
+    distinguishes: 'i' (integer), 'f' (float), everything else 'o'.
+    An all-null column is 'o' on both engines regardless of declared type."""
+    k = s.dtype.kind
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    return "o"
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
-    """Row-count + schema + exact value comparison of two result frames.
-    Returns {"rows": bool, "schema": bool, "values": bool}."""
+    """Row-count + schema + exact value + dtype-kind comparison of two result
+    frames. Returns {"rows": bool, "schema": bool, "values": bool,
+    "types": bool}. "types" reproduces the driver's type-strict value hash:
+    DuckDB promoting SUM(BIGINT) to HUGEINT surfaces in pandas as float64,
+    which the driver hashes differently from Spark's int64 even when every
+    value compares equal — an uncast oracle twin fails there first."""
     rows_ok = len(sdf) == len(odf)
     schema_ok = sorted(sdf.columns) == sorted(odf.columns)
     vals_ok = False
+    types_ok = False
     if rows_ok and schema_ok:
         a, b = canon(sdf), canon(odf)
         vals_ok = all(
             a[col].tolist() == b[col].tolist() for col in a.columns
         )
-    return {"rows": rows_ok, "schema": schema_ok, "values": vals_ok}
+        types_ok = len(sdf) == 0 or all(
+            _dtype_kind(sdf[col]) == _dtype_kind(odf[col])
+            for col in sdf.columns
+        )
+    return {
+        "rows": rows_ok,
+        "schema": schema_ok,
+        "values": vals_ok,
+        "types": types_ok,
+    }

@@ -133,10 +133,22 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(out_path)
     )
-    import glob
-    import os
+    return _count_part_files(df.sparkSession, out_path)
 
-    return len(glob.glob(os.path.join(out_path, "part-*.parquet")))
+
+def _count_part_files(spark, out_path: str) -> int:
+    """Count part files via the Hadoop FileSystem API, so the count is
+    correct for ANY URI the write itself accepted (hdfs://, s3a://, local)
+    — a local glob would silently report 0 on remote stores, which is
+    exactly the 100 TB deployment this module targets."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for st in fs.listStatus(path)
+        if st.getPath().getName().startswith("part-")
+    )
 
 
 def overlap_fraction(path: str, col: str, lo, hi) -> float:
@@ -144,11 +156,24 @@ def overlap_fraction(path: str, col: str, lo, hi) -> float:
     must read, judged purely from parquet min/max statistics — the same
     decision parquet-mr/DataSource V2 makes. The pruning quality metric:
     1.0 means the layout is useless for this column, ~selectivity means
-    near-perfect skipping."""
+    near-perfect skipping.
+
+    LOCAL PATHS ONLY: this is a diagnostic that reads parquet footers with
+    pyarrow's local filesystem; for remote stores, run it against a
+    downloaded sample or use the engine's own scan metrics instead."""
     import glob
     import os
 
     import pyarrow.parquet as pq
+
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"overlap_fraction reads footers from the local filesystem; "
+            f"got non-local path {path!r}"
+        )
+    if path.startswith("file://"):
+        path = path[len("file://"):]
 
     total = overlapping = 0
     for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):

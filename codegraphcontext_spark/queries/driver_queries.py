@@ -4061,7 +4061,7 @@ def customer_order_dist(spark, sf_dir):
     JOIN part p ON ps.l_partkey = p.p_partkey
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
-      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+      AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.s_suppkey = ps.l_suppkey)
     GROUP BY p.p_brand, p.p_size
     ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""",
 )

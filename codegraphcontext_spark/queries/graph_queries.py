@@ -129,7 +129,7 @@ def kg_graph_who_references(spark, sf_dir):
     "kg_graph_top_entities",
     f"""{_G_CTE},
     refs AS (
-      SELECT obj_id, SUM(n_occurrences) AS n_refs, COUNT(*) AS n_pages
+      SELECT obj_id, CAST(SUM(n_occurrences) AS BIGINT) AS n_refs, COUNT(*) AS n_pages
       FROM edges WHERE pred = 'MENTIONS' GROUP BY obj_id)
     SELECT n.name, n.etype, r.n_refs, r.n_pages
     FROM refs r JOIN nodes n ON n.node_id = r.obj_id
@@ -420,9 +420,10 @@ def kg_graph_ambiguous_names(spark, sf_dir):
     f"""{_G_CTE},
     per AS (
       SELECT subj_id AS page,
-             SUM(CASE WHEN pred = 'MENTIONS' THEN n_occurrences ELSE 0 END)
-               AS n_mentions,
-             SUM(CASE WHEN pred = 'LINKS_TO' THEN 1 ELSE 0 END) AS n_links
+             CAST(SUM(CASE WHEN pred = 'MENTIONS' THEN n_occurrences ELSE 0 END)
+               AS BIGINT) AS n_mentions,
+             CAST(SUM(CASE WHEN pred = 'LINKS_TO' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_links
       FROM edges WHERE pred IN ('MENTIONS', 'LINKS_TO') GROUP BY subj_id)
     SELECT page, n_mentions, n_links,
            CAST(n_mentions + 2 * n_links AS BIGINT) AS richness
@@ -464,7 +465,7 @@ def kg_graph_page_richness(spark, sf_dir):
 @_q(
     "kg_graph_pred_stats",
     f"""{_G_CTE}
-    SELECT pred, COUNT(*) AS n_edges, SUM(n_occurrences) AS n_occ
+    SELECT pred, COUNT(*) AS n_edges, CAST(SUM(n_occurrences) AS BIGINT) AS n_occ
     FROM edges GROUP BY pred ORDER BY pred ASC""",
 )
 def kg_graph_pred_stats(spark, sf_dir):

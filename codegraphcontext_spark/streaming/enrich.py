@@ -51,13 +51,21 @@ def enrich_events(
         )
     else:
         joined = events.join(F.broadcast(d), on="user_id", how="left")
-    return (
+    out = (
         joined
         .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
         .withColumn("weight", F.coalesce("weight", F.lit(0)))
         .withColumn(
             "weighted_value", F.round(F.col("value") * F.col("weight"), 6)
         )
+    )
+    # The salted path's USING-style join hoists user_id to column 0 while the
+    # broadcast path preserves the events layout; pin ONE column order so
+    # positional consumers and fixed-schema parquet sinks see the same layout
+    # regardless of n_salts.
+    cols = [c for c in events.columns if c != "user_id"]
+    return out.select(
+        "user_id", *cols, "segment", "weight", "weighted_value"
     )
 
 

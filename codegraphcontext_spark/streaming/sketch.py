@@ -50,8 +50,17 @@ _HASH_EXPR = (
 
 
 def kmv_keyed(events: DataFrame) -> DataFrame:
-    """Attach the sketch hash column (shared by stream and batch twin)."""
-    return events.withColumn("h", F.expr(_HASH_EXPR))
+    """Attach the sketch hash column (shared by stream and batch twin).
+
+    Null user_ids hash to NULL; they are dropped HERE — before either
+    consumer — so the streaming state fold (which would crash converting
+    NaN to int64 in ``_kmv_fn`` and then re-crash on every checkpoint
+    replay of the same file) and the batch twin see identical rows. A null
+    id carries no distinct-count information either way."""
+    return (
+        events.withColumn("h", F.expr(_HASH_EXPR))
+        .where(F.col("h").isNotNull())
+    )
 
 
 def kmv_estimate(n_kept: int, h_k: int) -> int:

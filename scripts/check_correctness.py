@@ -68,7 +68,7 @@ def main() -> int:
             n_fail += 1
         print(
             f"{'ok  ' if ok else 'FAIL'} {name}: rows={len(sdf)}/{len(odf)} "
-            f"schema={r['schema']} values={r['values']}"
+            f"schema={r['schema']} values={r['values']} types={r['types']}"
         )
     spark.stop()
     print(f"{'PASS' if n_fail == 0 else 'FAIL'}: {n_fail} mismatches")

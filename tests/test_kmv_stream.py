@@ -71,6 +71,38 @@ def test_stream_equals_batch_sketch_across_batches(spark, tmp_path):
     assert batch["click"][0] == KMV_K
 
 
+def test_null_user_id_does_not_crash_stream(spark, tmp_path):
+    """A null user_id hashes to NULL; before the kmv_keyed filter this
+    crashed _kmv_fn (NaN -> int64 ValueError) and, because the checkpoint
+    replays the same file, every restart died too. Now null rows are
+    dropped before BOTH the stream fold and the batch twin, so the two
+    still agree and the estimate counts only real ids."""
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    rows = [(i, i % 40, "click") for i in range(80)]
+    tbl = _events_table(rows)
+    # overwrite user_id with a version containing nulls at every 10th row
+    uid = [None if i % 10 == 0 else rows[i][1] for i in range(len(rows))]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("user_id"),
+        "user_id",
+        pa.array(uid, pa.int64()),
+    )
+    pq.write_table(tbl, os.path.join(watch, "a.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = kmv_stream(spark, watch, out, ckpt, once=True)
+    q.awaitTermination(180)
+
+    batch = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_batch_twin(spark.read.parquet(watch)).collect()
+    }
+    assert _final_rows(spark, out) == batch
+    # users 0/10/20/30 appear ONLY at nulled positions -> 36 distinct real
+    # users remain; below K -> exact, nulls not counted
+    assert batch["click"] == (36, 36)
+
+
 def test_state_survives_restart(spark, tmp_path):
     watch = str(tmp_path / "in")
     os.makedirs(watch)
