@@ -32,61 +32,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep covers a bounded window of ~50 entries in
-# dict order. Queries without a driver-recorded row yet (round 2's late
-# additions — the graph-native layer — plus everything new this round) are
-# surfaced FIRST so CORRECTNESS_r03 records them; the rotated-out tail all
-# holds green rows in CORRECTNESS_r02.
+# dict order. Round-4 rotation policy (BASELINE.md "sweep rotation"): FIRST
+# the 11 names with no all-green driver row yet (8 never swept in r01–r03 +
+# the 3 r03 hash-fails whose oracle SUM casts are fixed this round), then
+# anything NEW this round, then backfill with the stalest names (last swept
+# in CORRECTNESS_r02) — so every name converges to at least one all-green
+# CORRECTNESS_r*.json row across rounds. The rotated-out tail all holds
+# green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
-    "text_winnow",
-    "kg_graph_link_predict",
-    "events_kmv_daily",
-    "text_dedup_spans",
-    "embed_kmeans",
-    "embed_pq",
-    "events_distinct_kmv",
-    "supplier_nation_revenue",
-    "part_type_revenue",
-    "kg_graph_ppr",
-    "kg_graph_reciprocity",
-    "text_repetition",
-    "text_lm_score",
-    "text_pii_scrub",
-    "events_anomaly",
-    "dedup_semantic",
-    "sample_mixture",
-    "kg_graph_degree_dist",
-    "kg_graph_kcore",
-    "kg_graph_hits",
-    "kg_graph_label_prop",
-    "curate_pack_tokens",
-    "events_retention",
-    "text_keywords",
-    "kg_graph_components",
-    "kg_graph_edge_sentences",
-    "kg_graph_lang_stats",
-    "kg_graph_who_references",
+    # never-green: never swept r01-r03
+    "embed_pq_rerank",
+    "orders_priority_exists",
+    "customer_order_dist",
+    "part_supplier_counts",
+    "returned_item_customers",
+    "events_user_type_sets",
+    "events_salted_enrich",
+    "embed_ann_lsh_wide",
+    # never-green: r03 hash-fails, oracle CAST fixed this round
     "kg_graph_top_entities",
-    "kg_graph_cooccurrence",
-    "kg_graph_dead_entities",
-    "kg_graph_hierarchy",
-    "kg_graph_top_domains",
-    "kg_graph_entities_by_type",
-    "kg_graph_closure",
-    "kg_graph_ambiguous_names",
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
-    "kg_graph_call_chain",
-    "kg_graph_pagerank",
-    "kg_graph_overrides",
-    "kg_graph_entity_complexity",
-    "kg_graph_triangles",
-    "kg_graph_similar_entities",
-    "kg_search_tfidf",
-    "dedup_cc_clusters",
-    "curate_split",
-    "text_contamination",
-    "sample_stratified",
-    "events_daily",
+    # new this round
+    "kg_search_fuzzy",
+    "kg_incremental_pred_counts",
+    # stalest (last driver row: CORRECTNESS_r02)
+    "kg_term_stats",
+    "kg_top_terms",
+    "kg_mentions",
+    "kg_cooccurrence",
+    "kg_who_references",
+    "kg_doc_references",
+    "kg_most_referenced",
+    "kg_dead_terms",
+    "kg_search_content",
+    "kg_rank_fusion",
+    "kg_sources_of_term",
+    "kg_usage_scope",
+    "kg_term_adjacency",
+    "kg_closure_from_spark",
+    "dedup_exact_hash",
+    "dedup_shingle_pairs",
+    "dedup_minhash_sig",
+    "dedup_lsh_buckets",
+    "dedup_simhash",
+    "embed_norms",
+    "embed_topk_cosine",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "events_by_type",
+    "events_top_users",
+    "lineitem_pricing",
+    "orders_topk_revenue",
+    "events_asof_join",
+    "events_range_join",
+    "events_pivot",
+    "events_topn_per_group",
+    "text_boilerplate_frac",
+    "events_funnel",
+    "kg_call_chain",
+    "dedup_embed_cosine",
+    "embed_ann_lsh",
 )
 
 

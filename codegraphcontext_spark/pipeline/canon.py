@@ -23,9 +23,20 @@ rather than a hot reducer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..datagen.vocab import CANON_JACCARD_THRESHOLD
+
+# Merge-pair count below which connected_components collects to driver
+# union-find; above it the distributed min-label loop runs. Env override
+# CGC_CC_SMALL_CUTOVER lets tests force the loop on small fixtures.
+CC_SMALL_CUTOVER = 100_000
+
+# Which branch the last connected_components call took ("union-find" or
+# "min-label-loop") — observability for tests pinning the distributed path.
+LAST_CC_PATH: str | None = None
 
 # Classic b x r banding: a pair blocks iff ALL r minhashes of some band agree,
 # so P(block | J) = 1 - (1 - J^r)^b. With b=16, r=2 (32 minhashes total):
@@ -152,15 +163,19 @@ def connected_components(
     # Small-graph fast path: below this many merge pairs, collect and run
     # driver-side union-find — identical labels (min surface per component),
     # ~10 Spark jobs fewer. The DataFrame loop below is the web-scale path
-    # (pair count >> driver memory); the threshold is the cutover knob.
+    # (pair count >> driver memory); the threshold is the cutover knob,
+    # overridable via CGC_CC_SMALL_CUTOVER so tests can force the
+    # distributed branch on small fixtures (set 0 -> loop always).
     # Materialize edges ONCE before probing: the probe is then a cheap bounded
     # count over checkpointed data, and the web-scale loop reuses the same
     # materialization instead of recomputing the upstream LSH join per
     # iteration (round-1 version collected 100k rows on every call, including
     # the big path that discarded them).
-    SMALL = 100_000
+    global LAST_CC_PATH
+    small = int(os.environ.get("CGC_CC_SMALL_CUTOVER", CC_SMALL_CUTOVER))
     edges = edges.localCheckpoint(eager=True)
-    if edges.limit(SMALL + 1).count() <= SMALL:
+    if edges.limit(small + 1).count() <= small:
+        LAST_CC_PATH = "union-find"
         head = edges.collect()
         parent: dict[str, str] = {}
 
@@ -186,6 +201,7 @@ def connected_components(
             )
         )
 
+    LAST_CC_PATH = "min-label-loop"
     sym = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))

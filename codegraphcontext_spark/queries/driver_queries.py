@@ -53,6 +53,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_FAN_CACHE: dict = {}
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Restore scan-side parallelism for small single-file inputs.
 
@@ -62,10 +65,28 @@ def _fan_out(df: DataFrame) -> DataFrame:
     parallelism ONLY when the scan is under-partitioned: the shuffle moves
     just the raw (doc_id, text) rows (~MBs), and on a real many-split
     100 TB corpus the guard makes this a no-op (no blind full-corpus
-    repartition)."""
+    repartition).
+
+    The probe (`df.rdd.getNumPartitions()`) forces a full physical planning
+    pass, so its result is memoized per (application, input-file-set): scan
+    partitioning is decided by file sizes + session confs only, never by the
+    narrow projections callers stack on top, so one probe per table per
+    session is exact — ~40 sweep queries pay 3 probes instead of 40."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # noqa: BLE001 - non-file-backed plan
+        files = ()
+    if files:
+        key = (sc.applicationId, files)
+        n = _FAN_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _FAN_CACHE[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < p:
         return df.repartition(p)
     return df
 
@@ -1986,6 +2007,107 @@ def kg_search_scored(spark, sf_dir):
         .select("doc_id", relevance.alias("relevance"))
         .orderBy(F.desc("relevance"), F.asc("doc_id"))
         .limit(15)
+    )
+
+
+# Fuzzy (typo-tolerant) search: pg_trgm-style padded character trigrams.
+# Padding with two leading spaces and one trailing space ('  term ') makes
+# shared prefixes/suffixes count — 'fliter' vs 'filter' scores 0.40 padded
+# but only 0.14 raw, so padded trigram Jaccard separates typos (>=0.3) from
+# unrelated words (<0.1) where raw trigrams cannot.
+_FUZZY_NEEDLES = ["fliter", "streem", "windw", "qery"]
+_FUZZY_MIN_J = 250_000  # Jaccard * 1e6
+_FUZZY_TOPK = 5
+
+
+def _padded_grams(col):
+    """Distinct padded character 3-grams; same rule in both engines."""
+    from ..pipeline.canon import grams_expr
+
+    return grams_expr(F.concat(F.lit("  "), col, F.lit(" ")))
+
+
+_FUZZY_NEEDLES_SQL = ", ".join(f"('{n}')" for n in _FUZZY_NEEDLES)
+_FUZZY_GRAMS_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length('  ' || {c} || ' ') - 2, 1) + 1), "
+    "i -> substr('  ' || {c} || ' ', i, 3)))"
+)
+
+
+@_q(
+    "kg_search_fuzzy",
+    f"""{_TOKS_CTE},
+    vocab AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+      WHERE term <> '' GROUP BY term),
+    needles AS (SELECT * FROM (VALUES {_FUZZY_NEEDLES_SQL}) AS t(needle)),
+    scored AS (
+      SELECT n.needle, v.term, v.n_docs,
+             CAST(len(list_intersect(
+                    {_FUZZY_GRAMS_SQL.format(c='n.needle')},
+                    {_FUZZY_GRAMS_SQL.format(c='v.term')})) * 1000000
+                  // (len({_FUZZY_GRAMS_SQL.format(c='n.needle')})
+                      + len({_FUZZY_GRAMS_SQL.format(c='v.term')})
+                      - len(list_intersect(
+                          {_FUZZY_GRAMS_SQL.format(c='n.needle')},
+                          {_FUZZY_GRAMS_SQL.format(c='v.term')})))
+                  AS BIGINT) AS jaccard_x1e6
+      FROM needles n CROSS JOIN vocab v),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY needle
+               ORDER BY jaccard_x1e6 DESC, n_docs DESC, term ASC) AS rnk
+      FROM scored WHERE jaccard_x1e6 >= {_FUZZY_MIN_J})
+    SELECT needle, term, n_docs, jaccard_x1e6, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_FUZZY_TOPK}
+    ORDER BY needle ASC, rnk ASC""",
+)
+def kg_search_fuzzy(spark, sf_dir):
+    """Typo-tolerant term search (the reference's Lucene fuzzy index,
+    graph_builder.py:81-85 + code_finder.py:18-30: `~` edit-distance
+    queries over entity names): for each misspelled needle, the closest
+    vocabulary terms by padded-trigram Jaccard, top-k per needle.
+
+    Scale shape: ONE token explode -> map-side-combinable vocab aggregate
+    (|vocab| rows, ~millions at web scale — tiny next to the corpus); the
+    handful of needles broadcast-cross the vocab so scoring is a narrow
+    scan-fused pass (trigram HOFs + array_intersect, all JVM-side, zero
+    Python); the per-needle top-k window partitions by needle, so the final
+    shuffle carries only rows already past the Jaccard threshold. An
+    inverted gram->term index would subline the scan for interactive QPS;
+    for batch fuzzy lookup the single narrow pass is the right plan."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        _tokens(docs)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    needles = spark.createDataFrame(
+        [(n,) for n in _FUZZY_NEEDLES], "needle string"
+    )
+    scored = (
+        vocab.crossJoin(F.broadcast(needles))
+        .withColumn("_tg", _padded_grams(F.col("term")))
+        .withColumn("_ng", _padded_grams(F.col("needle")))
+        .select(
+            "needle", "term", "n_docs",
+            F.expr(
+                "CAST(size(array_intersect(_ng, _tg)) * 1000000 DIV "
+                "(size(_ng) + size(_tg) - size(array_intersect(_ng, _tg))) "
+                "AS BIGINT)"
+            ).alias("jaccard_x1e6"),
+        )
+        .where(F.col("jaccard_x1e6") >= _FUZZY_MIN_J)
+    )
+    w = Window.partitionBy("needle").orderBy(
+        F.desc("jaccard_x1e6"), F.desc("n_docs"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _FUZZY_TOPK)
+        .orderBy(F.asc("needle"), F.asc("rnk"))
     )
 
 

@@ -1817,3 +1817,119 @@ def kg_graph_link_predict(spark, sf_dir):
         .orderBy(F.desc("aa_score_x1e6"), F.asc("name_a"), F.asc("name_b"))
         .limit(20)
     )
+
+
+# =============================================================================
+# Incremental-path evidence (W3/W4): an oracle-checked query whose input graph
+# was produced by run_incremental folding a delta into a committed base build
+# =============================================================================
+
+def _incr_dir(sf_dir: str) -> str:
+    return os.path.join(graph_dir(sf_dir), "incr")
+
+
+def ensure_incremental_graph(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf tier) a graph whose workdir went through the
+    INCREMENTAL path: the deterministic corpus is split by url ~80/20 into
+    base and delta (all snapshots of a url stay on one side, so the dup-url
+    edge case never straddles the split), the base is committed with
+    checkpoint='all' (per-stage snapshots, the incremental precondition),
+    its per-predicate edge counts are snapshotted as the 'before' table,
+    then ``run_incremental`` folds the delta. Reference analog: the
+    watcher's re-index on change (core/watcher.py:84-119), which re-parses
+    the whole repo; here the fold is O(delta + graph).
+
+    Returns the incr cache dir containing wd/ (post-delta graph) and
+    base_pred_counts/ (pre-delta counts)."""
+    d = _incr_dir(sf_dir)
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as papq
+
+        from ..datagen.pages import generate_corpus
+        from ..pipeline.runner import PipelineRunner
+
+        corpus = os.path.join(graph_dir(sf_dir), "corpus")
+        if not os.path.exists(os.path.join(corpus, "manifest.json")):
+            generate_corpus(corpus, _n_pages_for(sf_dir))
+        os.makedirs(d, exist_ok=True)
+        t = papq.read_table(os.path.join(corpus, "pages.parquet"))
+        urls = sorted(set(t.column("url").to_pylist()))
+        base_urls = set(urls[: int(len(urls) * 0.8)])
+        mask = [u in base_urls for u in t.column("url").to_pylist()]
+        base_p = os.path.join(d, "base.parquet")
+        delta_p = os.path.join(d, "delta.parquet")
+        papq.write_table(t.filter(mask), base_p)
+        papq.write_table(t.filter([not m for m in mask]), delta_p)
+
+        wd = os.path.join(d, "wd")
+        runner = PipelineRunner(spark, base_p, wd, checkpoint="all")
+        base = runner.run()
+        (
+            base["edges"]
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "base_pred_counts"))
+        )
+        PipelineRunner(spark, base_p, wd, checkpoint="all").run_incremental(
+            delta_p
+        )
+        with open(marker, "w") as f:
+            f.write(str(_GRAPH_VERSION))
+    return d
+
+
+_ORACLE_INCR = os.path.join(_ROOT, "sf0.01", "incr")
+
+
+@_q(
+    "kg_incremental_pred_counts",
+    f"""WITH before AS (
+      SELECT * FROM read_parquet('{_ORACLE_INCR}/base_pred_counts/*.parquet')),
+    after AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM read_parquet('{_ORACLE_INCR}/wd/edges/data/*.parquet')
+      GROUP BY pred)
+    SELECT COALESCE(b.pred, a.pred) AS pred,
+           CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(COALESCE(a.n_after, 0) - COALESCE(b.n_before, 0) AS BIGINT)
+             AS n_added
+    FROM before b FULL OUTER JOIN after a ON b.pred = a.pred
+    ORDER BY pred ASC""",
+)
+def kg_incremental_pred_counts(spark, sf_dir):
+    """Per-predicate edge counts BEFORE vs AFTER a delta fold through
+    ``run_incremental`` — the oracle-checked evidence that the incremental
+    path (W3 delta-scoped refresh, W4 latest-wins update) produces a
+    queryable, correctly-grown graph, not just a pytest-green one.
+
+    Scale shape: both sides are map-side-combinable per-pred aggregates
+    (|preds| ~ 11 rows); the full-outer join runs on a handful of rows.
+    The expensive work — the delta fold itself — happened once at build
+    time and rewrote only the url-hash partitions the delta touched."""
+    d = ensure_incremental_graph(spark, sf_dir)
+    before = spark.read.parquet(os.path.join(d, "base_pred_counts"))
+    after = (
+        spark.read.parquet(os.path.join(d, "wd", "edges", "data"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    b, a = before.alias("b"), after.alias("a")
+    return (
+        b.join(a, F.col("b.pred") == F.col("a.pred"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.pred"), F.col("a.pred")).alias("pred"),
+            F.coalesce(F.col("b.n_before"), F.lit(0)).cast("bigint")
+            .alias("n_before"),
+            F.coalesce(F.col("a.n_after"), F.lit(0)).cast("bigint")
+            .alias("n_after"),
+            (
+                F.coalesce(F.col("a.n_after"), F.lit(0))
+                - F.coalesce(F.col("b.n_before"), F.lit(0))
+            ).cast("bigint").alias("n_added"),
+        )
+        .orderBy(F.asc("pred"))
+    )

@@ -46,6 +46,11 @@ def test_query_matches_oracle(spark, ddb, name):
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
     assert r["rows"], f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    assert r["types"], (
+        f"{name}: dtype-kind mismatch (driver's hash is type-strict — "
+        f"likely an uncast SUM in the oracle twin): "
+        f"{[(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in sdf.columns]}"
+    )
     if not r["values"]:
         a, b = canon(sdf), canon(odf)
         for col in a.columns:
@@ -53,6 +58,23 @@ def test_query_matches_oracle(spark, ddb, name):
                 f"{name}: values differ in column {col}: "
                 f"{a[col].tolist()[:5]} vs {b[col].tolist()[:5]}"
             )
+
+
+def test_components_gate_on_distributed_cc_path(spark, ddb, monkeypatch):
+    """The min-label LOOP branch of connected_components (the web-scale
+    path) must pass the same oracle gate as the union-find fast path: force
+    the cutover to 0 so kg_graph_components takes the loop on the sf0.01
+    fixture, assert the branch actually ran, then run the full shared-gate
+    compare against the recursive-CTE oracle."""
+    import codegraphcontext_spark.pipeline.canon as canon_mod
+
+    monkeypatch.setenv("CGC_CC_SMALL_CUTOVER", "0")
+    canon_mod.LAST_CC_PATH = None
+    sdf = entry_mod.queries()["kg_graph_components"](spark, SF_DIR).toPandas()
+    assert canon_mod.LAST_CC_PATH == "min-label-loop"
+    odf = ddb.execute(entry_mod.oracle_sql()["kg_graph_components"]).df()
+    r = compare(sdf, odf)
+    assert all(r.values()), r
 
 
 def test_entry_smoke(spark):
@@ -100,6 +122,46 @@ def test_bm25_length_normalization(spark, tmp_path):
     # hand-computed scaled-integer scores: N=2, L=504
     assert rows[0].relevance == 8_375_000
     assert rows[1].relevance == 2_111_000
+
+
+def test_fuzzy_search_typo_recall(spark, tmp_path):
+    """The padded-trigram Jaccard scorer behind kg_search_fuzzy must rank
+    the typo's true target first: a corpus whose vocabulary contains
+    'acme', 'corp', 'crop' (the distractor — 'crop' IS a real word here)
+    plus noise, queried with the needles, puts each true term at rank 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import codegraphcontext_spark.queries.driver_queries as dq
+
+    text = "acme corp crop acres carp zenith filter fliter stream"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array([text], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["t"], pa.string()),
+            "n_chars": pa.array([len(text)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    orig_needles = dq._FUZZY_NEEDLES
+    try:
+        dq._FUZZY_NEEDLES = ["crop", "acmee"]
+        rows = dq.kg_search_fuzzy(spark, str(tmp_path)).collect()
+    finally:
+        dq._FUZZY_NEEDLES = orig_needles
+    top = {
+        r.needle: r.term for r in rows if r.rnk == 1
+    }
+    # 'crop' matches itself exactly (Jaccard 1.0) — identity is rank 1;
+    # 'acmee' (typo) must recall 'acme' over 'acres'/'carp'
+    assert top["crop"] == "crop"
+    assert top["acmee"] == "acme"
+    # the exact self-match scores 1.0 scaled
+    exact = [r for r in rows if r.needle == "crop" and r.term == "crop"]
+    assert exact[0].jaccard_x1e6 == 1_000_000
 
 
 def test_pagerank_mass_conservation(spark):
