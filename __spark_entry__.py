@@ -56,6 +56,8 @@ _SWEEP_FIRST = (
     # new this round
     "kg_search_fuzzy",
     "kg_incremental_pred_counts",
+    "kg_graph_fuzzy_names",
+    "kg_search_stem",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",
@@ -92,8 +94,6 @@ _SWEEP_FIRST = (
     "text_boilerplate_frac",
     "events_funnel",
     "kg_call_chain",
-    "dedup_embed_cosine",
-    "embed_ann_lsh",
 )
 
 

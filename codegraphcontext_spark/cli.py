@@ -79,7 +79,7 @@ SUPPORTED_QUERIES = (
     "top_entities", "entities_by_type", "usage_scope", "class_hierarchy",
     "overrides", "dead_entities", "complexity", "cooccurrence",
     "all_referencers", "all_referenced", "call_chain", "edge_sentences",
-    "related", "suggest",
+    "related", "suggest", "fuzzy",
 )
 
 
@@ -254,6 +254,10 @@ def cmd_query(args) -> int:
                               to the seed by any open relation, ranked by
                               the shared-witness resource-allocation score
                               (KG-completion counterpart of `related`)
+    fuzzy <needle>         -> typo-tolerant entity-name lookup by padded-
+                              trigram Jaccard (the reference's Lucene
+                              `name~` fuzzy query, graph_builder.py:81-85 /
+                              code_finder.py:18-30)
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -472,6 +476,21 @@ def cmd_query(args) -> int:
             .agg(F.sum("n_occurrences").alias("n_occ"))
             .orderBy(F.desc("n_occ"), F.asc("scope"), F.asc("pred"))
             .limit(args.limit)
+        )
+    elif args.query == "fuzzy":
+        # typo-tolerant entity-name lookup (the reference's Lucene `name~`
+        # fuzzy query, graph_builder.py:81-85 / code_finder.py:18-30):
+        # padded-trigram Jaccard against the dictionary-sized Entity
+        # dimension — one narrow broadcast-scored pass, no explode
+        from .queries.driver_queries import fuzzy_rank
+
+        ents = nodes.where(F.col("node_type") == "Entity").select(
+            "name", "etype"
+        )
+        res = (
+            fuzzy_rank(ents, "name", [name], 200_000, args.limit)
+            .select("name", "etype", "jaccard_x1e6")
+            .orderBy(F.desc("jaccard_x1e6"), F.asc("name"))
         )
     elif args.query == "overrides":
         refs = (

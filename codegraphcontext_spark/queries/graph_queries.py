@@ -1933,3 +1933,67 @@ def kg_incremental_pred_counts(spark, sf_dir):
         )
         .orderBy(F.asc("pred"))
     )
+
+
+# Fuzzy entity-name lookup over the materialized graph — the closest analog
+# of the reference's Lucene fuzzy index on code entity NAMES
+# (graph_builder.py:81-85 creates the index; code_finder.py:18-30 issues
+# `name~` edit-distance queries). Typo'd needles against the Entity nodes.
+_FUZZY_NAME_NEEDLES = ["acme crop", "grace hoper", "zurch"]
+_FUZZY_NAME_MIN_J = 250_000
+_FUZZY_NAME_TOPK = 5
+
+_FUZZY_NAME_NEEDLES_SQL = ", ".join(f"('{n}')" for n in _FUZZY_NAME_NEEDLES)
+_FUZZY_NAME_GRAMS_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length('  ' || {c} || ' ') - 2, 1) + 1), "
+    "i -> substr('  ' || {c} || ' ', i, 3)))"
+)
+
+
+@_q(
+    "kg_graph_fuzzy_names",
+    f"""{_G_CTE}, ents AS (
+      SELECT name, etype FROM nodes WHERE node_type = 'Entity'),
+    needles AS (SELECT * FROM (VALUES {_FUZZY_NAME_NEEDLES_SQL}) AS t(needle)),
+    scored AS (
+      SELECT n.needle, e.name, e.etype,
+             CAST(len(list_intersect(
+                    {_FUZZY_NAME_GRAMS_SQL.format(c='n.needle')},
+                    {_FUZZY_NAME_GRAMS_SQL.format(c='e.name')})) * 1000000
+                  // (len({_FUZZY_NAME_GRAMS_SQL.format(c='n.needle')})
+                      + len({_FUZZY_NAME_GRAMS_SQL.format(c='e.name')})
+                      - len(list_intersect(
+                          {_FUZZY_NAME_GRAMS_SQL.format(c='n.needle')},
+                          {_FUZZY_NAME_GRAMS_SQL.format(c='e.name')})))
+                  AS BIGINT) AS jaccard_x1e6
+      FROM needles n CROSS JOIN ents e),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY needle
+               ORDER BY jaccard_x1e6 DESC, name ASC) AS rnk
+      FROM scored WHERE jaccard_x1e6 >= {_FUZZY_NAME_MIN_J})
+    SELECT needle, name, etype, jaccard_x1e6, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_FUZZY_NAME_TOPK}
+    ORDER BY needle ASC, rnk ASC""",
+)
+def kg_graph_fuzzy_names(spark, sf_dir):
+    """Typo-tolerant entity-name search over the graph's node table (the
+    reference's `name~` Lucene fuzzy query): per misspelled needle, the
+    closest Entity names by padded-trigram Jaccard.
+
+    Scale shape: the entity dimension is the SMALL side of every graph
+    (dictionary-sized, not corpus-sized); the needles broadcast-cross it
+    and scoring is one narrow JVM pass — no token explode, no shuffle
+    before the tiny per-needle top-k window."""
+    from .driver_queries import fuzzy_rank
+
+    nodes, _ = ensure_graph(spark, sf_dir)
+    ents = nodes.where(F.col("node_type") == "Entity").select("name", "etype")
+    return (
+        fuzzy_rank(
+            ents, "name", _FUZZY_NAME_NEEDLES,
+            _FUZZY_NAME_MIN_J, _FUZZY_NAME_TOPK,
+        )
+        .select("needle", "name", "etype", "jaccard_x1e6", "rnk")
+        .orderBy(F.asc("needle"), F.asc("rnk"))
+    )

@@ -358,6 +358,24 @@ def test_query_edge_sentences(spark, built_wd, capsys):
     assert rc == 2
 
 
+def test_query_fuzzy_typo_finds_entity(spark, built_wd, capsys):
+    """The Lucene-`name~` analog: a misspelled entity name must surface the
+    real entity as the best match, ranked by padded-trigram Jaccard."""
+    rc = cli.main(["query", "--workdir", built_wd, "fuzzy", "acme crop"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["name"] == "acme corp"
+    scores = [r["jaccard_x1e6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 200_000 for s in scores)
+
+
+def test_query_fuzzy_no_match(spark, built_wd, capsys):
+    rc = cli.main(["query", "--workdir", built_wd, "fuzzy", "qqqqqq"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
 def test_query_related_ppr(spark, built_wd, capsys):
     """Personalized-PageRank relatedness: seed excluded, ranks positive and
     non-increasing, and a direct neighbor of the seed must appear."""
