@@ -90,6 +90,18 @@ def _session_fn(
         )
 
 
+def _sessionizable(events: DataFrame) -> DataFrame:
+    """Drop rows that cannot be sessionized — null user_id (no session
+    owner) or null ts (no position in time). Applied identically to the
+    stream and the batch twin. Without the guard a single null ts CRASHES
+    the state fold (NaT -> int64 astype raises) and, because the
+    checkpoint replays the same file, every restart dies too — the same
+    failure class the KMV sketch had on null user_ids."""
+    return events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+
+
 def sessionize_stream(
     spark: SparkSession,
     watch_dir: str,
@@ -107,7 +119,7 @@ def sessionize_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = (
+    stream = _sessionizable(
         spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(watch_dir)
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
@@ -148,6 +160,7 @@ def sessionize_batch_twin(
     # is tz-invariant anyway).
     gap_us = F.lit(SESSION_GAP_S * 1_000_000)
     epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    events = _sessionizable(events)
     flagged = events.withColumn(
         "_new",
         (epoch_us - F.lag(epoch_us).over(w) > gap_us).cast("int"),

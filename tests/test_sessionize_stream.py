@@ -114,3 +114,50 @@ def test_batch_twin_include_open(spark):
     closed_only = sessionize_batch_twin(df).collect()
     with_open = sessionize_batch_twin(df, include_open=True).collect()
     assert len(closed_only) == 1 and len(with_open) == 2
+
+
+def test_null_user_or_ts_does_not_crash_stream(spark, tmp_path):
+    """A null user_id or ts row must not kill the streaming query (NaT ->
+    int64 astype in the state fold raised, and the checkpoint replayed the
+    crash on every restart). The guard drops unsessionizable rows before
+    BOTH the stream and the batch twin, so they still agree."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    watch = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    tbl = _events_table(
+        [
+            (0, 1, 0, 1.0),
+            (1, 1, 60, 2.0),
+            (2, 1, 60 + _GAP + 1, 3.0),  # closes user 1's first session
+            (3, 2, 0, 4.0),
+        ]
+    )
+    # poison: null user_id on one row, null ts on another
+    uid = tbl.column("user_id").to_pylist()
+    uid[3] = None
+    ts = tbl.column("ts").to_pylist()
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("user_id"), "user_id",
+        pa.array(uid, pa.int64()),
+    )
+    ts2 = ts[:2] + [None] + ts[3:]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts",
+        pa.array(ts2, pa.timestamp("us")),
+    )
+    pq.write_table(tbl, os.path.join(watch, "a.parquet"))
+
+    _run_once(spark, watch, out, ckpt)  # must not raise
+    got = spark.read.parquet(out)
+    twin = sessionize_batch_twin(spark.read.parquet(watch))
+    assert sorted(
+        (r.user_id, r.n_events) for r in got.collect()
+    ) == sorted((r.user_id, r.n_events) for r in twin.collect())
+    # user 1 still closed one session (events 0 and 2 survive; event 1's
+    # null ts is dropped), and no null-user session row exists
+    assert got.where(F.col("user_id").isNull()).count() == 0
