@@ -58,6 +58,7 @@ _SWEEP_FIRST = (
     "kg_incremental_pred_counts",
     "kg_graph_fuzzy_names",
     "kg_search_stem",
+    "kg_incremental_delete_counts",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",
@@ -93,7 +94,6 @@ _SWEEP_FIRST = (
     "events_topn_per_group",
     "text_boilerplate_frac",
     "events_funnel",
-    "kg_call_chain",
 )
 
 

@@ -104,9 +104,13 @@ def main() -> None:
     # is a full pipeline run whose throughput is already reported separately
     # (pipeline_docs_per_sec below) — without this the first graph query
     # would absorb the entire build into its latency number.
-    from codegraphcontext_spark.queries.graph_queries import ensure_graph
+    from codegraphcontext_spark.queries.graph_queries import (
+        ensure_graph,
+        ensure_incremental_graph,
+    )
 
     ensure_graph(spark, SF_DIR)
+    ensure_incremental_graph(spark, SF_DIR)
 
     # Min-of-N per query (default 2): this sandbox VM's memory is
     # host-overcommitted (see BASELINE.md) — identical jobs vary 2-3x with

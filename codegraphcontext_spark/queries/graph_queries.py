@@ -1828,6 +1828,10 @@ def _incr_dir(sf_dir: str) -> str:
     return os.path.join(graph_dir(sf_dir), "incr")
 
 
+# whole-site delete target for the delete leg (site0 exists at every tier)
+_INCR_DELETE_PREFIX = "https://site0.example/"
+
+
 def ensure_incremental_graph(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf tier) a graph whose workdir went through the
     INCREMENTAL path: the deterministic corpus is split by url ~80/20 into
@@ -1839,11 +1843,22 @@ def ensure_incremental_graph(spark: SparkSession, sf_dir: str) -> str:
     watcher's re-index on change (core/watcher.py:84-119), which re-parses
     the whole repo; here the fold is O(delta + graph).
 
-    Returns the incr cache dir containing wd/ (post-delta graph) and
-    base_pred_counts/ (pre-delta counts)."""
+    A copy of the post-delta workdir then goes through ``run_delete`` of a
+    whole site prefix (S6 repo-delete + S7 GC), so the delete path has its
+    own oracle-checked snapshot too.
+
+    Returns the incr cache dir containing wd/ (post-delta graph), wd_del/
+    (post-delete copy) and base_pred_counts/ (pre-delta counts)."""
+    import shutil
+
     d = _incr_dir(sf_dir)
     marker = os.path.join(d, "_BUILT")
-    if not os.path.exists(marker):
+    expected = f"{_GRAPH_VERSION}:incr2"
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != expected
+    if stale:
         import pyarrow.parquet as papq
 
         from ..datagen.pages import generate_corpus
@@ -1852,6 +1867,7 @@ def ensure_incremental_graph(spark: SparkSession, sf_dir: str) -> str:
         corpus = os.path.join(graph_dir(sf_dir), "corpus")
         if not os.path.exists(os.path.join(corpus, "manifest.json")):
             generate_corpus(corpus, _n_pages_for(sf_dir))
+        shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         t = papq.read_table(os.path.join(corpus, "pages.parquet"))
         urls = sorted(set(t.column("url").to_pylist()))
@@ -1876,8 +1892,15 @@ def ensure_incremental_graph(spark: SparkSession, sf_dir: str) -> str:
         PipelineRunner(spark, base_p, wd, checkpoint="all").run_incremental(
             delta_p
         )
+        # delete leg: whole-site prefix delete + GC on a COPY, so wd keeps
+        # the post-ingest truth and wd_del the post-delete truth
+        wd_del = os.path.join(d, "wd_del")
+        shutil.copytree(wd, wd_del)
+        PipelineRunner(spark, base_p, wd_del, checkpoint="all").run_delete(
+            _INCR_DELETE_PREFIX
+        )
         with open(marker, "w") as f:
-            f.write(str(_GRAPH_VERSION))
+            f.write(expected)
     return d
 
 
@@ -1996,4 +2019,61 @@ def kg_graph_fuzzy_names(spark, sf_dir):
         )
         .select("needle", "name", "etype", "jaccard_x1e6", "rnk")
         .orderBy(F.asc("needle"), F.asc("rnk"))
+    )
+
+
+@_q(
+    "kg_incremental_delete_counts",
+    f"""WITH ingest AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_ingest
+      FROM read_parquet('{_ORACLE_INCR}/wd/edges/data/*.parquet')
+      GROUP BY pred),
+    after_del AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_after_delete
+      FROM read_parquet('{_ORACLE_INCR}/wd_del/edges/data/*.parquet')
+      GROUP BY pred)
+    SELECT COALESCE(i.pred, a.pred) AS pred,
+           CAST(COALESCE(i.n_ingest, 0) AS BIGINT) AS n_ingest,
+           CAST(COALESCE(a.n_after_delete, 0) AS BIGINT) AS n_after_delete,
+           CAST(COALESCE(i.n_ingest, 0) - COALESCE(a.n_after_delete, 0)
+                AS BIGINT) AS n_removed
+    FROM ingest i FULL OUTER JOIN after_del a ON i.pred = a.pred
+    ORDER BY pred ASC""",
+)
+def kg_incremental_delete_counts(spark, sf_dir):
+    """Per-predicate edge counts before vs after a whole-site prefix delete
+    (S6 repo-delete + S7 GC, reference graph_builder.py:407-441) applied to
+    a copy of the incrementally-built workdir — oracle-checked evidence the
+    delete path removes the site's edges and garbage-collects orphans
+    without disturbing the rest of the graph.
+
+    Scale shape: two map-side-combinable per-pred aggregates joined on a
+    handful of rows; the delete itself rewrote only the url-hash partitions
+    under the prefix at build time."""
+    d = ensure_incremental_graph(spark, sf_dir)
+    ingest = (
+        spark.read.parquet(os.path.join(d, "wd", "edges", "data"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ingest"))
+    )
+    after = (
+        spark.read.parquet(os.path.join(d, "wd_del", "edges", "data"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after_delete"))
+    )
+    i, a = ingest.alias("i"), after.alias("a")
+    return (
+        i.join(a, F.col("i.pred") == F.col("a.pred"), "full_outer")
+        .select(
+            F.coalesce(F.col("i.pred"), F.col("a.pred")).alias("pred"),
+            F.coalesce(F.col("i.n_ingest"), F.lit(0)).cast("bigint")
+            .alias("n_ingest"),
+            F.coalesce(F.col("a.n_after_delete"), F.lit(0)).cast("bigint")
+            .alias("n_after_delete"),
+            (
+                F.coalesce(F.col("i.n_ingest"), F.lit(0))
+                - F.coalesce(F.col("a.n_after_delete"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+        .orderBy(F.asc("pred"))
     )
