@@ -131,14 +131,25 @@ def link_mentions(mentions: DataFrame, canon_tokens: DataFrame) -> DataFrame:
         how="left",
     ).withColumn("candidates", F.coalesce("candidates", F.array()))
 
-    doc_ents = (
-        m.where(F.size("candidates") == 1)
-        .select("url", F.col("candidates")[0]["entity_id"].alias("eid"))
-        .groupBy("url")
-        .agg(F.collect_set("eid").alias("doc_ents"))
-    )
-    m = m.join(doc_ents, on="url", how="left").withColumn(
-        "doc_ents", F.coalesce("doc_ents", F.array())
+    # pass-1 doc context as a WINDOW, not groupBy+self-join: the old shape
+    # computed `m` twice (once per branch — each re-reading triples/defs and
+    # re-running the dict join) and paid two shuffles (agg + join-back). The
+    # window needs ONE url-hash exchange and one pass; collect_list skips
+    # the nulls the `when` leaves on ambiguous mentions, so the distinct set
+    # equals the old collect_set exactly (downstream only tests membership).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url")
+    m = m.withColumn(
+        "doc_ents",
+        F.array_distinct(
+            F.collect_list(
+                F.when(
+                    F.size("candidates") == 1,
+                    F.col("candidates")[0]["entity_id"],
+                )
+            ).over(w)
+        ),
     )
 
     cands = F.col("candidates")
