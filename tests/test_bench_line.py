@@ -120,3 +120,14 @@ def test_readme_query_count_matches_registry():
     m = re.search(r"\*\*(\d+) driver queries", txt)
     assert m, "README no longer states the driver-query count"
     assert int(m.group(1)) == len(e.queries())
+
+
+def test_sweep_pin_names_all_resolve():
+    """A typo in _SWEEP_FIRST silently drops the name from the driver's
+    ~50-query window (the _ordered() helper skips unknown names) — pin that
+    every pinned name actually exists in the registry."""
+    import __spark_entry__ as e
+
+    qs = set(e.queries())
+    missing = [n for n in e._SWEEP_FIRST if n not in qs]
+    assert not missing, f"_SWEEP_FIRST names not in queries(): {missing}"
