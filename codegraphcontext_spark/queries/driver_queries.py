@@ -2201,10 +2201,14 @@ def kg_search_stem(spark, sf_dir):
         [(n,) for n in _STEM_NEEDLES], "needle string"
     ).withColumn("stem", stem(F.col("needle")))
     hits = doc_stems.join(F.broadcast(needles), on="stem")
+    # the aggregate is provably <= |needles| rows, so broadcasting it is
+    # always safe — and keeps the zero-hit left join off the shuffle path
+    # (statically planned; no SMJ for AQE to rescue)
+    agg = F.broadcast(
+        hits.groupBy("needle", "stem").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     return (
-        hits.groupBy("needle", "stem")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .join(needles, on=["needle", "stem"], how="right_outer")
+        needles.join(agg, on=["needle", "stem"], how="left")
         .select(
             "needle", "stem",
             F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),

@@ -203,3 +203,34 @@ def test_returned_item_customers_topk_pushdown(spark):
     # returnflag and date window reach their scans
     assert "EqualTo(l_returnflag,R)" in p, p
     assert "GreaterThanOrEqual(o_orderdate" in p, p
+
+
+def test_fuzzy_search_scoring_is_broadcast_narrow(spark):
+    """fuzzy_rank's needle side must broadcast (never a shuffled join with
+    the candidate table), and scoring adds no extra aggregate shuffle: the
+    plan carries exactly the vocab groupBy exchange plus the per-needle
+    window exchange over thresholded rows."""
+    p = _plan(spark, "kg_search_fuzzy")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_graph_names_never_explodes_tokens(spark):
+    """kg_graph_fuzzy_names scores the dictionary-sized Entity dimension
+    directly — no token explode (Generate) may appear in its plan."""
+    p = _plan(spark, "kg_graph_fuzzy_names")
+    assert "Generate" not in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_stem_search_dedups_in_row_before_explode(spark):
+    """kg_search_stem's stem+dedup runs inside the array HOF before the
+    explode, so the plan has ONE Generate and the needle join broadcasts."""
+    import re
+
+    p = _plan(spark, "kg_search_stem")
+    # formatted plans list each node twice (tree + numbered detail); count
+    # the numbered detail entries
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
