@@ -739,6 +739,133 @@ def dedup_simhash(spark, sf_dir):
     return votes.select("doc_id", sim.alias("simhash16"))
 
 
+# Exact substring (maximal shared token span) dedup — Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better": find maximal
+# duplicated token runs >= a floor across document PAIRS, not just
+# set-similarity candidates. K-token fingerprints matched positionally, then
+# merged into maximal spans along each (doc_a, doc_b) alignment diagonal.
+_SUB_K = 8          # fingerprint width (tokens)
+_SUB_DFCAP = 20     # fingerprints occurring more often are boilerplate
+_SUB_MIN_SPAN = 12  # report spans at least this many tokens
+
+
+@_q(
+    "dedup_substr_spans",
+    f"""WITH s0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+               AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_SUB_K - 1}], ' ')) AS gram
+      FROM s0, LATERAL (SELECT unnest(generate_series(
+               1, greatest(len(toks) - {_SUB_K} + 1, 0))) AS i) t),
+    keep AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(*) <= {_SUB_DFCAP}),
+    gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    m AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    r AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a)
+               AS rid
+      FROM m),
+    sp AS (
+      SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             MAX(pos_a) - MIN(pos_a) + {_SUB_K} AS span_len
+      FROM r GROUP BY doc_a, doc_b, diag, rid)
+    SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM sp WHERE span_len >= {_SUB_MIN_SPAN}
+    ORDER BY span_len DESC, doc_a ASC, doc_b ASC, start_a ASC,
+             start_b ASC""",
+)
+def dedup_substr_spans(spark, sf_dir):
+    """Cross-document EXACT substring dedup (Lee et al. 2022): every maximal
+    shared token run >= _SUB_MIN_SPAN tokens between any document pair, with
+    1-based start positions in both. Set-similarity dedup (shingles/MinHash)
+    answers "are these docs alike?"; this answers "WHICH text is copied?" —
+    the operator behind span-level decontamination and quote removal.
+
+    Shape: one narrow pass builds K-token rolling fingerprints INSIDE the
+    array HOF (md5 over the joined window — positions come from the same
+    sequence that windows the array, no token explode); fingerprints over
+    the df-cap are dropped BEFORE the positional self-join (boilerplate
+    K-grams would explode pairs quadratically, same discipline as
+    dedup_shingle_pairs); matched positions collapse to maximal spans by the
+    classic diagonal-runs trick — runs of consecutive pos_a on one
+    (doc_a, doc_b, pos_a - pos_b) diagonal ARE the maximal spans, found
+    with one window + one aggregate, both keyed on the pair (map-side
+    combinable, no driver logic). At 100 TB every stage is bounded: gram
+    rows ~ corpus tokens, pairs bounded by C(df_cap, 2) per fingerprint."""
+    from pyspark.sql.window import Window
+
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams_arr = F.when(
+        F.size(toks) >= _SUB_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - _SUB_K + 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i, _SUB_K), " ")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    keep = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= _SUB_DFCAP)
+        .select("gram")
+    )
+    gk = g.join(keep, on="gram", how="left_semi").localCheckpoint(eager=True)
+    a, b = gk.alias("a"), gk.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = m.withColumn(
+        "rid", F.col("pos_a") - F.row_number().over(w)
+    ).withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "rid")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + _SUB_K).alias("span_len"),
+        )
+        .where(F.col("span_len") >= _SUB_MIN_SPAN)
+        .select(
+            "doc_a", "doc_b",
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+        )
+        .orderBy(
+            F.desc("span_len"), F.asc("doc_a"), F.asc("doc_b"),
+            F.asc("start_a"), F.asc("start_b"),
+        )
+    )
+
+
 # =============================================================================
 # Similarity search over embeddings
 # =============================================================================

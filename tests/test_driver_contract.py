@@ -399,3 +399,39 @@ def test_kmv_merge_is_lossless(spark):
     assert merged.n_distinct_exact == len(hs)
     # the estimate is a real estimate: within 40% of exact at K=64
     assert abs(merged.est_distinct - len(hs)) <= 0.4 * len(hs)
+
+
+def test_substr_spans_are_maximal_and_positional(spark, tmp_path):
+    """Hand-built pair: doc 2 copies a 20-token run from the middle of
+    doc 1 (at a different offset) plus unrelated text. Exactly ONE span
+    must come back — maximal (the full 20 tokens, not K-sized fragments) —
+    with the correct 1-based start positions on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        _SUB_K,
+        dedup_substr_spans,
+    )
+
+    shared = [f"w{i}" for i in range(20)]
+    d1 = [f"a{i}" for i in range(7)] + shared + [f"b{i}" for i in range(9)]
+    d2 = [f"c{i}" for i in range(3)] + shared + [f"d{i}" for i in range(30)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([" ".join(d1), " ".join(d2)], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["t", "t"], pa.string()),
+            "n_chars": pa.array([1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = dedup_substr_spans(spark, str(tmp_path)).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_len == 20
+    assert r.start_a == 8   # 1-based: after 7 'a' tokens
+    assert r.start_b == 4   # 1-based: after 3 'c' tokens
+    assert _SUB_K <= 20  # the test presumes the span exceeds the fingerprint
