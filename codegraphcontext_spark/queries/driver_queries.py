@@ -3711,6 +3711,121 @@ def _pq_model(spark, sf_dir):
     return q, cb, qtab
 
 
+_IVFPQ_R = 50  # ADC shortlist within the probed cells
+
+
+def _ivfpq_sql() -> str:
+    """IVF-PQ twin: the IVF leg's cell assignment + probe (verbatim from
+    embed_ann_ivf's CTEs) restricts the candidate set; the PQ leg's ADC
+    (verbatim from _pq_sql's CTEs) shortlists within it; exact cosine
+    re-ranks the shortlist."""
+    d = 64 // _PQ_M
+    return f"""{_EMB_CTE},
+    cents AS (SELECT vec_id AS cent_id, i, x FROM e WHERE vec_id < {_IVF_K}),
+    sims AS (
+      SELECT e.vec_id, c.cent_id,
+             CAST(ROUND(SUM(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE))))
+               * 1e6) AS BIGINT) AS cos_x1e6
+      FROM e JOIN cents c ON e.i = c.i
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_x1e6 DESC, cent_id ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    probe AS (SELECT cent_id FROM sims WHERE vec_id = 0
+              ORDER BY cos_x1e6 DESC, cent_id ASC LIMIT {_IVF_NPROBE}),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cent_id)
+             WHERE a.vec_id <> 0),
+    eq AS (SELECT vec_id, (i - 1) // {d} AS s, i,
+                  CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           FROM e),
+    cb AS (SELECT vec_id AS code, s, i, xq FROM eq WHERE vec_id < {_PQ_KS}),
+    dsub AS (
+      SELECT eq.vec_id, cb.s, cb.code,
+             CAST(SUM((eq.xq - cb.xq) * (eq.xq - cb.xq)) AS BIGINT) AS dst
+      FROM eq JOIN cb ON eq.i = cb.i GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY dst ASC, code ASC) AS rn
+        FROM dsub) WHERE rn = 1),
+    qtab AS (SELECT s, code, dst FROM dsub WHERE vec_id = 0),
+    short AS (
+      SELECT c.vec_id, CAST(SUM(q.dst) AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN qtab q ON c.s = q.s AND c.code = q.code
+      JOIN cand ON c.vec_id = cand.vec_id
+      GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {_IVFPQ_R}),
+    dd AS (
+      SELECT b.vec_id,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a
+      JOIN e b ON a.i = b.i AND a.vec_id = 0
+      JOIN short s ON b.vec_id = s.vec_id
+      GROUP BY 1)
+    SELECT vec_id, CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM dd ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 10"""
+
+
+@_q("embed_ivfpq", _ivfpq_sql())
+def embed_ivfpq(spark, sf_dir):
+    """IVF-PQ — the FAISS-standard composed index: the coarse quantizer
+    routes the query to NPROBE cells (scan ~NPROBE/K of the corpus), the
+    PQ ADC scan shortlists R candidates WITHIN those cells reading only
+    8-byte codes, and exact cosine re-ranks the R full vectors. Each leg is
+    the already-oracle-checked operator (embed_ann_ivf / embed_pq_rerank);
+    the composition is what a 10^9-vector deployment actually runs: cost =
+    probe fraction x code scan + R full-vector reads, independent of corpus
+    size in the expensive column.
+
+    Scale shape: centroid matrix and codebook broadcast (KBs); cell
+    assignment and ADC are Arrow-batched narrow passes; both top-k's
+    compile to TakeOrderedAndProject; the full-precision column is touched
+    for exactly R rows."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cn = _seed_centroids(emb, _IVF_K)
+    assign_cell = _assign_cell_udf(cn)
+    qcos = _round_half_away(cn @ cn[0] * 1e6)
+    order = np.lexsort((np.arange(_IVF_K), -qcos))
+    probe_cells = [int(c) for c in order[:_IVF_NPROBE]]
+
+    q, cb, qtab = _pq_model(spark, sf_dir)
+    cand_ids = (
+        emb.withColumn("cell", assign_cell("embedding"))
+        .where(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+        .select("vec_id")
+    )
+    short = (
+        q.join(cand_ids, "vec_id", "left_semi")
+        .select("vec_id", _pq_adc_udf(cb, qtab)("q").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_IVFPQ_R)
+        .select("vec_id")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = emb.join(short, "vec_id", "left_semi").crossJoin(F.broadcast(qv))
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
+    )
+    return (
+        cand.select(
+            "vec_id", F.round(cos * 1e6).cast("bigint").alias("cos_x1e6")
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @_q("embed_pq", _pq_sql())
 def embed_pq(spark, sf_dir):
     """Product-quantization ANN — the compressed-index scale path next to

@@ -40,6 +40,7 @@ def main() -> int:
         "embed_ann_ivf",
         "embed_pq",
         "embed_pq_rerank",
+        "embed_ivfpq",
     ):
         rows, dt = run(name)
         got = [r["vec_id"] for r in rows]
