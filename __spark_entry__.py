@@ -61,6 +61,7 @@ _SWEEP_FIRST = (
     "kg_incremental_delete_counts",
     "dedup_substr_spans",
     "embed_ivfpq",
+    "dedup_substr_coverage",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",
@@ -93,7 +94,6 @@ _SWEEP_FIRST = (
     "events_asof_join",
     "events_range_join",
     "events_pivot",
-    "events_topn_per_group",
 )
 
 

@@ -749,9 +749,9 @@ _SUB_DFCAP = 20     # fingerprints occurring more often are boilerplate
 _SUB_MIN_SPAN = 12  # report spans at least this many tokens
 
 
-@_q(
-    "dedup_substr_spans",
-    f"""WITH s0 AS (
+# the span-construction CTE chain, shared by the spans query and the
+# coverage metric's oracle (one definition -> the twins can't drift)
+_SUB_SPANS_CTES = f"""WITH s0 AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
                AS toks FROM documents),
     g AS (
@@ -775,7 +775,12 @@ _SUB_MIN_SPAN = 12  # report spans at least this many tokens
     sp AS (
       SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
              MAX(pos_a) - MIN(pos_a) + {_SUB_K} AS span_len
-      FROM r GROUP BY doc_a, doc_b, diag, rid)
+      FROM r GROUP BY doc_a, doc_b, diag, rid)"""
+
+
+@_q(
+    "dedup_substr_spans",
+    f"""{_SUB_SPANS_CTES}
     SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
            CAST(start_b AS BIGINT) AS start_b,
            CAST(span_len AS BIGINT) AS span_len
@@ -863,6 +868,71 @@ def dedup_substr_spans(spark, sf_dir):
             F.desc("span_len"), F.asc("doc_a"), F.asc("doc_b"),
             F.asc("start_a"), F.asc("start_b"),
         )
+    )
+
+
+@_q(
+    "dedup_substr_coverage",
+    f"""{_SUB_SPANS_CTES},
+    spans AS (SELECT * FROM sp WHERE span_len >= {_SUB_MIN_SPAN}),
+    cover AS (
+      SELECT DISTINCT doc_b AS doc_id, p AS pos
+      FROM spans, LATERAL (SELECT unnest(generate_series(
+               start_b, start_b + span_len - 1)) AS p) t),
+    nt AS (SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    AS n_tokens FROM documents),
+    agg AS (SELECT doc_id, COUNT(*) AS n_dup FROM cover GROUP BY doc_id)
+    SELECT a.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_dup AS BIGINT) AS n_dup_tokens,
+           CAST(a.n_dup * 1000000 // nt.n_tokens AS BIGINT) AS dup_frac_x1e6
+    FROM agg a JOIN nt ON nt.doc_id = a.doc_id
+    ORDER BY dup_frac_x1e6 DESC, a.doc_id ASC""",
+)
+def dedup_substr_coverage(spark, sf_dir):
+    """Per-document copied-text accounting under the keep-first policy: for
+    every doc that shares maximal spans with a LOWER-id doc, the number and
+    fraction of its tokens covered by the union of those spans — the metric
+    behind "drop docs that are >X% duplicated text" curation rules (RefinedWeb
+    applies exactly this after exact-substring dedup).
+
+    Shape: reuses dedup_substr_spans' bounded pipeline, then explodes each
+    span to positions INSIDE sequence() (span count x span length rows —
+    bounded by corpus tokens), distincts per (doc, pos) to union overlapping
+    spans, and reduces to one row per affected doc. No new scan of text
+    beyond the token-count projection."""
+    spans = dedup_substr_spans(spark, sf_dir)
+    cover = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_len") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    agg = cover.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_tokens")
+    )
+    nt = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        agg.join(nt, on="doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            F.col("n_dup_tokens").cast("bigint").alias("n_dup_tokens"),
+            F.expr(
+                "CAST(n_dup_tokens * 1000000 DIV n_tokens AS BIGINT)"
+            ).alias("dup_frac_x1e6"),
+        )
+        .orderBy(F.desc("dup_frac_x1e6"), F.asc("doc_id"))
     )
 
 
