@@ -62,6 +62,7 @@ _SWEEP_FIRST = (
     "dedup_substr_spans",
     "embed_ivfpq",
     "dedup_substr_coverage",
+    "kg_search_fuzzy_idx",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",
@@ -93,7 +94,6 @@ _SWEEP_FIRST = (
     "orders_topk_revenue",
     "events_asof_join",
     "events_range_join",
-    "events_pivot",
 )
 
 

@@ -2347,6 +2347,113 @@ def kg_search_fuzzy(spark, sf_dir):
     )
 
 
+@_q(
+    "kg_search_fuzzy_idx",
+    f"""{_TOKS_CTE},
+    vocab AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+      WHERE term <> '' GROUP BY term),
+    needles AS (SELECT * FROM (VALUES {_FUZZY_NEEDLES_SQL}) AS t(needle)),
+    ngrams AS (
+      SELECT needle, unnest({_FUZZY_GRAMS_SQL.format(c='needle')}) AS gram
+      FROM needles),
+    tgrams AS (
+      SELECT term, unnest({_FUZZY_GRAMS_SQL.format(c='term')}) AS gram
+      FROM vocab),
+    cand AS (
+      SELECT DISTINCT n.needle, t.term
+      FROM tgrams t JOIN ngrams n ON t.gram = n.gram),
+    scored AS (
+      SELECT c.needle, c.term, v.n_docs,
+             CAST(len(list_intersect(
+                    {_FUZZY_GRAMS_SQL.format(c='c.needle')},
+                    {_FUZZY_GRAMS_SQL.format(c='c.term')})) * 1000000
+                  // (len({_FUZZY_GRAMS_SQL.format(c='c.needle')})
+                      + len({_FUZZY_GRAMS_SQL.format(c='c.term')})
+                      - len(list_intersect(
+                          {_FUZZY_GRAMS_SQL.format(c='c.needle')},
+                          {_FUZZY_GRAMS_SQL.format(c='c.term')})))
+                  AS BIGINT) AS jaccard_x1e6
+      FROM cand c JOIN vocab v ON v.term = c.term),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY needle
+               ORDER BY jaccard_x1e6 DESC, n_docs DESC, term ASC) AS rnk
+      FROM scored WHERE jaccard_x1e6 >= {_FUZZY_MIN_J})
+    SELECT needle, term, n_docs, jaccard_x1e6, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_FUZZY_TOPK}
+    ORDER BY needle ASC, rnk ASC""",
+)
+def kg_search_fuzzy_idx(spark, sf_dir):
+    """Inverted-gram-index fuzzy search — the interactive-QPS scale path
+    next to kg_search_fuzzy's full-vocab scan (the same brute-vs-indexed
+    pairing as embed_topk_cosine vs embed_ann_lsh): the vocabulary's padded
+    trigrams form a gram->term inverted index; a query touches only the
+    posting lists of ITS OWN ~|needle| grams, so candidate generation reads
+    a fixed number of index partitions instead of scanning every term. The
+    candidate filter is LOSSLESS above any positive threshold (Jaccard > 0
+    requires a shared gram), so results are identical to the scan — pinned
+    by a pytest equality check.
+
+    Scale shape: the index explode is one narrow pass (built once, reusable
+    across queries in a real deployment — here rebuilt per call); the
+    needle grams broadcast into the posting-list semi-join; exact scoring
+    runs only on the candidate set. At a 10^8-term vocabulary the scan
+    variant reads every term per query; this reads ~30 posting lists."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        _fan_out(docs)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", " "), lambda t: t != "")
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)  # index + score both read it
+    )
+    needles = spark.createDataFrame(
+        [(n,) for n in _FUZZY_NEEDLES], "needle string"
+    )
+    tgrams = vocab.select(
+        "term", F.explode(_padded_grams(F.col("term"))).alias("gram")
+    )
+    ngrams = needles.select(
+        "needle", F.explode(_padded_grams(F.col("needle"))).alias("gram")
+    )
+    cand = (
+        tgrams.join(F.broadcast(ngrams), on="gram")
+        .select("needle", "term")
+        .distinct()
+    )
+    scored = (
+        cand.join(vocab, on="term")
+        .withColumn("_tg", _padded_grams(F.col("term")))
+        .withColumn("_ng", _padded_grams(F.col("needle")))
+        .withColumn(
+            "jaccard_x1e6",
+            F.expr(
+                "CAST(size(array_intersect(_ng, _tg)) * 1000000 DIV "
+                "(size(_ng) + size(_tg) - size(array_intersect(_ng, _tg))) "
+                "AS BIGINT)"
+            ),
+        )
+        .where(F.col("jaccard_x1e6") >= _FUZZY_MIN_J)
+    )
+    w = Window.partitionBy("needle").orderBy(
+        F.desc("jaccard_x1e6"), F.desc("n_docs"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _FUZZY_TOPK)
+        .select("needle", "term", "n_docs", "jaccard_x1e6", "rnk")
+        .orderBy(F.asc("needle"), F.asc("rnk"))
+    )
+
+
 # Analyzer-style stemmed search: the Lucene StandardAnalyzer+stemmer leg of
 # the reference's full-text index (graph_builder.py:81-85) — a query for
 # 'sorting' must hit documents containing 'sort'. One suffix-strip rule,

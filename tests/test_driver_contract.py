@@ -435,3 +435,17 @@ def test_substr_spans_are_maximal_and_positional(spark, tmp_path):
     assert r.start_a == 8   # 1-based: after 7 'a' tokens
     assert r.start_b == 4   # 1-based: after 3 'c' tokens
     assert _SUB_K <= 20  # the test presumes the span exceeds the fingerprint
+
+
+def test_fuzzy_index_equals_scan(spark):
+    """The inverted-gram-index fuzzy search must return EXACTLY the scan
+    variant's rows (the candidate filter is lossless above any positive
+    threshold: Jaccard > 0 requires a shared gram)."""
+    from codegraphcontext_spark.queries.driver_queries import (
+        kg_search_fuzzy,
+        kg_search_fuzzy_idx,
+    )
+
+    scan = kg_search_fuzzy(spark, SF_DIR).collect()
+    idx = kg_search_fuzzy_idx(spark, SF_DIR).collect()
+    assert [tuple(r) for r in scan] == [tuple(r) for r in idx]
