@@ -449,3 +449,81 @@ def test_fuzzy_index_equals_scan(spark):
     scan = kg_search_fuzzy(spark, SF_DIR).collect()
     idx = kg_search_fuzzy_idx(spark, SF_DIR).collect()
     assert [tuple(r) for r in scan] == [tuple(r) for r in idx]
+
+
+def test_substr_spans_match_bruteforce_reference(spark, tmp_path):
+    """Randomized (seeded) cross-check of the distributed diagonal-runs
+    span merge against a direct per-pair reference: for every document
+    pair, maximal spans = maximal diagonal runs of exact K-gram matches.
+    Docs are built from unique filler tokens plus planted shared runs, so
+    the df-cap never binds and the reference stays exact."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        _SUB_K,
+        _SUB_MIN_SPAN,
+        dedup_substr_spans,
+    )
+
+    rng = random.Random(7)
+    shared = [[f"s{g}_{i}" for i in range(rng.randint(12, 30))] for g in range(3)]
+    docs = {}
+    uid = 0
+    for d in range(1, 5):
+        toks = []
+        for g, run in enumerate(shared):
+            filler = [f"f{uid + i}" for i in range(rng.randint(3, 10))]
+            uid += len(filler)
+            toks += filler
+            if rng.random() < 0.7:
+                toks += run
+        toks += [f"f{uid + i}" for i in range(rng.randint(3, 10))]
+        uid += 20
+        docs[d] = toks
+
+    def ref_spans(a, b):
+        out = []
+        na, nb = len(a) - _SUB_K + 1, len(b) - _SUB_K + 1
+        match = {
+            (i, j)
+            for i in range(na)
+            for j in range(nb)
+            if a[i:i + _SUB_K] == b[j:j + _SUB_K]
+        }
+        for (i, j) in sorted(match):
+            if (i - 1, j - 1) in match:
+                continue  # not a run start
+            ln = 0
+            while (i + ln, j + ln) in match:
+                ln += 1
+            span = ln - 1 + _SUB_K
+            if span >= _SUB_MIN_SPAN:
+                out.append((i + 1, j + 1, span))  # 1-based
+        return sorted(out)
+
+    expected = []
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            for sa, sb, ln in ref_spans(docs[ids[x]], docs[ids[y]]):
+                expected.append((ids[x], ids[y], sa, sb, ln))
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([" ".join(docs[d]) for d in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["t"] * len(ids), pa.string()),
+            "n_chars": pa.array([1] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+        for r in dedup_substr_spans(spark, str(tmp_path)).collect()
+    )
+    assert expected, "degenerate fixture: no planted span survived"
+    assert got == sorted(expected)
