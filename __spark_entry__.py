@@ -63,6 +63,11 @@ _SWEEP_FIRST = (
     "embed_ivfpq",
     "dedup_substr_coverage",
     "kg_search_fuzzy_idx",
+    "kg_graph_schema_summary",
+    "kg_graph_triads",
+    "kg_graph_closeness",
+    "kg_graph_weighted_path",
+    "events_heavy_hitters",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

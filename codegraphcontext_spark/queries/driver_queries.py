@@ -4982,3 +4982,70 @@ def embed_ann_lsh_wide(spark, sf_dir):
         .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# =============================================================================
+# Heavy hitters: two-pass exact top frequency (Misra-Gries candidates)
+# =============================================================================
+
+# phi = 8/1000 of the stream; MG capacity 125 counters => merged-summary
+# undercount <= n_p/(k+1) = n_p/126 < n_p*phi per partition, so every
+# globally-phi-heavy item survives at least one partition's sketch
+# (pigeonhole over partitions) and the exact second pass misses nothing.
+_HH_K = 125
+_HH_PHI_NUM, _HH_PHI_DEN = 8, 1000
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries fold, vectorized: each Arrow batch is
+    reduced with pandas value_counts (no per-row Python), merged into the
+    running summary by counter addition, then pruned back to _HH_K counters
+    by subtracting the (k+1)-th largest count (the mergeable-summaries
+    reduce op, Agarwal et al. 2012 — keeps total undercount <= n_p/(k+1))."""
+    summary = pd.Series(dtype="int64")
+    for pdf in batches:
+        vc = pdf["user_id"].dropna().value_counts()
+        summary = summary.add(vc, fill_value=0)
+        if len(summary) > _HH_K:
+            cut = summary.nlargest(_HH_K + 1).iloc[-1]
+            summary = summary - cut
+            summary = summary[summary > 0]
+    yield pd.DataFrame({"user_id": summary.index.astype("int64")})
+
+
+@_q(
+    "events_heavy_hitters",
+    f"""SELECT user_id, COUNT(*) AS n_events
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(*) * {_HH_PHI_DEN} > {_HH_PHI_NUM} *
+           (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)
+    ORDER BY n_events DESC, user_id ASC""",
+)
+def events_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy hitters (count > 0.8% of the stream) via the
+    two-pass sketch-then-verify shape that scales: pass 1 is a SHUFFLE-FREE
+    narrow Misra-Gries scan emitting <= 125 candidate ids per partition;
+    pass 2 broadcast-semi-joins the candidate set (bounded by k x
+    n_partitions rows, not by cardinality) and exact-counts only those.
+    At 100 TB the full groupBy the oracle runs would shuffle every distinct
+    key; this plan shuffles only the candidates — yet the MG bound
+    guarantees the SAME answer, which is what the oracle twin checks.
+    Null user_ids are dropped on both engines (and inside the pandas fold —
+    the applyInPandas null-poison class)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cands = (
+        ev.select("user_id")
+        .mapInPandas(_mg_candidates, schema="user_id bigint")
+        .distinct()
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * _HH_PHI_DEN > F.lit(_HH_PHI_NUM) * F.col("n_total"))
+        .select("user_id", "n_events")
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )

@@ -2077,3 +2077,280 @@ def kg_incremental_delete_counts(spark, sf_dir):
         )
         .orderBy(F.asc("pred"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4b additions: schema induction, directed triads, landmark closeness,
+# weighted shortest path
+# ---------------------------------------------------------------------------
+
+@_q(
+    "kg_graph_schema_summary",
+    f"""{_G_CTE}
+    SELECT e.pred,
+           ns.node_type AS subj_type,
+           no.node_type AS obj_type,
+           COUNT(*) AS n_edges,
+           COUNT(DISTINCT e.subj_id) AS n_subj,
+           COUNT(DISTINCT e.obj_id) AS n_obj
+    FROM edges e
+    JOIN nodes ns ON ns.node_id = e.subj_id
+    JOIN nodes no ON no.node_id = e.obj_id
+    GROUP BY e.pred, ns.node_type, no.node_type
+    ORDER BY n_edges DESC, e.pred ASC, subj_type ASC, obj_type ASC""",
+)
+def kg_graph_schema_summary(spark, sf_dir):
+    """Schema induction over the materialized graph: the type-level summary
+    graph (pred, subj_type, obj_type) with edge and endpoint-cardinality
+    counts — the KG-construction diagnostic that exposes schema drift (a
+    BORN_IN edge whose subject is suddenly an Org) the reference's fixed
+    Neo4j schema enforces by construction (graph_builder.py:302-329 typed
+    CREATE clauses).
+
+    Scale shape: two hash joins of edges against the node-type projection
+    keyed on node_id (the graph's native key — co-partitioned with every
+    other edge-table access), then a map-side-combinable aggregate over a
+    handful of (pred, type, type) groups. No broadcast hint: nodes is
+    corpus-sized (Page rows), AQE picks the strategy."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    types = nodes.select("node_id", "node_type")
+    return (
+        edges
+        .join(types.withColumnRenamed("node_id", "subj_id")
+                   .withColumnRenamed("node_type", "subj_type"), "subj_id")
+        .join(types.withColumnRenamed("node_id", "obj_id")
+                   .withColumnRenamed("node_type", "obj_type"), "obj_id")
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("subj_id").alias("n_subj"),
+            F.countDistinct("obj_id").alias("n_obj"),
+        )
+        .orderBy(
+            F.desc("n_edges"), F.asc("pred"),
+            F.asc("subj_type"), F.asc("obj_type"),
+        )
+    )
+
+
+@_q(
+    "kg_graph_triads",
+    f"""{_G_CTE},
+    adj AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id)
+    SELECT 'cycle' AS triad_type, COUNT(*) AS n
+    FROM adj e1 JOIN adj e2 ON e2.a = e1.b JOIN adj e3
+      ON e3.a = e2.b AND e3.b = e1.a
+    WHERE e1.a < e1.b AND e1.a < e2.b
+    UNION ALL
+    SELECT 'transitive' AS triad_type, COUNT(*) AS n
+    FROM adj e1 JOIN adj e2 ON e2.a = e1.b JOIN adj e3
+      ON e3.a = e1.a AND e3.b = e2.b
+    WHERE e1.a <> e2.b
+    ORDER BY triad_type ASC""",
+)
+def kg_graph_triads(spark, sf_dir):
+    """Directed triad census over the open-relation entity graph: 3-cycles
+    (a->b->c->a, counted once via the min-rotation anchor a < b, a < c) vs
+    transitive triads (a->b->c with the shortcut a->c). The ratio is the
+    hierarchy-vs-feedback signature of the extracted relations — the
+    directed refinement of kg_graph_triangles' undirected count (reference
+    analog: code_finder.py cyclic-dependency checks over CALLS).
+
+    Scale shape: two self-joins of the deduplicated entity-entity edge list
+    — dictionary-sized (entities, not pages), the same bound every linking
+    stage already relies on; each join is keyed on a node id, so AQE
+    handles hub skew. Counted per-triangle exactly, no enumeration kept."""
+    _, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = adj.alias("e1"), adj.alias("e2"), adj.alias("e3")
+    cycles = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e2.b")) & (F.col("e3.b") == F.col("e1.a")))
+        .where((F.col("e1.a") < F.col("e1.b")) & (F.col("e1.a") < F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("cycle").alias("triad_type"), "n")
+    )
+    transitive = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .where(F.col("e1.a") != F.col("e2.b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("transitive").alias("triad_type"), "n")
+    )
+    return cycles.unionByName(transitive).orderBy(F.asc("triad_type"))
+
+
+_LANDMARKS = ("acme corp", "globex industries", "grace hopper", "kyoto")
+_LANDMARKS_SQL = "(" + ", ".join(f"'{x}'" for x in _LANDMARKS) + ")"
+_CLOSENESS_SCALE = 1_000_000
+_CLOSENESS_MAXDEPTH = 4
+
+
+@_q(
+    "kg_graph_closeness",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    dadj AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM edges
+             WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    adj AS (SELECT a, b FROM dadj UNION SELECT b, a FROM dadj),
+    seeds AS (SELECT node_id FROM nodes
+              WHERE node_type = 'Entity' AND name IN {_LANDMARKS_SQL}),
+    r AS (
+      SELECT node_id AS seed, node_id AS id, 0 AS depth FROM seeds
+      UNION ALL
+      SELECT r.seed, adj.b, r.depth + 1 FROM r
+      JOIN adj ON adj.a = r.id WHERE r.depth < {_CLOSENESS_MAXDEPTH}),
+    d AS (SELECT seed, id, MIN(depth) AS d FROM r GROUP BY seed, id),
+    h AS (SELECT id,
+                 CAST(SUM({_CLOSENESS_SCALE} // d) AS BIGINT) AS harm_x1e6,
+                 CAST(COUNT(*) AS BIGINT) AS n_landmarks
+          FROM d WHERE d > 0 GROUP BY id)
+    SELECT n.name, h.harm_x1e6, h.n_landmarks
+    FROM h JOIN nodes n ON n.node_id = h.id
+    WHERE n.node_type = 'Entity'
+    ORDER BY harm_x1e6 DESC, name ASC LIMIT 20""",
+)
+def kg_graph_closeness(spark, sf_dir):
+    """Landmark harmonic closeness: BFS depth from 4 fixed landmark
+    entities over the undirected open-relation graph (depth <= 4), score =
+    sum over reached landmarks of floor(1e6 / depth). The landmark trick is
+    the scale story — closeness against a bounded seed set costs k
+    frontier-BFS passes instead of all-pairs shortest paths, the standard
+    approximation for centrality at web scale (reference analog:
+    code_finder.py importance ranking over call graphs).
+
+    Scale shape: one multi-source frontier keyed (seed, node) — at most
+    k x |entity dictionary| rows, broadcast-joined against the checkpointed
+    adjacency each of 4 rounds; all arithmetic integer floor-div, so the
+    DuckDB twin is bit-identical."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    dadj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+    )
+    adj = (
+        dadj.unionByName(dadj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = nodes.where(
+        (F.col("node_type") == "Entity") & F.col("name").isin(*_LANDMARKS)
+    ).select(F.col("node_id").alias("seed"))
+    best = seeds.select("seed", F.col("seed").alias("id"), F.lit(0).alias("depth"))
+    frontier = best
+    for depth in range(1, _CLOSENESS_MAXDEPTH + 1):
+        frontier = (
+            adj.join(F.broadcast(frontier), on=adj["a"] == F.col("id"))
+            .select("seed", F.col("b").alias("id"), F.lit(depth).alias("depth"))
+            .distinct()
+        )
+        best = best.unionByName(frontier)
+    d = best.groupBy("seed", "id").agg(F.min("depth").alias("d"))
+    h = (
+        d.where(F.col("d") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.floor(F.lit(_CLOSENESS_SCALE) / F.col("d")))
+            .cast("bigint").alias("harm_x1e6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_landmarks"),
+        )
+    )
+    return (
+        h.join(
+            nodes.where(F.col("node_type") == "Entity")
+            .withColumnRenamed("node_id", "id"),
+            on="id",
+        )
+        .select("name", "harm_x1e6", "n_landmarks")
+        .orderBy(F.desc("harm_x1e6"), F.asc("name"))
+        .limit(20)
+    )
+
+
+_WPATH_SCALE = 1_000_000
+_WPATH_HOPS = 4
+
+
+@_q(
+    "kg_graph_weighted_path",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT subj_id AS a, obj_id AS b,
+                   {_WPATH_SCALE} // (1 + SUM(n_occurrences)) AS cost
+            FROM edges WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id
+            GROUP BY subj_id, obj_id),
+    s AS (SELECT node_id FROM nodes
+          WHERE node_type = 'Entity' AND name = 'acme corp'),
+    w AS (
+      SELECT node_id AS id, CAST(0 AS BIGINT) AS cost, 0 AS depth FROM s
+      UNION ALL
+      SELECT adj.b, w.cost + adj.cost, w.depth + 1 FROM w
+      JOIN adj ON adj.a = w.id WHERE w.depth < {_WPATH_HOPS}),
+    best AS (SELECT id, MIN(cost) AS min_cost FROM w GROUP BY id)
+    SELECT n.name, CAST(best.min_cost AS BIGINT) AS min_cost
+    FROM best JOIN nodes n ON n.node_id = best.id
+    ORDER BY min_cost ASC, name ASC LIMIT 20""",
+)
+def kg_graph_weighted_path(spark, sf_dir):
+    """Confidence-weighted shortest path from the hub entity: edge cost =
+    floor(1e6 / (1 + total occurrence count)) — frequently-attested
+    relations are cheap, one-off extractions expensive — minimized over
+    walks of <= 4 hops by Bellman-Ford relaxation (the weighted upgrade of
+    kg_graph_call_chain's unweighted BFS; reference code_finder.py:495-520
+    shortestPath). K-round relaxation computes exactly min-cost-over-
+    (<=K)-edge-walks, which is what the DuckDB recursive twin enumerates,
+    so no simple-path bookkeeping is needed on either engine.
+
+    Scale shape: the relaxation state is one (node, best_cost) row per
+    reached entity — dictionary-bounded — broadcast against the aggregated
+    entity-entity cost table each round; groupBy-min is map-side
+    combinable. Integer costs end to end."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .groupBy(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .agg(
+            F.floor(F.lit(_WPATH_SCALE) / (F.lit(1) + F.sum("n_occurrences")))
+            .cast("bigint").alias("cost")
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = nodes.where(
+        (F.col("node_type") == "Entity") & (F.col("name") == "acme corp")
+    ).select(
+        F.col("node_id").alias("id"), F.lit(0).cast("bigint").alias("cost")
+    )
+    best = seed
+    frontier = seed
+    for _ in range(_WPATH_HOPS):
+        fr = frontier.withColumnRenamed("cost", "fcost")
+        frontier = (
+            adj.join(F.broadcast(fr), on=adj["a"] == fr["id"])
+            .select(
+                F.col("b").alias("id"),
+                (F.col("fcost") + F.col("cost")).alias("cost"),
+            )
+            .groupBy("id").agg(F.min("cost").alias("cost"))
+        )
+        best = (
+            best.unionByName(frontier)
+            .groupBy("id").agg(F.min("cost").alias("cost"))
+        )
+    return (
+        best.join(nodes.withColumnRenamed("node_id", "id"), on="id")
+        .select("name", F.col("cost").cast("bigint").alias("min_cost"))
+        .orderBy(F.asc("min_cost"), F.asc("name"))
+        .limit(20)
+    )
