@@ -234,3 +234,28 @@ def test_stem_search_dedups_in_row_before_explode(spark):
     assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1, p
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p
+
+
+def test_heavy_hitters_candidate_pass_shuffle_free(spark):
+    """Pass 1 (the Misra-Gries candidate scan) must stay narrow: no
+    Exchange may appear below the MapInPandas node — the whole point of
+    the sketch is that the full stream is never shuffled by key. Pass 2's
+    exact count joins the bounded candidate set via broadcast (semi), and
+    only candidate rows reach the final aggregate's exchange."""
+    p = _plan(spark, "events_heavy_hitters")
+    # the MG scan sits directly on the parquet scan: in the plan tree,
+    # everything below the MapInPandas node (deeper indentation) is just
+    # the null filter and the scan — no Exchange in its subtree
+    tree = p.split("\n\n")[0].splitlines()
+    (mi,) = [i for i, ln in enumerate(tree) if "MapInPandas" in ln]
+    depth = tree[mi].index("+-")
+    below = []
+    for ln in tree[mi + 1:]:
+        if "+-" in ln and ln.index("+-") <= depth:
+            break
+        below.append(ln)
+    assert below and all("Exchange" not in ln for ln in below), below
+    assert any("Scan parquet" in ln for ln in below), below
+    # candidate set joined broadcast, never sort-merge
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
