@@ -68,6 +68,7 @@ _SWEEP_FIRST = (
     "kg_graph_closeness",
     "kg_graph_weighted_path",
     "events_heavy_hitters",
+    "kg_graph_truss",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

@@ -2354,3 +2354,115 @@ def kg_graph_weighted_path(spark, sf_dir):
         .orderBy(F.asc("min_cost"), F.asc("name"))
         .limit(20)
     )
+
+
+_TRUSS_K = 7        # keep edges with support >= k-2 = 5 common neighbors
+_TRUSS_ROUNDS = 6   # fixed peel rounds (converged at round 5 on sf0.01)
+
+
+def _truss_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark truss peel: both engines run
+    exactly _TRUSS_ROUNDS support-recompute/filter rounds, so the result is
+    identical even on inputs where the peel hasn't converged.
+
+    Every iterative CTE is AS MATERIALIZED: each t{i} references e{i} three
+    times, so DuckDB's default CTE inlining makes the plan ~3^rounds copies
+    of the parquet scan — planning blows up exponentially and eventually
+    dies with a misleading file-handle IO error. Materialization keeps the
+    twin linear, the exact analog of the Spark side's per-round
+    localCheckpoint."""
+    parts = [
+        f"""WITH
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    dadj AS MATERIALIZED (SELECT DISTINCT subj_id s, obj_id o FROM edges
+             WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, o) a, GREATEST(s, o) b
+             FROM dadj)"""
+    ]
+    for i in range(_TRUSS_ROUNDS + 1):
+        parts.append(
+            f"""    a{i} AS MATERIALIZED (SELECT a x, b y FROM e{i}
+          UNION ALL SELECT b, a FROM e{i}),
+    t{i} AS MATERIALIZED (SELECT e.a, e.b, COUNT(*) AS sup
+          FROM e{i} e JOIN a{i} p ON p.x = e.a
+          JOIN a{i} q ON q.x = e.b AND q.y = p.y
+          GROUP BY e.a, e.b)"""
+        )
+        if i < _TRUSS_ROUNDS:
+            parts.append(
+                f"""    e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e
+          JOIN t{i} t ON t.a = e.a AND t.b = e.b
+          WHERE t.sup >= {_TRUSS_K - 2})"""
+            )
+    r = _TRUSS_ROUNDS
+    parts.append(
+        f"""    SELECT na.name AS a_name, nb.name AS b_name,
+           CAST(t.sup AS BIGINT) AS support
+    FROM e{r} e JOIN t{r} t ON t.a = e.a AND t.b = e.b
+    JOIN nodes na ON na.node_id = e.a
+    JOIN nodes nb ON nb.node_id = e.b
+    WHERE t.sup >= {_TRUSS_K - 2}
+    ORDER BY support DESC, a_name ASC, b_name ASC"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_truss", _truss_oracle_sql())
+def kg_graph_truss(spark, sf_dir):
+    """k-truss decomposition (k=7) of the undirected open-relation entity
+    graph: iteratively peel edges with fewer than k-2 common neighbors
+    until (bounded) fixpoint — the cohesive-subgraph refinement of
+    kg_graph_kcore (an edge survives only inside a dense triangle mesh,
+    where a core only needs degree). Communities that survive a truss peel
+    are the reliably-interlinked entity clusters a KG curator promotes
+    first (reference analog: code_finder.py dependency-cluster queries).
+
+    Scale shape: per round, one self-join of the dictionary-sized
+    deduplicated entity edge list against its symmetrized adjacency
+    (common-neighbor count, map-side combinable) and one semi-filter;
+    state is localCheckpointed per round so plans stay O(1). Round count
+    fixed (_TRUSS_ROUNDS) on both engines — no convergence-detection
+    divergence; sf0.01 converges at round 5 of 6."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    dadj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .select(F.col("subj_id").alias("s"), F.col("obj_id").alias("o"))
+        .distinct()
+    )
+    e = (
+        dadj.select(
+            F.least("s", "o").alias("a"), F.greatest("s", "o").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def support(e_df):
+        adjs = e_df.select(
+            F.col("a").alias("x"), F.col("b").alias("y")
+        ).unionByName(e_df.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        p, q = adjs.alias("p"), adjs.alias("q")
+        return (
+            e_df.alias("e")
+            .join(p, F.col("p.x") == F.col("e.a"))
+            .join(q, (F.col("q.x") == F.col("e.b")) & (F.col("q.y") == F.col("p.y")))
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+
+    for _ in range(_TRUSS_ROUNDS):
+        keep = support(e).where(F.col("sup") >= _TRUSS_K - 2).select("a", "b")
+        e = e.join(keep, on=["a", "b"], how="left_semi").localCheckpoint(eager=True)
+    final = support(e).where(F.col("sup") >= _TRUSS_K - 2)
+    names = nodes.select("node_id", "name")
+    return (
+        final
+        .join(names.withColumnRenamed("node_id", "a")
+                   .withColumnRenamed("name", "a_name"), "a")
+        .join(names.withColumnRenamed("node_id", "b")
+                   .withColumnRenamed("name", "b_name"), "b")
+        .select("a_name", "b_name", F.col("sup").cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), F.asc("a_name"), F.asc("b_name"))
+    )
