@@ -69,6 +69,7 @@ _SWEEP_FIRST = (
     "kg_graph_weighted_path",
     "events_heavy_hitters",
     "kg_graph_truss",
+    "kg_triple_pr",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

@@ -2466,3 +2466,73 @@ def kg_graph_truss(spark, sf_dir):
         .select("a_name", "b_name", F.col("sup").cast("bigint").alias("support"))
         .orderBy(F.desc("support"), F.asc("a_name"), F.asc("b_name"))
     )
+
+
+_PR_SCALE_X = 1_000_000
+_ORACLE_CORPUS = os.path.join(_ROOT, "sf0.01", "corpus")
+
+
+@_q(
+    "kg_triple_pr",
+    f"""WITH
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    got AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL}),
+    exp AS (SELECT DISTINCT subj_id, pred, obj_id
+            FROM read_parquet('{_ORACLE_CORPUS}/golden_edges.parquet')),
+    j AS (SELECT COALESCE(g.subj_id, e.subj_id) subj_id,
+                 (g.subj_id IS NOT NULL)::INT AS in_got,
+                 (e.subj_id IS NOT NULL)::INT AS in_exp
+          FROM got g FULL OUTER JOIN exp e
+            ON g.subj_id = e.subj_id AND g.pred = e.pred
+           AND g.obj_id = e.obj_id)
+    SELECT CAST(SUM(in_exp) AS BIGINT) AS n_golden,
+           CAST(SUM(in_got) AS BIGINT) AS n_extracted,
+           CAST(SUM(in_got * in_exp) AS BIGINT) AS n_matched,
+           CAST(SUM(in_got * in_exp) * {_PR_SCALE_X} // SUM(in_got)
+                AS BIGINT) AS precision_x1e6,
+           CAST(SUM(in_got * in_exp) * {_PR_SCALE_X} // SUM(in_exp)
+                AS BIGINT) AS recall_x1e6
+    FROM j""",
+)
+def kg_triple_pr(spark, sf_dir):
+    """The north rule's headline correctness metric AS a driver-gate query:
+    precision/recall of the pipeline's materialized open-relation edges
+    against the corpus generator's golden triple set (the stand-in for
+    'reference-emitted triples'; reference tests/test_graph_indexing.py
+    P/R fixtures). The pytest e2e gate asserts P/R >= 0.95 on every run;
+    this query makes the same numbers oracle-checked and sweep-recorded
+    (scaled-integer floor division, bit-identical across engines).
+
+    Scale shape: one distinct + one full-outer join keyed on the triple
+    (both sides dictionary x predicate sized, NOT corpus sized — extraction
+    already aggregated occurrences), then a single map-side-combinable
+    scalar aggregate."""
+    _, edges = ensure_graph(spark, sf_dir)
+    golden = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "corpus", "golden_edges.parquet")
+    )
+    got = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+        .withColumn("in_got", F.lit(1))
+    )
+    exp = golden.distinct().withColumn("in_exp", F.lit(1))
+    j = got.join(exp, on=["subj_id", "pred", "obj_id"], how="full_outer").select(
+        F.coalesce("in_got", F.lit(0)).alias("in_got"),
+        F.coalesce("in_exp", F.lit(0)).alias("in_exp"),
+    )
+    return j.agg(
+        F.sum("in_exp").cast("bigint").alias("n_golden"),
+        F.sum("in_got").cast("bigint").alias("n_extracted"),
+        F.sum(F.col("in_got") * F.col("in_exp")).cast("bigint").alias("n_matched"),
+        F.floor(
+            F.sum(F.col("in_got") * F.col("in_exp")) * _PR_SCALE_X
+            / F.sum("in_got")
+        ).cast("bigint").alias("precision_x1e6"),
+        F.floor(
+            F.sum(F.col("in_got") * F.col("in_exp")) * _PR_SCALE_X
+            / F.sum("in_exp")
+        ).cast("bigint").alias("recall_x1e6"),
+    )
