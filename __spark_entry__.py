@@ -70,6 +70,8 @@ _SWEEP_FIRST = (
     "events_heavy_hitters",
     "kg_graph_truss",
     "kg_triple_pr",
+    "kg_linking_tier_accuracy",
+    "kg_alias_table",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

@@ -2536,3 +2536,117 @@ def kg_triple_pr(spark, sf_dir):
             / F.sum("in_exp")
         ).cast("bigint").alias("recall_x1e6"),
     )
+
+
+def _linked_path() -> str:
+    return f"{_ORACLE_WD}/linked/data/*.parquet"
+
+
+@_q(
+    "kg_linking_tier_accuracy",
+    f"""WITH
+    linked AS (SELECT * FROM read_parquet('{_linked_path()}')),
+    golden AS (SELECT * FROM read_parquet('{_ORACLE_CORPUS}/golden_triples.parquet')),
+    m AS (SELECT l.tier,
+                 l.entity_id AS resolved,
+                 CASE l.role WHEN 'subj' THEN g.subj_true
+                             ELSE g.obj_true END AS truth
+          FROM linked l
+          JOIN golden g ON g.url = l.url AND g.sent_id = l.sent_id
+          WHERE l.role IN ('subj', 'obj'))
+    SELECT tier,
+           COUNT(*) AS n_mentions,
+           CAST(SUM(CASE WHEN resolved = truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN resolved = truth THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS acc_x1e6
+    FROM m GROUP BY tier ORDER BY tier ASC""",
+)
+def kg_linking_tier_accuracy(spark, sf_dir):
+    """Per-tier linking accuracy against ground truth: every linked mention
+    (subj/obj role) joined back to the golden triple for its (url, sent)
+    slot, resolved canonical name compared to the generator's true entity —
+    grouped by the cascade tier that claimed the resolution (L2's priority
+    cascade, reference graph_builder.py linking order). This is the
+    diagnostic that tells a pipeline operator WHICH rung of the cascade
+    leaks precision, not just the aggregate P/R.
+
+    Scale shape: the join keys are (url, sent_id) — both sides partition
+    by url hash, the pipeline's native layout, so this co-locates; one
+    small grouped aggregate at the end. Golden truth ids live in the same
+    entity-id space the linker emits, so no name join is needed; an
+    unlinked mention (null entity_id) counts as incorrect via the
+    null-safe comparison."""
+    ensure_graph(spark, sf_dir)
+    d = graph_dir(sf_dir)
+    linked = spark.read.parquet(os.path.join(d, "wd", "linked", "data"))
+    golden = spark.read.parquet(
+        os.path.join(d, "corpus", "golden_triples.parquet")
+    )
+    m = (
+        linked.where(F.col("role").isin("subj", "obj"))
+        .join(golden, on=["url", "sent_id"])
+        .select(
+            "tier",
+            F.col("entity_id").alias("resolved"),
+            F.when(F.col("role") == "subj", F.col("subj_true"))
+            .otherwise(F.col("obj_true")).alias("truth"),
+        )
+    )
+    correct = F.sum(F.col("resolved").eqNullSafe(F.col("truth")).cast("int"))
+    return (
+        m.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            correct.cast("bigint").alias("n_correct"),
+            F.floor(correct * 1_000_000 / F.count(F.lit(1)))
+            .cast("bigint").alias("acc_x1e6"),
+        )
+        .orderBy(F.asc("tier"))
+    )
+
+
+@_q(
+    "kg_alias_table",
+    f"""WITH
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    linked AS (SELECT * FROM read_parquet('{_linked_path()}')),
+    a AS (SELECT l.surface, n.name AS canonical,
+                 COUNT(*) AS n_occ,
+                 string_agg(DISTINCT l.tier, ',' ORDER BY l.tier) AS tiers
+          FROM linked l JOIN nodes n ON n.node_id = l.entity_id
+          GROUP BY l.surface, n.name)
+    SELECT surface, canonical, n_occ, tiers
+    FROM a ORDER BY n_occ DESC, surface ASC, canonical ASC LIMIT 50""",
+)
+def kg_alias_table(spark, sf_dir):
+    """The canonicalization surface the reference keeps as its Neo4j name
+    index (graph_builder.py:81-85): every observed surface form mapped to
+    the canonical entity it resolved to, with occurrence counts and the
+    set of cascade tiers that produced the mapping. 'Acme' -> 'acme corp'
+    via context, 'Acme Corp' -> same via unique — the alias table an
+    entity-resolution reviewer audits first.
+
+    Scale shape: one groupBy over the linked-mentions table keyed
+    (surface, entity) — map-side combinable — a node-key join for the
+    canonical name, and a TakeOrderedAndProject top-50."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    linked = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "wd", "linked", "data")
+    )
+    return (
+        linked.join(
+            nodes.select(
+                F.col("node_id").alias("entity_id"),
+                F.col("name").alias("canonical"),
+            ),
+            on="entity_id",
+        )
+        .groupBy("surface", "canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.array_join(F.sort_array(F.collect_set("tier")), ",").alias("tiers"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("surface"), F.asc("canonical"))
+        .limit(50)
+    )
