@@ -72,6 +72,8 @@ _SWEEP_FIRST = (
     "kg_triple_pr",
     "kg_linking_tier_accuracy",
     "kg_alias_table",
+    "kg_kge_train_pairs",
+    "kg_pred_drift",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

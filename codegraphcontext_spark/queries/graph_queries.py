@@ -2650,3 +2650,177 @@ def kg_alias_table(spark, sf_dir):
         .orderBy(F.desc("n_occ"), F.asc("surface"), F.asc("canonical"))
         .limit(50)
     )
+
+
+@_q(
+    "kg_kge_train_pairs",
+    f"""WITH
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    ents AS (SELECT node_id, ROW_NUMBER() OVER (ORDER BY node_id) AS idx
+             FROM nodes WHERE node_type = 'Entity'),
+    n AS (SELECT COUNT(*) AS n_ent FROM ents),
+    pos AS (SELECT DISTINCT e.subj_id, e.pred, e.obj_id
+            FROM edges e
+            JOIN ents s ON s.node_id = e.subj_id
+            JOIN ents o ON o.node_id = e.obj_id),
+    cand AS (SELECT p.subj_id, p.pred, p.obj_id, g.i,
+                    (('0x' || substring(md5(p.subj_id || ':' || p.pred
+                        || ':' || p.obj_id || ':' || g.i::VARCHAR), 1, 12)
+                     )::BIGINT % n.n_ent) + 1 AS cidx
+             FROM pos p
+             CROSS JOIN n
+             CROSS JOIN (SELECT UNNEST(range(1, 3)) AS i) g),
+    neg0 AS (SELECT CASE WHEN c.i = 1 THEN c.subj_id ELSE e2.node_id END
+                      AS subj_id,
+                    c.pred,
+                    CASE WHEN c.i = 1 THEN e2.node_id ELSE c.obj_id END
+                      AS obj_id
+             FROM cand c
+             JOIN ents e2 ON e2.idx = c.cidx
+             WHERE e2.node_id <>
+                   CASE WHEN c.i = 1 THEN c.obj_id ELSE c.subj_id END),
+    neg AS (SELECT DISTINCT subj_id, pred, obj_id FROM neg0 n0
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.subj_id = n0.subj_id
+                                AND p.pred = n0.pred
+                                AND p.obj_id = n0.obj_id))
+    SELECT subj_id, pred, obj_id, CAST(1 AS BIGINT) AS label FROM pos
+    UNION ALL
+    SELECT subj_id, pred, obj_id, CAST(0 AS BIGINT) AS label FROM neg
+    ORDER BY label DESC, subj_id ASC, pred ASC, obj_id ASC""",
+)
+def kg_kge_train_pairs(spark, sf_dir):
+    """Training pairs for a KG-embedding model (TransE/DistMult-style):
+    every distinct entity-entity triple as a positive, plus two
+    deterministically-corrupted negatives per positive (i=1 corrupts the
+    object, i=2 the subject — the standard corruption split of Bordes et
+    al. 2013), with false negatives (corruptions that happen to be real
+    triples) removed by an anti-join against the positive set. This is the
+    LLM-training-pipeline leg of KG construction: the materialized graph
+    exported as supervised (h, r, t, label) examples.
+
+    Determinism across engines: the replacement entity is picked by a
+    48-bit md5 prefix of 'subj:pred:obj:i' modulo the entity count, mapped
+    through a dense row_number index over the entity dictionary — md5 is
+    the one hash both Spark and DuckDB render identically.
+
+    Scale shape: negative generation is a NARROW per-row transform (hash +
+    modulo); the index lookup joins against the dictionary-sized entity
+    table (broadcast — entities are the vocabulary, not the corpus); the
+    only corpus-scale shuffle is the (subj, pred, obj)-keyed anti-join, the
+    same key layout the edge table already shards on. The global
+    row_number window runs over the entity dictionary only."""
+    from pyspark.sql.window import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    # dictionary-sized global window: entities are the vocab, not the corpus
+    ents = (
+        nodes.where(F.col("node_type") == "Entity")
+        .select("node_id")
+        .withColumn("idx", F.row_number().over(Window.orderBy("node_id")))
+    )
+    n_ent = ents.count()
+    pos = (
+        edges.join(
+            ents.select(F.col("node_id").alias("subj_id")), on="subj_id"
+        )
+        .join(ents.select(F.col("node_id").alias("obj_id")), on="obj_id")
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", "subj_id", "pred", "obj_id",
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = pos.withColumn(
+        "i", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).withColumn("cidx", (h % F.lit(n_ent)) + F.lit(1))
+    neg0 = (
+        cand.join(
+            F.broadcast(
+                ents.select(
+                    F.col("idx").alias("cidx"),
+                    F.col("node_id").alias("cand_id"),
+                )
+            ),
+            on="cidx",
+        )
+        .where(
+            F.col("cand_id")
+            != F.when(F.col("i") == 1, F.col("obj_id")).otherwise(
+                F.col("subj_id")
+            )
+        )
+        .select(
+            F.when(F.col("i") == 1, F.col("subj_id"))
+            .otherwise(F.col("cand_id")).alias("subj_id"),
+            "pred",
+            F.when(F.col("i") == 1, F.col("cand_id"))
+            .otherwise(F.col("obj_id")).alias("obj_id"),
+        )
+        .distinct()
+    )
+    neg = neg0.join(pos, on=["subj_id", "pred", "obj_id"], how="left_anti")
+    out = pos.withColumn("label", F.lit(1).cast("bigint")).unionByName(
+        neg.withColumn("label", F.lit(0).cast("bigint"))
+    )
+    return out.select("subj_id", "pred", "obj_id", "label").orderBy(
+        F.desc("label"), F.asc("subj_id"), F.asc("pred"), F.asc("obj_id")
+    )
+
+
+@_q(
+    "kg_pred_drift",
+    f"""WITH
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    docs AS (SELECT * FROM read_parquet('{_ORACLE_WD}/docs/data/*.parquet'))
+    SELECT o.pred,
+           strftime(DATE_TRUNC('day', d.warc_ts), '%Y-%m-%d') AS crawl_day,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT o.url) AS n_pages
+    FROM occ o JOIN docs d ON d.url = o.url
+    GROUP BY 1, 2
+    ORDER BY pred ASC, crawl_day ASC""",
+)
+def kg_pred_drift(spark, sf_dir):
+    """Per-predicate extraction volume by crawl day — the snapshot-drift
+    diagnostic for continuous KG construction: when a new crawl batch lands,
+    a predicate whose occurrence rate jumps (or collapses) between crawl
+    days signals an extractor regression or a source-mix shift before any
+    downstream query notices. Pairs with kg_graph_pred_stats (the static
+    per-pred profile) the way a time series pairs with a histogram.
+
+    Scale shape: edge_occurrences and docs are both url-keyed — the
+    pipeline's native partitioning — so the provenance join co-locates;
+    the day-grain groupBy is map-side combinable with a (preds x days)
+    result cardinality. At 100 TB this is one co-partitioned join plus a
+    tiny aggregate; no window, no driver-side state."""
+    ensure_graph(spark, sf_dir)
+    d = graph_dir(sf_dir)
+    occ = spark.read.parquet(os.path.join(d, "wd", "edge_occurrences", "data"))
+    docs = spark.read.parquet(os.path.join(d, "wd", "docs", "data"))
+    return (
+        occ.join(docs.select("url", "warc_ts"), on="url")
+        .groupBy(
+            "pred",
+            F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd")
+            .alias("crawl_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("url").alias("n_pages"),
+        )
+        .orderBy(F.asc("pred"), F.asc("crawl_day"))
+    )

@@ -527,3 +527,26 @@ def test_substr_spans_match_bruteforce_reference(spark, tmp_path):
     )
     assert expected, "degenerate fixture: no planted span survived"
     assert got == sorted(expected)
+
+
+def test_kge_train_pairs_invariants(spark):
+    """Corruption semantics: negatives never coincide with a real triple
+    (the anti-join), at most 2 per positive (one per corruption side),
+    and the whole dataset is deterministic across re-runs."""
+    from codegraphcontext_spark.queries.graph_queries import kg_kge_train_pairs
+
+    df = kg_kge_train_pairs(spark, SF_DIR).toPandas()
+    pos = df[df.label == 1][["subj_id", "pred", "obj_id"]]
+    neg = df[df.label == 0][["subj_id", "pred", "obj_id"]]
+    assert len(pos) > 0 and len(neg) > 0
+    # no false negatives survive the anti-join
+    assert neg.merge(pos, on=["subj_id", "pred", "obj_id"]).empty
+    # bounded corruption: <=2 distinct negatives per positive, and the
+    # hash-modulo draw can't collapse below half after dedup/self-collisions
+    assert len(neg) <= 2 * len(pos)
+    assert len(neg) >= len(pos) // 2
+    # negatives are distinct rows
+    assert not neg.duplicated().any()
+    # deterministic end to end (hash-seeded, no RNG)
+    df2 = kg_kge_train_pairs(spark, SF_DIR).toPandas()
+    assert df.equals(df2)
