@@ -74,6 +74,9 @@ _SWEEP_FIRST = (
     "kg_alias_table",
     "kg_kge_train_pairs",
     "kg_pred_drift",
+    "kg_verbalize",
+    "kg_entity_lifespan",
+    "kg_graph_bridges",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

@@ -2824,3 +2824,286 @@ def kg_pred_drift(spark, sf_dir):
         )
         .orderBy(F.asc("pred"), F.asc("crawl_day"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KG-to-text verbalization (the LLM-training export: triples as sentences)
+# ---------------------------------------------------------------------------
+
+# predicate -> sentence template; shared by both engines so verbalization is
+# part of the operator definition, not engine-local prose.
+_VERB_TEMPLATES = (
+    ("BORN_IN", "was born in"),
+    ("LOCATED_IN", "is located in"),
+    ("MOVED_TO", "moved to"),
+    ("FOUNDED", "founded"),
+    ("WORKS_AT", "works at"),
+    ("CEO_OF", "is the chief executive of"),
+    ("PARTNER_OF", "is a partner of"),
+    ("ACQUIRED", "acquired"),
+)
+
+
+def _verb_case_sql() -> str:
+    whens = "\n           ".join(
+        f"WHEN p.pred = '{k}' THEN '{v}'" for k, v in _VERB_TEMPLATES
+    )
+    return (
+        f"CASE {whens}\n           "
+        "ELSE replace(lower(p.pred), '_', ' ') END"
+    )
+
+
+@_q(
+    "kg_verbalize",
+    f"""{_G_CTE},
+    ents AS (SELECT node_id, name FROM nodes WHERE node_type = 'Entity'),
+    pos AS (SELECT DISTINCT e.subj_id, e.pred, e.obj_id FROM edges e
+            WHERE e.pred NOT IN {_CLOSED_SQL}),
+    v AS (SELECT s.name AS subj, p.pred, o.name AS obj,
+                 s.name || ' ' || {_verb_case_sql()}
+                        || ' ' || o.name || '.' AS sentence
+          FROM pos p
+          JOIN ents s ON s.node_id = p.subj_id
+          JOIN ents o ON o.node_id = p.obj_id)
+    SELECT subj, pred, obj, sentence,
+           CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
+    FROM v ORDER BY subj ASC, pred ASC, obj ASC""",
+)
+def kg_verbalize(spark, sf_dir):
+    """KG-to-text verbalization: every distinct open-relation entity-entity
+    triple rendered as a natural-language training sentence through a fixed
+    per-predicate template table (unknown predicates fall back to the
+    lowercased predicate with underscores as spaces). This is the KG->LLM
+    export leg: the materialized graph emitted as plain-text statements for
+    pretraining-style corpus injection or KG-grounded instruction data,
+    with a per-sentence whitespace token count for budget packing
+    (pairs with curate_pack_tokens).
+
+    Scale shape: template application is a NARROW per-row CASE/concat,
+    fully inside whole-stage codegen; the only joins are against the
+    dictionary-sized entity node table (entities are the vocabulary, not
+    the corpus). At 100 TB of pages the distinct-triple input is the
+    already-deduplicated edge table — no per-occurrence work."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name"
+    )
+    pos = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    expr = None
+    for k, v in _VERB_TEMPLATES:
+        expr = (
+            F.when(F.col("pred") == k, F.lit(v))
+            if expr is None
+            else expr.when(F.col("pred") == k, F.lit(v))
+        )
+    expr = expr.otherwise(F.replace(F.lower("pred"), F.lit("_"), F.lit(" ")))
+    sent = F.concat_ws(
+        " ", F.col("subj"), expr, F.concat(F.col("obj"), F.lit("."))
+    )
+    return (
+        pos.join(
+            F.broadcast(ents.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(ents.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+        .withColumn("sentence", sent)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "sentence",
+            F.size(F.split("sentence", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(F.asc("subj"), F.asc("pred"), F.asc("obj"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity lifespan (temporal activity profile per canonical entity)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "kg_entity_lifespan",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    docs AS (SELECT * FROM read_parquet('{_ORACLE_WD}/docs/data/*.parquet')),
+    ents AS (SELECT node_id, name FROM nodes WHERE node_type = 'Entity'),
+    hits AS (SELECT e.name, o.url FROM occ o JOIN ents e ON e.node_id = o.obj_id
+             UNION ALL
+             SELECT e.name, o.url FROM occ o JOIN ents e ON e.node_id = o.subj_id),
+    days AS (SELECT h.name,
+                    strftime(DATE_TRUNC('day', d.warc_ts), '%Y-%m-%d') AS day,
+                    h.url
+             FROM hits h JOIN docs d ON d.url = h.url)
+    SELECT name AS entity,
+           MIN(day) AS first_day, MAX(day) AS last_day,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM days GROUP BY name
+    ORDER BY n_occ DESC, entity ASC""",
+)
+def kg_entity_lifespan(spark, sf_dir):
+    """Per-entity temporal activity profile: first/last crawl day the
+    entity appears on (either endpoint of any occurrence row), distinct
+    active days, distinct pages, and raw occurrence volume. The temporal
+    counterpart of kg_pred_drift at node grain — a KG curator uses it to
+    spot stale entities (last_day far behind the crawl head) and
+    burst-only entities (n_days=1 with high n_occ: template echo).
+
+    Scale shape: edge_occurrences and docs share the url key — the
+    pipeline's native partitioning — so the timestamp join co-locates; the
+    entity filters are broadcast joins against the dictionary-sized node
+    table; the final groupBy keys on entity (vocabulary cardinality) and
+    is map-side combinable."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    docs = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "wd", "docs", "data")
+    )
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name"
+    )
+    hits = (
+        occ.join(
+            F.broadcast(ents.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        ).select("name", "url")
+    ).unionByName(
+        occ.join(
+            F.broadcast(ents.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        ).select("name", "url")
+    )
+    days = hits.join(docs.select("url", "warc_ts"), "url").select(
+        "name",
+        F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "url",
+    )
+    return (
+        days.groupBy(F.col("name").alias("entity"))
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.countDistinct("day").alias("n_days"),
+            F.countDistinct("url").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("entity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local bridges (support-0 edges: the anti-particle of kg_graph_truss)
+# ---------------------------------------------------------------------------
+
+# an edge with support <= _BRIDGE_MAX_SUP common neighbors is "weakly
+# supported": the structurally-thin rim of the graph. 0 would be a true
+# local bridge; the synthetic corpus is dense enough that the rim starts
+# at support 1, so the threshold keeps the query non-degenerate while the
+# semantics (inclusive upper bound, support-0 edges included via the left
+# join's COALESCE) stay identical on both engines.
+_BRIDGE_MAX_SUP = 2
+
+
+@_q(
+    "kg_graph_bridges",
+    f"""{_G_CTE},
+    dadj AS (SELECT DISTINCT subj_id s, obj_id o FROM edges
+             WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    e AS (SELECT DISTINCT LEAST(s, o) a, GREATEST(s, o) b FROM dadj),
+    adj AS (SELECT a x, b y FROM e UNION ALL SELECT b, a FROM e),
+    sup AS (SELECT e.a, e.b, COUNT(*) AS c FROM e
+            JOIN adj p ON p.x = e.a
+            JOIN adj q ON q.x = e.b AND q.y = p.y
+            GROUP BY e.a, e.b),
+    br AS (SELECT e.a, e.b, COALESCE(s.c, 0) AS support
+           FROM e LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
+           WHERE COALESCE(s.c, 0) <= {_BRIDGE_MAX_SUP})
+    SELECT na.name AS a_name, nb.name AS b_name,
+           CAST(br.support AS BIGINT) AS support
+    FROM br JOIN nodes na ON na.node_id = br.a
+            JOIN nodes nb ON nb.node_id = br.b
+    ORDER BY support ASC, a_name ASC, b_name ASC""",
+)
+def kg_graph_bridges(spark, sf_dir):
+    """Weakly-supported edges of the undirected open-relation entity graph:
+    edges whose endpoints share at most _BRIDGE_MAX_SUP common neighbors
+    (support 0 = a true local bridge, the only local path between its
+    endpoints) — the anti-particle of kg_graph_truss. A low-support edge
+    is exactly the assertion a KG curator audits first: one template
+    instance with little corroborating mesh around it (the truss keeps the
+    reliably-interlinked clusters; this returns the structurally-thin rim).
+
+    Scale shape: one self-join of the dictionary-sized deduplicated
+    entity edge list against its symmetrized adjacency (the same
+    common-neighbor probe as one truss round, map-side combinable count),
+    then a LEFT OUTER join back to the edge list so support-0 edges
+    survive with COALESCE(0). Name resolution is a broadcast against the
+    node dictionary."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    dadj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .select(F.col("subj_id").alias("s"), F.col("obj_id").alias("o"))
+        .distinct()
+    )
+    e = (
+        dadj.select(
+            F.least("s", "o").alias("a"), F.greatest("s", "o").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    sup = (
+        e.join(adj.withColumnRenamed("x", "a"), "a")
+        .join(
+            adj.select(F.col("x").alias("b"), F.col("y").alias("y2")),
+            "b",
+        )
+        .where(F.col("y") == F.col("y2"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    names = nodes.select("node_id", "name")
+    br = (
+        e.join(sup, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("c", F.lit(0)).alias("support"))
+        .where(F.col("support") <= _BRIDGE_MAX_SUP)
+    )
+    return (
+        br.join(
+            F.broadcast(
+                names.select(
+                    F.col("node_id").alias("a"), F.col("name").alias("a_name")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                names.select(
+                    F.col("node_id").alias("b"), F.col("name").alias("b_name")
+                )
+            ),
+            "b",
+        )
+        .select("a_name", "b_name", F.col("support").cast("bigint"))
+        .orderBy(F.asc("support"), F.asc("a_name"), F.asc("b_name"))
+    )

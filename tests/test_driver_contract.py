@@ -550,3 +550,32 @@ def test_kge_train_pairs_invariants(spark):
     # deterministic end to end (hash-seeded, no RNG)
     df2 = kg_kge_train_pairs(spark, SF_DIR).toPandas()
     assert df.equals(df2)
+
+
+def test_verbalize_invariants(spark):
+    """Every open-pred triple verbalizes to exactly one well-formed
+    sentence, the token count is the whitespace split length, and the
+    template table covers every predicate the pipeline can emit (so the
+    lowercase fallback is a guard, not a silently-diverging live path)."""
+    from codegraphcontext_spark.queries.graph_queries import (
+        _VERB_TEMPLATES,
+        ensure_graph,
+        kg_verbalize,
+    )
+    from pyspark.sql import functions as F
+
+    df = kg_verbalize(spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    assert df.sentence.str.endswith(".").all()
+    assert (df.n_tokens == df.sentence.str.split(" ").str.len()).all()
+    # each sentence embeds its own subj/obj surface forms
+    assert df.apply(lambda r: r.sentence.startswith(r.subj + " "), axis=1).all()
+    assert df.apply(lambda r: r.sentence.endswith(" " + r.obj + "."), axis=1).all()
+    templated = {k for k, _ in _VERB_TEMPLATES}
+    _, edges = ensure_graph(spark, SF_DIR)
+    live = {
+        r.pred
+        for r in edges.select("pred").distinct().collect()
+        if r.pred not in ("MENTIONS", "LINKS_TO", "HAS_TYPE")
+    }
+    assert live <= templated, f"untemplated live predicates: {live - templated}"
