@@ -77,6 +77,7 @@ _SWEEP_FIRST = (
     "kg_verbalize",
     "kg_entity_lifespan",
     "kg_graph_bridges",
+    "er_blocking_quality",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

@@ -5049,3 +5049,139 @@ def events_heavy_hitters(spark, sf_dir):
         .select("user_id", "n_events")
         .orderBy(F.desc("n_events"), F.asc("user_id"))
     )
+
+
+# ER-blocking quality (Christen 2012 record-linkage metrics): how good is
+# the MinHash-LSH blocking step as a CANDIDATE GENERATOR? Truth = pairs with
+# capped-shingle Jaccard >= _ERB_JX (the exact near-dup rule the pipeline
+# verifies); candidates = distinct within-bucket pairs from the 4-band
+# signature, buckets above _ERB_BUCKET_CAP dropped (the same cap the CC
+# clustering path uses — a mega-bucket is boilerplate, not evidence).
+#   pair completeness  PC = |cand ∩ truth| / |truth|        (blocking recall)
+#   reduction ratio    RR = 1 - |cand| / C(n_docs, 2)       (pruning power)
+_ERB_JX = 500_000
+_ERB_BUCKET_CAP = 64
+
+_ERB_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {k} AS band, h{k} AS sig_v, doc_id FROM sig"
+    for k in range(_N_MINHASH_Q)
+)
+
+
+@_q(
+    "er_blocking_quality",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.n_shared >= 2
+        AND p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared) >= {_ERB_JX}),
+    agg AS (SELECT doc_id, list(shingle) AS shingles FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM agg),
+    bands AS ({_ERB_BANDS_SQL}),
+    bsz AS (SELECT band, sig_v, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+    kept AS (
+      SELECT b.band, b.sig_v, b.doc_id FROM bands b
+      JOIN bsz USING (band, sig_v)
+      WHERE bsz.n BETWEEN 2 AND {_ERB_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.sig_v = b.sig_v AND a.doc_id < b.doc_id),
+    m AS (SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(*) FROM truth) AS n_truth,
+      (SELECT COUNT(*) FROM cand) AS n_cand,
+      (SELECT COUNT(*) FROM truth t JOIN cand c USING (doc_a, doc_b)) AS n_hit)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_truth = 0 THEN 1000000
+                     ELSE n_hit * 1000000 // n_truth END AS BIGINT) AS pc_x1e6,
+           CAST(1000000 - n_cand * 1000000 // (n_docs * (n_docs - 1) // 2)
+                AS BIGINT) AS rr_x1e6
+    FROM m""",
+)
+def er_blocking_quality(spark, sf_dir):
+    """Blocking-quality audit of the LSH candidate generator: pair
+    completeness (recall vs exact capped-shingle Jaccard >= 0.5) and
+    reduction ratio (1 - candidates/C(n,2)), one row of scaled-integer
+    metrics. This is the go/no-go gauge for swapping the exact O(pairs)
+    near-dup verifier for LSH blocking at full scale (reference's dedup has
+    no such audit; standard ER methodology, Christen 2012).
+
+    100 TB shape: both pair sets are explicitly bounded — truth by the
+    shingle DF cap (fanout <= C(20,2) per shingle), candidates by the bucket
+    cap (<= C(64,2) per bucket) — and each side collapses immediately into a
+    single-row count, so the only full-corpus passes are the two shingle
+    scans. The pair frames are localCheckpointed because each feeds two
+    consumers (own count + the intersection); at bench scale they are KB.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    truth = (
+        dedup_shingle_pairs(spark, sf_dir)
+        .where(F.col("jaccard_x1e6") >= _ERB_JX)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sig = dedup_minhash_sig(spark, sf_dir)
+    bands = None
+    for k in range(_N_MINHASH_Q):
+        b = sig.select(
+            F.lit(k).alias("band"), F.col(f"h{k}").alias("sig_v"), "doc_id"
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    bands = bands.localCheckpoint(eager=True)  # feeds bsz AND the kept join
+    bsz = (
+        bands.groupBy("band", "sig_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n").between(2, _ERB_BUCKET_CAP))
+        .select("band", "sig_v")
+    )
+    kept = bands.join(bsz, on=["band", "sig_v"], how="left_semi")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig_v") == F.col("b.sig_v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, on=["doc_a", "doc_b"], how="left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    row = n_docs.crossJoin(n_truth).crossJoin(n_cand).crossJoin(n_hit)
+    return row.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN 1000000"
+            " ELSE n_hit * 1000000 DIV n_truth END AS BIGINT)"
+        ).alias("pc_x1e6"),
+        F.expr(
+            "CAST(1000000 - n_cand * 1000000"
+            " DIV (n_docs * (n_docs - 1) DIV 2) AS BIGINT)"
+        ).alias("rr_x1e6"),
+    )

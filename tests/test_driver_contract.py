@@ -579,3 +579,24 @@ def test_verbalize_invariants(spark):
         if r.pred not in ("MENTIONS", "LINKS_TO", "HAS_TYPE")
     }
     assert live <= templated, f"untemplated live predicates: {live - templated}"
+
+
+def test_er_blocking_quality_invariants(spark):
+    """Metric sanity: one row, hits bounded by both pair sets, candidate
+    count bounded by C(n,2), and on the deterministic fixture the 4-band
+    LSH blocks every Jaccard>=0.5 truth pair (pc == 1.0) while pruning
+    >99% of the pair space (rr > 0.99)."""
+    from codegraphcontext_spark.queries.driver_queries import (
+        er_blocking_quality,
+    )
+
+    df = er_blocking_quality(spark, SF_DIR).toPandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r.n_truth > 0 and r.n_cand > 0
+    assert r.n_hit <= min(r.n_truth, r.n_cand)
+    assert r.n_cand <= r.n_docs * (r.n_docs - 1) // 2
+    # deterministic corpus + seeded md5 minhash: the planted near-dups all
+    # share at least one band, and blocking prunes >99% of C(n,2)
+    assert r.pc_x1e6 == 1_000_000
+    assert 990_000 < r.rr_x1e6 < 1_000_000
