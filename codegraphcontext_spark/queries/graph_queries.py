@@ -3107,3 +3107,361 @@ def kg_graph_bridges(spark, sf_dir):
         .select("a_name", "b_name", F.col("support").cast("bigint"))
         .orderBy(F.asc("support"), F.asc("a_name"), F.asc("b_name"))
     )
+
+
+@_q(
+    "kg_graph_clustering",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    deg AS (SELECT v, COUNT(*) AS deg FROM (
+              SELECT a AS v FROM und UNION ALL SELECT b FROM und) u
+            GROUP BY v),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    part AS (SELECT x AS v FROM tri UNION ALL
+             SELECT y FROM tri UNION ALL
+             SELECT z FROM tri),
+    ntri AS (SELECT v, COUNT(*) AS n_tri FROM part GROUP BY v)
+    SELECT n.name, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(COALESCE(t.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1))
+                AS BIGINT) AS lcc_x1e6
+    FROM deg d
+    LEFT JOIN ntri t ON t.v = d.v
+    JOIN nodes n ON n.node_id = d.v
+    WHERE d.deg >= 2
+    ORDER BY lcc_x1e6 DESC, deg DESC, name ASC LIMIT 20""",
+)
+def kg_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient per entity over the open relation graph:
+    lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — the neighborhood-density score
+    that separates tight communities from pure hubs (Watts-Strogatz; the
+    analytics leg beyond the reference's per-edge tools, alongside
+    kg_graph_triangles whose degree-oriented wedge join it reuses).
+
+    100 TB shape: triangle counts come from the same O(sqrt(m))-bounded
+    oriented wedge join as kg_graph_triangles; degree is one map-side
+    combinable aggregate; the final frame is one LEFT JOIN of two node-keyed
+    aggregates (zero-triangle nodes survive via COALESCE 0) + broadcast name
+    resolution, top-k as TakeOrderedAndProject. Ratio is scaled-integer
+    (x1e6) with the same floor division on both engines."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg, orientation AND wedge join
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da")
+    db = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db")
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "src").where(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    ).distinct()
+    tri = wedges.join(closing, ["v", "w"])
+    ntri = (
+        tri.select(F.col("src").alias("v"))
+        .unionByName(tri.select("v"))
+        .unionByName(tri.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(ntri, "v", "left")
+        .select(
+            "v",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+        )
+        .withColumn(
+            "lcc_x1e6",
+            F.expr("CAST(n_tri * 2000000 DIV (deg * (deg - 1)) AS BIGINT)"),
+        )
+        .join(
+            F.broadcast(
+                nodes.select(F.col("node_id").alias("v"), "name")
+            ),
+            "v",
+        )
+        .select("name", "deg", "n_tri", "lcc_x1e6")
+        .orderBy(
+            F.desc("lcc_x1e6"), F.desc("deg"), F.asc("name")
+        )
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_conjunctive_star",
+    f"""{_G_CTE},
+    w AS (SELECT subj_id, obj_id FROM edges WHERE pred = 'WORKS_AT'),
+    b AS (SELECT subj_id, obj_id FROM edges WHERE pred = 'BORN_IN')
+    SELECT ns.name AS person, no.name AS org, np.name AS place
+    FROM w JOIN b USING (subj_id)
+    JOIN nodes ns ON ns.node_id = subj_id
+    JOIN nodes no ON no.node_id = w.obj_id
+    JOIN nodes np ON np.node_id = b.obj_id
+    ORDER BY person ASC, org ASC, place ASC LIMIT 50""",
+)
+def kg_conjunctive_star(spark, sf_dir):
+    """Conjunctive star query (the SPARQL basic-graph-pattern analog:
+    ?p WORKS_AT ?org . ?p BORN_IN ?place): subjects satisfying BOTH
+    predicates, with all three names resolved. This is the canonical KG
+    read workload the reference serves via Cypher MATCH patterns
+    (code_finder.py multi-hop tools).
+
+    100 TB shape: both predicate selections prune on the pred column at the
+    scan (partition-prunable if edges are pred-partitioned), the star join
+    is co-located on subj_id (one shuffle key for any number of star arms),
+    and name resolution is three broadcast joins against the entity
+    dimension. Deterministic total order + LIMIT -> TakeOrderedAndProject."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    w = edges.where(F.col("pred") == "WORKS_AT").select(
+        "subj_id", F.col("obj_id").alias("org_id")
+    )
+    b = edges.where(F.col("pred") == "BORN_IN").select(
+        "subj_id", F.col("obj_id").alias("place_id")
+    )
+    names = nodes.select("node_id", "name")
+    return (
+        w.join(b, "subj_id")
+        .join(
+            F.broadcast(
+                names.select(
+                    F.col("node_id").alias("subj_id"),
+                    F.col("name").alias("person"),
+                )
+            ),
+            "subj_id",
+        )
+        .join(
+            F.broadcast(
+                names.select(
+                    F.col("node_id").alias("org_id"), F.col("name").alias("org")
+                )
+            ),
+            "org_id",
+        )
+        .join(
+            F.broadcast(
+                names.select(
+                    F.col("node_id").alias("place_id"),
+                    F.col("name").alias("place"),
+                )
+            ),
+            "place_id",
+        )
+        .select("person", "org", "place")
+        .orderBy(F.asc("person"), F.asc("org"), F.asc("place"))
+        .limit(50)
+    )
+
+
+# Deterministic random walks: hop t out of node v goes to the neighbor u
+# minimizing md5("{t}:{v}:{u}") — a seeded hash draw, so the "random" walk
+# corpus is reproducible across engines and re-runs (same discipline as
+# kg_kge_train_pairs' corruption draw; DeepWalk/node2vec export leg).
+_WALK_HOPS = 3
+
+
+@_q(
+    "kg_random_walks",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    adj AS (SELECT a AS v, b AS u FROM und
+            UNION ALL SELECT b AS v, a AS u FROM und),
+    {", ".join(
+        f"n{t} AS (SELECT v, arg_min(u, md5('{t}:' || v || ':' || u)) AS nx "
+        f"FROM adj GROUP BY v)" for t in range(1, _WALK_HOPS + 1)
+    )},
+    w AS (SELECT DISTINCT v AS v0 FROM adj),
+    path AS (
+      SELECT w.v0, n1.nx AS v1, n2.nx AS v2, n3.nx AS v3
+      FROM w
+      JOIN n1 ON n1.v = w.v0
+      JOIN n2 ON n2.v = n1.nx
+      JOIN n3 ON n3.v = n2.nx)
+    SELECT s0.name AS start, s1.name AS hop1, s2.name AS hop2, s3.name AS hop3
+    FROM path
+    JOIN nodes s0 ON s0.node_id = v0
+    JOIN nodes s1 ON s1.node_id = v1
+    JOIN nodes s2 ON s2.node_id = v2
+    JOIN nodes s3 ON s3.node_id = v3
+    ORDER BY start ASC, hop1 ASC, hop2 ASC, hop3 ASC""",
+)
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk-style walk corpus over the open relation graph, one
+    fixed-length walk per node, hash-seeded so both engines (and every
+    re-run) draw the same neighbor — the second KG->embedding export leg
+    next to kg_kge_train_pairs (walk sentences feed skip-gram training the
+    way kg_verbalize's sentences feed LM training).
+
+    100 TB shape: the per-hop next-node table is ONE map-side-combinable
+    min_by aggregate over the adjacency (no per-walk state, no RNG); a walk
+    of L hops is L node-keyed joins against those tables — each co-located
+    on the node id, broadcastable while the next-hop table fits, AQE
+    otherwise. Driver holds nothing. Longer walks = more chained joins,
+    walks-per-node = extra seed values in the hash, both embarrassingly
+    parallel."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)  # feeds every hop table + the start set
+    )
+    hops = []
+    for t in range(1, _WALK_HOPS + 1):
+        h = F.md5(F.concat(F.lit(f"{t}:"), F.col("v"), F.lit(":"), F.col("u")))
+        hops.append(
+            adj.groupBy("v").agg(F.min_by("u", h).alias("nx"))
+        )
+    walk = adj.select("v").distinct().withColumnRenamed("v", "v0")
+    cur = "v0"
+    for t, nxt in enumerate(hops, start=1):
+        walk = walk.join(
+            nxt.withColumnRenamed("v", cur).withColumnRenamed("nx", f"v{t}"),
+            cur,
+        )
+        cur = f"v{t}"
+    names = nodes.select("node_id", "name")
+    out = walk
+    cols = []
+    for t, alias in enumerate(["start"] + [f"hop{t}" for t in range(1, _WALK_HOPS + 1)]):
+        out = out.join(
+            F.broadcast(
+                names.select(
+                    F.col("node_id").alias(f"v{t}"), F.col("name").alias(alias)
+                )
+            ),
+            f"v{t}",
+        )
+        cols.append(alias)
+    return out.select(*cols).orderBy(*[F.asc(c) for c in cols])
+
+
+@_q(
+    "kg_entity_churn",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    docs AS (SELECT * FROM read_parquet('{_ORACLE_WD}/docs/data/*.parquet')),
+    ents AS (SELECT node_id, name FROM nodes WHERE node_type = 'Entity'),
+    hits AS (SELECT e.name, o.url FROM occ o JOIN ents e ON e.node_id = o.obj_id
+             UNION ALL
+             SELECT e.name, o.url FROM occ o JOIN ents e ON e.node_id = o.subj_id),
+    ed AS (SELECT DISTINCT h.name,
+                  strftime(DATE_TRUNC('day', d.warc_ts), '%Y-%m-%d') AS day
+           FROM hits h JOIN docs d ON d.url = h.url),
+    first AS (SELECT name, MIN(day) AS first_day FROM ed GROUP BY name),
+    act AS (SELECT day, COUNT(*) AS n_active FROM ed GROUP BY day),
+    new AS (SELECT first_day AS day, COUNT(*) AS n_new FROM first GROUP BY 1)
+    SELECT a.day,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(a.n_active - COALESCE(n.n_new, 0) AS BIGINT) AS n_returning
+    FROM act a LEFT JOIN new n ON n.day = a.day
+    ORDER BY a.day ASC""",
+)
+def kg_entity_churn(spark, sf_dir):
+    """Per-crawl-day entity churn: how many distinct entities are active
+    each day, split into first-ever-seen (new) vs returning — the
+    crawl-freshness dashboard row a KG operator watches to catch an
+    extractor regression (n_new collapses) or a template flood (n_new
+    spikes). Day grain matches kg_pred_drift; entity grain matches
+    kg_entity_lifespan, whose first-day semantics this aggregates.
+
+    Scale shape: the url-keyed provenance-to-docs join co-locates on the
+    pipeline's native partitioning; everything after is two entity- or
+    day-keyed map-side-combinable aggregates over the (entity, day)
+    distinct frame, joined day-to-day (bounded by calendar cardinality)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    docs = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "wd", "docs", "data")
+    )
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name"
+    )
+    hits = (
+        occ.join(
+            F.broadcast(ents.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        ).select("name", "url")
+    ).unionByName(
+        occ.join(
+            F.broadcast(ents.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        ).select("name", "url")
+    )
+    ed = (
+        hits.join(docs.select("url", "warc_ts"), "url")
+        .select(
+            "name",
+            F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the active AND first-day aggs
+    )
+    act = ed.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    new = (
+        ed.groupBy("name")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        act.join(new, "day", "left")
+        .select(
+            "day",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (F.col("n_active") - F.coalesce("n_new", F.lit(0)))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .orderBy(F.asc("day"))
+    )
