@@ -78,6 +78,10 @@ _SWEEP_FIRST = (
     "kg_entity_lifespan",
     "kg_graph_bridges",
     "er_blocking_quality",
+    "kg_graph_clustering",
+    "kg_conjunctive_star",
+    "kg_random_walks",
+    "kg_entity_churn",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",
