@@ -82,6 +82,8 @@ _SWEEP_FIRST = (
     "kg_conjunctive_star",
     "kg_random_walks",
     "kg_entity_churn",
+    "kg_graph_assortativity",
+    "kg_entity_features",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

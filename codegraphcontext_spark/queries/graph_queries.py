@@ -3465,3 +3465,213 @@ def kg_entity_churn(spark, sf_dir):
         )
         .orderBy(F.asc("day"))
     )
+
+@_q(
+    "kg_graph_assortativity",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    deg AS (SELECT v, COUNT(*) AS deg FROM (
+              SELECT a AS v FROM und UNION ALL SELECT b FROM und) u
+            GROUP BY v),
+    pairs AS (SELECT da.deg AS j, db.deg AS k
+              FROM und e
+              JOIN deg da ON da.v = e.a
+              JOIN deg db ON db.v = e.b),
+    mom AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(j + k) AS BIGINT) AS sj,
+                   CAST(2 * SUM(j * k) AS BIGINT) AS sjk,
+                   CAST(SUM(j * j + k * k) AS BIGINT) AS sjj
+            FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST((n * sjk - sj * sj) * 1000000
+                // NULLIF(n * sjj - sj * sj, 0) AS BIGINT)
+             AS assortativity_x1e6
+    FROM mom""",
+)
+def kg_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the open relation graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over all edges, both
+    orientations — negative means hubs attach to leaves (the typical
+    web-extraction shape), positive means a core-periphery mixing pattern.
+    One scalar a KG operator tracks across crawls: a sign flip signals the
+    extractor started chaining entities through template pages.
+
+    Determinism: the correlation is assembled from four integer moment
+    sums (n, sum j, sum jk, sum j^2 over symmetrized endpoint pairs) and
+    one scaled integer division — BIGINT `DIV` (Spark) and `//` (DuckDB
+    int args) both truncate toward zero, including for the negative
+    numerator this statistic routinely produces. NULL when the graph is
+    degree-regular (zero variance).
+
+    Scale shape: one distinct over the edge list, one map-side-combinable
+    degree agg, one degree-keyed join back to edges (the same layout
+    kg_graph_clustering shuffles on), then a SINGLE-ROW global aggregate —
+    no window, no driver-side data. At 100 TB the int64 moment headroom
+    (~9e18) holds to ~1e12 symmetrized pairs x deg^2 ~ 1e6; past that the
+    moments move to DECIMAL(38,0) with the same trunc-division contract."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg AND the pair join
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pairs = (
+        und.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("j")), "a"
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("k")), "b"
+        )
+        .select("j", "k")
+    )
+    mom = pairs.agg(
+        (F.lit(2) * F.count(F.lit(1))).cast("bigint").alias("n"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("sj"),
+        (F.lit(2) * F.sum(F.col("j") * F.col("k")))
+        .cast("bigint")
+        .alias("sjk"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint")
+        .alias("sjj"),
+    )
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST((n * sjk - sj * sj) * 1000000"
+            " DIV NULLIF(n * sjj - sj * sj, 0) AS BIGINT)"
+        ).alias("assortativity_x1e6"),
+    )
+
+
+@_q(
+    "kg_entity_features",
+    f"""{_G_CTE},
+    ents AS (SELECT node_id, name, etype FROM nodes
+             WHERE node_type = 'Entity'),
+    men AS (SELECT obj_id, COUNT(DISTINCT subj_id) AS n_pages,
+                   SUM(n_occurrences) AS n_occ
+            FROM edges WHERE pred = 'MENTIONS' GROUP BY obj_id),
+    langs AS (SELECT e.obj_id, COUNT(DISTINCT p.lang) AS n_langs
+              FROM edges e JOIN nodes p ON p.node_id = e.subj_id
+              WHERE e.pred = 'MENTIONS' GROUP BY e.obj_id),
+    opene AS (SELECT subj_id, pred, obj_id FROM edges
+              WHERE pred NOT IN {_CLOSED_SQL}),
+    rout AS (SELECT subj_id AS node_id, COUNT(*) AS out_rels
+             FROM opene GROUP BY 1),
+    rin AS (SELECT obj_id AS node_id, COUNT(*) AS in_rels
+            FROM opene GROUP BY 1),
+    inc AS (SELECT subj_id AS node_id, pred FROM opene
+            UNION ALL SELECT obj_id, pred FROM opene),
+    pc AS (SELECT node_id, pred, COUNT(*) AS c FROM inc GROUP BY 1, 2),
+    top AS (SELECT node_id, pred FROM (
+              SELECT node_id, pred,
+                     ROW_NUMBER() OVER (PARTITION BY node_id
+                                        ORDER BY c DESC, pred ASC) AS rn
+              FROM pc) WHERE rn = 1)
+    SELECT en.name, en.etype,
+           CAST(COALESCE(m.n_pages, 0) AS BIGINT) AS n_pages,
+           CAST(COALESCE(m.n_occ, 0) AS BIGINT) AS n_occ,
+           CAST(COALESCE(l.n_langs, 0) AS BIGINT) AS n_langs,
+           CAST(COALESCE(ro.out_rels, 0) AS BIGINT) AS out_rels,
+           CAST(COALESCE(ri.in_rels, 0) AS BIGINT) AS in_rels,
+           COALESCE(t.pred, '') AS top_pred
+    FROM ents en
+    LEFT JOIN men m ON m.obj_id = en.node_id
+    LEFT JOIN langs l ON l.obj_id = en.node_id
+    LEFT JOIN rout ro ON ro.node_id = en.node_id
+    LEFT JOIN rin ri ON ri.node_id = en.node_id
+    LEFT JOIN top t ON t.node_id = en.node_id
+    ORDER BY name ASC""",
+)
+def kg_entity_features(spark, sf_dir):
+    """Per-entity feature table: the wide (one row per entity) frame a
+    downstream ML stage trains on — mention reach (distinct pages, total
+    occurrences), crawl-language spread, open-relation in/out degree, and
+    the entity's dominant predicate (deterministic tie-break: highest
+    count, then predicate name). The KG-construction analog of a user
+    feature store: entity resolution rescoring, KGE feature fusion, and
+    curation filters all consume exactly this shape.
+
+    Scale shape: the corpus-scale work is three map-side-combinable
+    aggregates over the edge table, each keyed (and pre-shuffled) on the
+    entity id; every aggregate RESULT is dictionary-sized (one row per
+    entity or entity x predicate), so the five assembly joins and the
+    top-predicate window run over vocabulary-sized frames, never the
+    corpus. No driver-side data, no window over corpus rows."""
+    from pyspark.sql.window import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name", "etype"
+    )
+    mentions = edges.where(F.col("pred") == "MENTIONS")
+    men = mentions.groupBy("obj_id").agg(
+        F.countDistinct("subj_id").alias("n_pages"),
+        F.sum("n_occurrences").alias("n_occ"),
+    )
+    langs = (
+        mentions.join(
+            nodes.select(F.col("node_id").alias("subj_id"), "lang"),
+            "subj_id",
+        )
+        .groupBy("obj_id")
+        .agg(F.countDistinct("lang").alias("n_langs"))
+    )
+    opene = edges.where(~F.col("pred").isin(*_CLOSED_PREDS)).select(
+        "subj_id", "pred", "obj_id"
+    )
+    rout = opene.groupBy(F.col("subj_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_rels")
+    )
+    rin = opene.groupBy(F.col("obj_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("in_rels")
+    )
+    inc = opene.select(F.col("subj_id").alias("node_id"), "pred").unionByName(
+        opene.select(F.col("obj_id").alias("node_id"), "pred")
+    )
+    pc = inc.groupBy("node_id", "pred").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        pc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("node_id").orderBy(
+                    F.desc("c"), F.asc("pred")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("node_id", F.col("pred").alias("top_pred"))
+    )
+    out = (
+        ents.join(men.withColumnRenamed("obj_id", "node_id"), "node_id", "left")
+        .join(langs.withColumnRenamed("obj_id", "node_id"), "node_id", "left")
+        .join(rout, "node_id", "left")
+        .join(rin, "node_id", "left")
+        .join(top, "node_id", "left")
+    )
+    return out.select(
+        "name",
+        "etype",
+        F.coalesce("n_pages", F.lit(0)).cast("bigint").alias("n_pages"),
+        F.coalesce("n_occ", F.lit(0)).cast("bigint").alias("n_occ"),
+        F.coalesce("n_langs", F.lit(0)).cast("bigint").alias("n_langs"),
+        F.coalesce("out_rels", F.lit(0)).cast("bigint").alias("out_rels"),
+        F.coalesce("in_rels", F.lit(0)).cast("bigint").alias("in_rels"),
+        F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+    ).orderBy(F.asc("name"))
