@@ -600,3 +600,36 @@ def test_er_blocking_quality_invariants(spark):
     # share at least one band, and blocking prunes >99% of C(n,2)
     assert r.pc_x1e6 == 1_000_000
     assert 990_000 < r.rr_x1e6 < 1_000_000
+
+
+def test_assortativity_hand_computed_star_and_regular(spark, monkeypatch):
+    """Newman's r on a hand-built star K1,4 is exactly -1 (hubs attach
+    only to leaves) and NULL on a degree-regular triangle (zero variance)
+    — pinning the scaled trunc-division path including its negative
+    numerator, the case where Spark DIV / DuckDB // parity matters."""
+    import codegraphcontext_spark.queries.graph_queries as gq
+
+    def fake_graph(rows):
+        edges = spark.createDataFrame(
+            [(s, "FOUNDED", o, 1, "u", 0) for s, o in rows],
+            "subj_id string, pred string, obj_id string, "
+            "n_occurrences long, first_url string, first_sent_id int",
+        )
+        nodes = spark.createDataFrame(
+            [("x", "Entity", "x", "", "en")],
+            "node_id string, node_type string, name string, "
+            "etype string, lang string",
+        )
+        return nodes, edges
+
+    star = fake_graph([("c", l) for l in ("l1", "l2", "l3", "l4")])
+    monkeypatch.setattr(gq, "ensure_graph", lambda *_: star)
+    row = gq.kg_graph_assortativity(spark, SF_DIR).first()
+    assert row.n_pairs == 8
+    assert row.assortativity_x1e6 == -1_000_000
+
+    tri = fake_graph([("a", "b"), ("b", "c"), ("a", "c")])
+    monkeypatch.setattr(gq, "ensure_graph", lambda *_: tri)
+    row = gq.kg_graph_assortativity(spark, SF_DIR).first()
+    assert row.n_pairs == 6
+    assert row.assortativity_x1e6 is None
