@@ -84,6 +84,7 @@ _SWEEP_FIRST = (
     "kg_entity_churn",
     "kg_graph_assortativity",
     "kg_entity_features",
+    "kg_metapath_census",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

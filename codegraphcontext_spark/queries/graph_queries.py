@@ -3675,3 +3675,97 @@ def kg_entity_features(spark, sf_dir):
         F.coalesce("in_rels", F.lit(0)).cast("bigint").alias("in_rels"),
         F.coalesce("top_pred", F.lit("")).alias("top_pred"),
     ).orderBy(F.asc("name"))
+
+@_q(
+    "kg_metapath_census",
+    f"""{_G_CTE},
+    ents AS (SELECT node_id, etype FROM nodes WHERE node_type = 'Entity'),
+    rel AS (SELECT e.subj_id, e.pred, e.obj_id,
+                   sa.etype AS s_ety, ob.etype AS o_ety
+            FROM edges e
+            JOIN ents sa ON sa.node_id = e.subj_id
+            JOIN ents ob ON ob.node_id = e.obj_id
+            WHERE e.pred NOT IN {_CLOSED_SQL}),
+    hop2 AS (SELECT r1.s_ety AS ety_a, r1.pred AS pred_1,
+                    r1.o_ety AS ety_b, r2.pred AS pred_2, r2.o_ety AS ety_c
+             FROM rel r1 JOIN rel r2 ON r2.subj_id = r1.obj_id
+             WHERE r1.subj_id <> r2.obj_id)
+    SELECT ety_a, pred_1, ety_b, pred_2, ety_c,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM hop2
+    GROUP BY ety_a, pred_1, ety_b, pred_2, ety_c
+    ORDER BY n_paths DESC, ety_a ASC, pred_1 ASC, ety_b ASC,
+             pred_2 ASC, ety_c ASC
+    LIMIT 30""",
+)
+def kg_metapath_census(spark, sf_dir):
+    """Typed 2-hop metapath census: instance counts per
+    (etype_a)-[pred_1]->(etype_b)-[pred_2]->(etype_c) chain over the open
+    relation graph — the selection table a heterogeneous-network embedding
+    (metapath2vec, Dong et al. 2017) is configured from, and the
+    ontology-level audit that flags impossible chains (a place founding a
+    person) coming out of the extractor. Distinct from kg_graph_triads
+    (untyped shape census) and kg_graph_schema_summary (single-hop,
+    node_type grain): this is the etype-grain PATH grammar.
+
+    Scale shape: the type decoration joins against the dictionary-sized
+    entity table (broadcast); the 2-hop instance join is the standard
+    obj->subj adjacency self-join — the same key layout and hub-degree
+    bound kg_graph_triads pins — followed by one map-side-combinable
+    aggregate whose RESULT is grammar-sized (|etype|^3 x |pred|^2 upper
+    bound, a constant), then TakeOrderedAndProject top-30."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "etype"
+    )
+    rel = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .join(
+            F.broadcast(
+                ents.select(
+                    F.col("node_id").alias("subj_id"),
+                    F.col("etype").alias("s_ety"),
+                )
+            ),
+            "subj_id",
+        )
+        .join(
+            F.broadcast(
+                ents.select(
+                    F.col("node_id").alias("obj_id"),
+                    F.col("etype").alias("o_ety"),
+                )
+            ),
+            "obj_id",
+        )
+        .select("subj_id", "pred", "obj_id", "s_ety", "o_ety")
+        .localCheckpoint(eager=True)  # feeds both sides of the hop join
+    )
+    r2 = rel.select(
+        F.col("subj_id").alias("obj_id"),
+        F.col("pred").alias("pred_2"),
+        F.col("obj_id").alias("obj2_id"),
+        F.col("o_ety").alias("ety_c"),
+    )
+    hop2 = rel.join(r2, "obj_id").where(
+        F.col("subj_id") != F.col("obj2_id")
+    )
+    return (
+        hop2.groupBy(
+            F.col("s_ety").alias("ety_a"),
+            F.col("pred").alias("pred_1"),
+            F.col("o_ety").alias("ety_b"),
+            "pred_2",
+            "ety_c",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"),
+            F.asc("ety_a"),
+            F.asc("pred_1"),
+            F.asc("ety_b"),
+            F.asc("pred_2"),
+            F.asc("ety_c"),
+        )
+        .limit(30)
+    )
