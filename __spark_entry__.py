@@ -85,6 +85,7 @@ _SWEEP_FIRST = (
     "kg_graph_assortativity",
     "kg_entity_features",
     "kg_metapath_census",
+    "curate_train_labels",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

@@ -5185,3 +5185,150 @@ def er_blocking_quality(spark, sf_dir):
             " DIV (n_docs * (n_docs - 1) DIV 2) AS BIGINT)"
         ).alias("rr_x1e6"),
     )
+
+@_q(
+    "curate_train_labels",
+    f"""{_TOKS_CTE},
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
+                   AS stops,
+                 SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$')
+                     THEN 1 ELSE 0 END) AS alpha,
+                 SUM(CASE WHEN term IN ('the', 'a', 'of')
+                     THEN 1 ELSE 0 END) AS en_hits,
+                 SUM(CASE WHEN term IN ('der', 'die', 'und')
+                     THEN 1 ELSE 0 END) AS de_hits,
+                 SUM(CASE WHEN term IN ('le', 'la', 'et')
+                     THEN 1 ELSE 0 END) AS fr_hits
+          FROM toks GROUP BY doc_id),
+    lab AS (SELECT m.doc_id,
+                   CAST(LEAST(n_tokens, 200) * 2
+                        + alpha * 300 // n_tokens
+                        + CASE WHEN stops * 100 // n_tokens BETWEEN 2 AND 40
+                               THEN 300 ELSE 0 END AS BIGINT)
+                     AS quality_x1000,
+                   CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                             AND en_hits > 0 THEN 'en'
+                        WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                        WHEN fr_hits > 0 THEN 'fr'
+                        ELSE 'unknown' END AS lang_pred,
+                   d.lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ('0x' || substring(md5(CAST(m.doc_id AS VARCHAR)), 1, 12)
+                   )::BIGINT % 1000000 AS h
+            FROM m JOIN documents d ON d.doc_id = m.doc_id),
+    l2 AS (SELECT doc_id, quality_x1000, lang_pred, n_tokens, h,
+                  CASE WHEN quality_x1000 >= 600 AND lang_pred = lang
+                       THEN 1 ELSE 0 END AS label
+           FROM lab),
+    c AS (SELECT SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+                 SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_neg
+          FROM l2)
+    SELECT doc_id, CAST(label AS BIGINT) AS label, quality_x1000,
+           lang_pred, n_tokens
+    FROM l2 CROSS JOIN c
+    WHERE (label = 1 AND n_pos <= n_neg)
+       OR (label = 0 AND n_neg < n_pos)
+       OR (label = 1 AND h * n_pos < n_neg * 1000000)
+       OR (label = 0 AND h * n_neg < n_pos * 1000000)
+    ORDER BY label DESC, doc_id ASC""",
+)
+def curate_train_labels(spark, sf_dir):
+    """Quality-classifier training-set export (the CCNet/GPT-3 filter
+    prep): every document scored by the text_quality formula and the
+    n-gram language heuristic, weakly labeled keep(1)/drop(0) — keep =
+    quality >= 600 AND predicted language agrees with the declared one —
+    then class-balanced by DETERMINISTIC hash-threshold downsampling of
+    the majority class (each majority row survives iff its 48-bit md5
+    draw, scaled to [0, 1e6), falls below minority/majority — the
+    cross-multiplied form avoids both the division and the zero-divide).
+
+    Scale shape: one map-side-combinable token aggregate (the same shuffle
+    text_quality pays), a doc_id-co-located join back for the declared
+    lang, ONE two-scalar global count broadcast back, and a NARROW hash
+    filter — no per-class global window, the trap that serializes exact
+    row_number balancing onto two partitions at 100 TB. Output order is
+    total (label, doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+        F.sum(F.col("term").isin("the", "a", "of").cast("int")).alias(
+            "en_hits"
+        ),
+        F.sum(F.col("term").isin("der", "die", "und").cast("int")).alias(
+            "de_hits"
+        ),
+        F.sum(F.col("term").isin("le", "la", "et").cast("int")).alias(
+            "fr_hits"
+        ),
+    )
+    lab = m.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.expr(
+            "CAST(LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens "
+            "+ CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40 "
+            "THEN 300 ELSE 0 END AS BIGINT)"
+        ).alias("quality_x1000"),
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0),
+            F.lit("de"),
+        )
+        .when(F.col("fr_hits") > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("h"),
+    )
+    l2 = lab.withColumn(
+        "label",
+        (
+            (F.col("quality_x1000") >= 600)
+            & (F.col("lang_pred") == F.col("lang"))
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    c = l2.agg(
+        F.sum((F.col("label") == 1).cast("long")).alias("n_pos"),
+        F.sum((F.col("label") == 0).cast("long")).alias("n_neg"),
+    )
+    keep = (
+        ((F.col("label") == 1) & (F.col("n_pos") <= F.col("n_neg")))
+        | ((F.col("label") == 0) & (F.col("n_neg") < F.col("n_pos")))
+        | (
+            (F.col("label") == 1)
+            & (F.col("h") * F.col("n_pos") < F.col("n_neg") * F.lit(1000000))
+        )
+        | (
+            (F.col("label") == 0)
+            & (F.col("h") * F.col("n_neg") < F.col("n_pos") * F.lit(1000000))
+        )
+    )
+    return (
+        l2.crossJoin(F.broadcast(c))
+        .where(keep)
+        .select(
+            "doc_id",
+            F.col("label").cast("bigint").alias("label"),
+            "quality_x1000",
+            "lang_pred",
+            "n_tokens",
+        )
+        .orderBy(F.desc("label"), F.asc("doc_id"))
+    )
