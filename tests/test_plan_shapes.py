@@ -259,3 +259,15 @@ def test_heavy_hitters_candidate_pass_shuffle_free(spark):
     # candidate set joined broadcast, never sort-merge
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_train_labels_balance_is_window_free(spark):
+    """curate_train_labels class-balances via a broadcast two-scalar count
+    + narrow hash filter. The trap it must never regress into is exact
+    per-class row_number capping — a Window over corpus rows that
+    serializes onto two partitions at 100 TB. Pin: no Window operator in
+    the plan, and the scalar count side is broadcast, not sort-merged."""
+    p = _plan(spark, "curate_train_labels")
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
