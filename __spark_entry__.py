@@ -86,6 +86,7 @@ _SWEEP_FIRST = (
     "kg_entity_features",
     "kg_metapath_census",
     "curate_train_labels",
+    "events_markov_transitions",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

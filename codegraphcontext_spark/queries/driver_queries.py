@@ -5332,3 +5332,56 @@ def curate_train_labels(spark, sf_dir):
         )
         .orderBy(F.desc("label"), F.asc("doc_id"))
     )
+
+@_q(
+    "events_markov_transitions",
+    """WITH s AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    r AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n * 1000000 // r.row_n AS BIGINT) AS p_x1e6
+    FROM t JOIN r ON r.from_type = t.from_type
+    ORDER BY t.from_type ASC, t.to_type ASC""",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    counts and row-normalized probabilities for every (from_type ->
+    to_type) consecutive pair — the behavioral n-gram model behind funnel
+    discovery and bot detection (a user whose transition row is a spike is
+    a script). Tie order within a timestamp is pinned by event_id, the
+    same total order events_sessions and the asof family use; null users
+    are dropped up front (the shared null-key discipline of the stateful
+    operators).
+
+    Scale shape: ONE user-keyed window (partitioned shuffle, never
+    global), a map-side-combinable pair count whose result is
+    grammar-sized (|event_type|^2), and a grammar-sized self-join for row
+    normalization. Probability is scaled-integer floor division, exact on
+    both engines."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(r, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(n * 1000000 DIV row_n AS BIGINT)").alias("p_x1e6"),
+        )
+        .orderBy(F.asc("from_type"), F.asc("to_type"))
+    )
