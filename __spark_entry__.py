@@ -87,6 +87,7 @@ _SWEEP_FIRST = (
     "kg_metapath_census",
     "curate_train_labels",
     "events_markov_transitions",
+    "search_hybrid_rrf",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

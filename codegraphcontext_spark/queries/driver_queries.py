@@ -5385,3 +5385,139 @@ def events_markov_transitions(spark, sf_dir):
         )
         .orderBy(F.asc("from_type"), F.asc("to_type"))
     )
+
+@_q(
+    "search_hybrid_rrf",
+    f"""{_EMB_CTE},
+    dots AS (
+      SELECT b.vec_id,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+      GROUP BY b.vec_id),
+    vshort AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS cos_x1e6
+      FROM dots ORDER BY cos_x1e6 DESC, doc_id ASC LIMIT 50),
+    vrank AS (SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY cos_x1e6 DESC, doc_id ASC) AS rank_vec
+              FROM vshort),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    hits AS (SELECT doc_id, COUNT(DISTINCT term) AS n_hit FROM toks
+             WHERE term IN ('merge', 'window', 'hash') GROUP BY doc_id),
+    tshort AS (
+      SELECT h.doc_id,
+             CAST(h.n_hit * 100 - CASE WHEN d.lang <> 'en' THEN 20 ELSE 0 END
+                  AS BIGINT) AS relevance
+      FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+      ORDER BY relevance DESC, h.doc_id ASC LIMIT 50),
+    trank AS (SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY relevance DESC, doc_id ASC) AS rank_text
+              FROM tshort),
+    fused AS (
+      SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+             v.rank_vec, t.rank_text,
+             COALESCE(1000000 // (60 + v.rank_vec), 0)
+               + COALESCE(1000000 // (60 + t.rank_text), 0) AS rrf_x1e6
+      FROM vrank v FULL OUTER JOIN trank t ON t.doc_id = v.doc_id)
+    SELECT doc_id,
+           CAST(COALESCE(rank_vec, 0) AS BIGINT) AS rank_vec,
+           CAST(COALESCE(rank_text, 0) AS BIGINT) AS rank_text,
+           CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+    FROM fused
+    ORDER BY rrf_x1e6 DESC, doc_id ASC LIMIT 20""",
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    the modern RAG-retrieval shape — a dense leg (brute-force cosine vs
+    query vec_id 0) and a sparse leg (term-overlap relevance with the
+    kg_search_scored lang penalty) each produce a BOUNDED top-50
+    shortlist, then RRF (sum of 1e6/(60+rank), integer floor) fuses them;
+    a hit on both legs compounds. doc_id and vec_id share the id space in
+    the synthetic corpus (the embedding of document i is row i).
+
+    Scale shape: each leg ends in TakeOrderedAndProject (never a global
+    sort); the ONLY windows are rank assignments over the 50-row
+    shortlists (result-sized, driver-irrelevant); the fusion join is
+    shortlist x shortlist. This is exactly the architecture that scales:
+    rank fusion touches candidates, not the corpus."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = _fan_out(emb.where(F.col("vec_id") != 0)).crossJoin(
+        F.broadcast(q)
+    )
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
+    )
+    vshort = (
+        cand.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos * 1e6).cast("bigint").alias("cos_x1e6"),
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("doc_id"))
+        .limit(50)
+    )
+    vrank = vshort.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_x1e6"), F.asc("doc_id")))
+        .alias("rank_vec"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    hits = (
+        toks.where(F.col("term").isin("merge", "window", "hash"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_hit"))
+    )
+    tshort = (
+        hits.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("n_hit") * 100
+                - F.when(F.col("lang") != "en", 20).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("relevance"),
+        )
+        .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(50)
+    )
+    trank = tshort.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("relevance"), F.asc("doc_id")))
+        .alias("rank_text"),
+    )
+    fused = vrank.join(trank, "doc_id", "full").select(
+        "doc_id",
+        "rank_vec",
+        "rank_text",
+        (
+            F.coalesce(
+                F.expr("1000000 DIV (60 + rank_vec)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000 DIV (60 + rank_text)"), F.lit(0)
+            )
+        ).alias("rrf_x1e6"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("rank_vec", F.lit(0)).cast("bigint").alias("rank_vec"),
+            F.coalesce("rank_text", F.lit(0))
+            .cast("bigint")
+            .alias("rank_text"),
+            F.col("rrf_x1e6").cast("bigint").alias("rrf_x1e6"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), F.asc("doc_id"))
+        .limit(20)
+    )
