@@ -88,6 +88,8 @@ _SWEEP_FIRST = (
     "curate_train_labels",
     "events_markov_transitions",
     "search_hybrid_rrf",
+    "kg_domain_graph",
+    "kg_template_stats",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

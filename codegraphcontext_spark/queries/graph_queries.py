@@ -3769,3 +3769,104 @@ def kg_metapath_census(spark, sf_dir):
         )
         .limit(30)
     )
+
+@_q(
+    "kg_domain_graph",
+    f"""{_G_CTE}
+    SELECT regexp_extract(e.subj_id, '^https?://([^/]+)', 1) AS src_domain,
+           n.name AS dst_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT e.subj_id) AS BIGINT) AS n_pages
+    FROM edges e JOIN nodes n ON n.node_id = e.obj_id
+    WHERE e.pred = 'LINKS_TO'
+    GROUP BY 1, 2
+    ORDER BY n_links DESC, src_domain ASC, dst_domain ASC LIMIT 30""",
+)
+def kg_domain_graph(spark, sf_dir):
+    """Host-level link graph: the web graph contracted to domain->domain
+    edges with link and page support — the crawl-prioritization / spam-rim
+    surface (a domain whose outlinks all target one host is a link farm).
+    The source host comes from the page url (page node_id IS the url, the
+    pipeline's native key); the target is the Domain node LINKS_TO already
+    resolves to (reference graph_builder.py's IMPORTS analog).
+
+    Scale shape: one regexp host extraction fused into the scan-side
+    projection (whole-stage codegen, no UDF), a broadcast name join
+    against the dictionary-sized Domain slice, one map-side-combinable
+    aggregate keyed (src_domain, dst_domain) — host-pair cardinality, not
+    page cardinality — and TakeOrderedAndProject top-30."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    dom = nodes.where(F.col("node_type") == "Domain").select(
+        F.col("node_id").alias("obj_id"), F.col("name").alias("dst_domain")
+    )
+    return (
+        edges.where(F.col("pred") == "LINKS_TO")
+        .join(F.broadcast(dom), "obj_id")
+        .select(
+            F.regexp_extract("subj_id", r"^https?://([^/]+)", 1).alias(
+                "src_domain"
+            ),
+            "dst_domain",
+            "subj_id",
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct("subj_id").cast("bigint").alias("n_pages"),
+        )
+        .orderBy(
+            F.desc("n_links"), F.asc("src_domain"), F.asc("dst_domain")
+        )
+        .limit(30)
+    )
+
+
+@_q(
+    "kg_template_stats",
+    f"""WITH docs AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/docs/data/*.parquet'))
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT md5(text_extracted)) AS BIGINT) AS n_bodies,
+           CAST(1000000 - COUNT(DISTINCT md5(text_extracted)) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_frac_x1e6
+    FROM docs
+    GROUP BY 1
+    ORDER BY dup_frac_x1e6 DESC, domain ASC""",
+)
+def kg_template_stats(spark, sf_dir):
+    """Per-domain template/boilerplate audit over the extracted corpus:
+    pages vs distinct extracted bodies and the duplicated fraction — the
+    first dashboard a web-KG operator reads when a domain floods the
+    extractor with templated pages (dup_frac spikes) or when the extractor
+    starts collapsing distinct articles (n_bodies craters). Body identity
+    is md5 of the byte-identical extracted text, the same invariant the
+    north rule pins per url.
+
+    Scale shape: host extraction and md5 are scan-fused codegen
+    expressions; ONE aggregate keyed by domain (map-side combinable,
+    host-cardinality result); no joins, no windows, no driver data."""
+    ensure_graph(spark, sf_dir)
+    docs = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "wd", "docs", "data")
+    )
+    return (
+        docs.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"),
+            F.md5("text_extracted").alias("body_md5"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.countDistinct("body_md5").cast("bigint").alias("n_bodies"),
+        )
+        .select(
+            "domain",
+            "n_pages",
+            "n_bodies",
+            F.expr(
+                "CAST(1000000 - n_bodies * 1000000 DIV n_pages AS BIGINT)"
+            ).alias("dup_frac_x1e6"),
+        )
+        .orderBy(F.desc("dup_frac_x1e6"), F.asc("domain"))
+    )
