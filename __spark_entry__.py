@@ -90,6 +90,7 @@ _SWEEP_FIRST = (
     "search_hybrid_rrf",
     "kg_domain_graph",
     "kg_template_stats",
+    "events_json_props",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

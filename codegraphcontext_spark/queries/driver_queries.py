@@ -5521,3 +5521,57 @@ def search_hybrid_rrf(spark, sf_dir):
         .orderBy(F.desc("rrf_x1e6"), F.asc("doc_id"))
         .limit(20)
     )
+
+@_q(
+    "events_json_props",
+    """WITH p AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(k) * 100 // COUNT(*) AS BIGINT) AS k_avg_x100
+    FROM p WHERE k IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type ASC""",
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured property extraction: pull a typed field out of the
+    JSON `props` payload (the clickstream-schema reality: half the signal
+    rides in a JSON blob) and aggregate it per event type — the operator
+    family behind every "parse the props" ETL stage. Extraction uses
+    Catalyst's JSON path (`get_json_object`, JVM-side, codegen-fused into
+    the scan projection) — NOT a Python UDF; null payloads and
+    non-numeric fields degrade to NULL and are filtered, never thrown.
+
+    Scale shape: scan-fused JSON path + one map-side-combinable aggregate
+    keyed by event_type (grammar-sized result). At 100 TB the only cost
+    is the scan itself; prefer from_json with an explicit schema when
+    MULTIPLE fields are pulled (one parse, many fields) — single-field
+    extraction is exactly get_json_object's sweet spot."""
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    p = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    ).where(F.col("k").isNotNull())
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "k_min",
+            "k_max",
+            "k_sum",
+            F.expr("CAST(k_sum * 100 DIV n AS BIGINT)").alias("k_avg_x100"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
