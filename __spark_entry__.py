@@ -91,6 +91,7 @@ _SWEEP_FIRST = (
     "kg_domain_graph",
     "kg_template_stats",
     "events_json_props",
+    "kg_graph_eigenvector",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

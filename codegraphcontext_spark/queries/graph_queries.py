@@ -3870,3 +3870,116 @@ def kg_template_stats(spark, sf_dir):
         )
         .orderBy(F.desc("dup_frac_x1e6"), F.asc("domain"))
     )
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality (power iteration over the undirected open graph)
+# ---------------------------------------------------------------------------
+
+_EIG_SCALE = 1_000_000
+_EIG_ITERS = 4
+
+
+def _eig_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark power iteration — all-integer
+    floor-division arithmetic so both engines agree bit-exactly."""
+    s = _EIG_SCALE
+    parts = [
+        f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    sym AS (SELECT a AS src, b AS dst FROM und
+            UNION ALL SELECT b, a FROM und),
+    ids AS (SELECT DISTINCT src AS node_id FROM sym),
+    n AS (SELECT COUNT(*) AS n FROM ids),
+    x0 AS (SELECT node_id, {s} // n.n AS x FROM ids CROSS JOIN n)"""
+    ]
+    for i in range(1, _EIG_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""    r{i} AS (SELECT sym.dst AS node_id, SUM(x{p}.x) AS raw
+           FROM sym JOIN x{p} ON x{p}.node_id = sym.src
+           GROUP BY sym.dst),
+    t{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot FROM r{i}),
+    x{i} AS (SELECT ids.node_id,
+                COALESCE(r{i}.raw, 0) * {s} // t{i}.tot AS x
+          FROM ids CROSS JOIN t{i} LEFT JOIN r{i} USING (node_id))"""
+        )
+    k = _EIG_ITERS
+    parts.append(
+        f"""    SELECT nodes.name, CAST(x{k}.x AS BIGINT) AS eig
+    FROM x{k} JOIN nodes USING (node_id)
+    ORDER BY eig DESC, name ASC LIMIT 20"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_eigenvector", _eig_oracle_sql())
+def kg_graph_eigenvector(spark, sf_dir):
+    """Eigenvector centrality over the undirected open relation graph
+    (power iteration, Bonacich 1972): an entity is central when its
+    NEIGHBORS are central — the recursive upgrade of raw degree that
+    completes the centrality family (pagerank = random-surfer, hits =
+    directed hub/auth, closeness = distance, this = spectral). The
+    reference ranks by raw counts (code_finder.py:725-756); this is the
+    link-analysis view of the same question.
+
+    Numerics: scores are _EIG_SCALE-scaled integers, L1-renormalized with
+    floor division after every matvec, so Spark and DuckDB agree
+    bit-exactly under any parallelism. Fixed _EIG_ITERS=4 power steps
+    (the capped-iteration contract every iterative query here shares).
+
+    Scale shape: symmetrized adjacency localCheckpoint'ed once; each
+    iteration is ONE key-partitioned shuffle join (score vector x
+    adjacency) + a map-side-combinable groupBy + a single-row normalizer
+    agg cross-joined back (AQE broadcasts it). Driver holds one count."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    ids = sym.select(F.col("src").alias("node_id")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = ids.count()
+    s = _EIG_SCALE
+    x = ids.select("node_id", F.lit(s // n).cast("long").alias("x"))
+    for _ in range(_EIG_ITERS):
+        x = x.localCheckpoint(eager=True)
+        raw = (
+            sym.join(x.withColumnRenamed("node_id", "src"), "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum("x").alias("raw"))
+        )
+        tot = raw.agg(
+            F.greatest(F.coalesce(F.sum("raw"), F.lit(0)), F.lit(1)).alias(
+                "tot"
+            )
+        )
+        x = (
+            ids.join(raw, "node_id", "left")
+            .crossJoin(tot)
+            .select(
+                "node_id",
+                F.expr(f"coalesce(raw, 0L) * {s}L div tot").alias("x"),
+            )
+        )
+    return (
+        x.join(F.broadcast(nodes.select("node_id", "name")), "node_id")
+        .select("name", F.col("x").cast("bigint").alias("eig"))
+        .orderBy(F.desc("eig"), F.asc("name"))
+        .limit(20)
+    )
