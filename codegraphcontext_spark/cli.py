@@ -758,6 +758,21 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Bin-pack a fragmented parquet directory into ~target-byte files
+    (``pipeline/layout.py:compact_small_files``) — the maintenance job
+    streaming sinks and incremental appends make necessary at scale.
+    Prints the before/after file counts and total bytes."""
+    from .pipeline.layout import compact_small_files
+
+    spark = _spark(args)
+    stats = compact_small_files(
+        spark, args.input, args.out, target_bytes=args.target_bytes
+    )
+    print(json.dumps({"out": args.out, **stats}))
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Read-only SQL passthrough over the materialized graph (S9 analog;
     reference ``server.py:319-373`` execute_cypher_query with write-keyword
@@ -1021,6 +1036,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     ly.add_argument("--rows-per-file", type=int, default=250_000)
     ly.set_defaults(fn=cmd_layout)
+
+    cp = sub.add_parser(
+        "compact", help="bin-pack small parquet files to a byte target"
+    )
+    cp.add_argument("--input", required=True, help="input parquet path")
+    cp.add_argument("--out", required=True, help="output parquet path")
+    cp.add_argument(
+        "--target-bytes", type=int, default=128 * 1024 * 1024,
+        help="target bytes per output file (default 128 MiB)",
+    )
+    cp.set_defaults(fn=cmd_compact)
 
     sq = sub.add_parser("sql", help="read-only SQL over nodes/edges/docs views")
     sq.add_argument("--workdir", required=True)

