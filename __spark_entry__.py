@@ -92,6 +92,7 @@ _SWEEP_FIRST = (
     "kg_template_stats",
     "events_json_props",
     "kg_graph_eigenvector",
+    "kg_gnn_export",
     # stalest (last driver row: CORRECTNESS_r02)
     "kg_term_stats",
     "kg_top_terms",

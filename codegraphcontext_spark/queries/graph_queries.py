@@ -3983,3 +3983,86 @@ def kg_graph_eigenvector(spark, sf_dir):
         .orderBy(F.desc("eig"), F.asc("name"))
         .limit(20)
     )
+
+@_q(
+    "kg_gnn_export",
+    f"""{_G_CTE},
+    ents AS (SELECT node_id,
+                    ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS idx
+             FROM nodes WHERE node_type = 'Entity'),
+    preds AS (SELECT pred,
+                     ROW_NUMBER() OVER (ORDER BY pred) - 1 AS pidx
+              FROM (SELECT DISTINCT pred FROM edges
+                    WHERE pred NOT IN {_CLOSED_SQL})),
+    coo AS (SELECT s.idx AS src_idx, p.pidx AS pred_idx, o.idx AS dst_idx
+            FROM edges e
+            JOIN ents s ON s.node_id = e.subj_id
+            JOIN ents o ON o.node_id = e.obj_id
+            JOIN preds p ON p.pred = e.pred
+            WHERE e.pred NOT IN {_CLOSED_SQL})
+    SELECT DISTINCT CAST(src_idx AS BIGINT) AS src_idx,
+           CAST(pred_idx AS BIGINT) AS pred_idx,
+           CAST(dst_idx AS BIGINT) AS dst_idx
+    FROM coo
+    ORDER BY src_idx ASC, pred_idx ASC, dst_idx ASC""",
+)
+def kg_gnn_export(spark, sf_dir):
+    """GNN-ready COO export: the open relation graph re-indexed to dense,
+    contiguous integer ids — (src_idx, pred_idx, dst_idx) triples sorted
+    src-major, exactly the edge_index tensor a PyG/DGL/relational-GNN
+    loader memory-maps. The dense re-indexing is the step every
+    graph-learning pipeline needs between a string-keyed KG and a tensor.
+
+    Scale shape: the ROW_NUMBER windows run over the dictionary-sized
+    entity and predicate tables ONLY (entities are the vocabulary, not
+    the corpus — the same contract kg_kge_train_pairs pins); the corpus-
+    scale work is two entity-keyed joins (the edge table's native key
+    layout) + one broadcast predicate join; the final sort is the
+    materialization order a tensor loader wants and would be a
+    write-time sortWithinPartitions in production."""
+    from pyspark.sql.window import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ents = (
+        nodes.where(F.col("node_type") == "Entity")
+        .select("node_id")
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("node_id")) - 1
+        )
+    )
+    opene = edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+    preds = (
+        opene.select("pred")
+        .distinct()
+        .withColumn(
+            "pidx", F.row_number().over(Window.orderBy("pred")) - 1
+        )
+    )
+    return (
+        opene.join(
+            F.broadcast(
+                ents.select(
+                    F.col("node_id").alias("subj_id"),
+                    F.col("idx").alias("src_idx"),
+                )
+            ),
+            "subj_id",
+        )
+        .join(
+            F.broadcast(
+                ents.select(
+                    F.col("node_id").alias("obj_id"),
+                    F.col("idx").alias("dst_idx"),
+                )
+            ),
+            "obj_id",
+        )
+        .join(F.broadcast(preds), "pred")
+        .select(
+            F.col("src_idx").cast("bigint"),
+            F.col("pidx").cast("bigint").alias("pred_idx"),
+            F.col("dst_idx").cast("bigint"),
+        )
+        .distinct()
+        .orderBy(F.asc("src_idx"), F.asc("pred_idx"), F.asc("dst_idx"))
+    )
