@@ -210,3 +210,75 @@ def test_byte_features_match_reference(blobs):
         n, nd, ent = _reference_nibble_features(blob)
         assert (row.n_bytes, row.n_distinct_nibbles,
                 row.nibble_entropy_x1e6) == (n, nd, ent)
+
+
+# --------------------------------------------------------------------------
+# streaming transitions fold: batch-split invariance (mergeable state)
+# --------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=30,
+    ),
+    st.data(),
+)
+def test_transition_fold_is_batch_split_invariant(seq, data):
+    """Folding a per-user event sequence through _trans_fn must emit the
+    SAME pair multiset no matter how the (time-ordered) sequence is cut
+    into micro-batches — the property that makes the streaming op equal
+    its batch twin across any trigger cadence and restart point."""
+    from codegraphcontext_spark.streaming.transitions import _trans_fn
+
+    events = [
+        {"event_id": i, "ts": i * 1000, "event_type": t}
+        for i, (_, t) in enumerate(seq)
+    ]
+
+    def run(batches):
+        state, out = _FakeState(), []
+        for b in batches:
+            pdf = pd.DataFrame(b) if b else pd.DataFrame(
+                columns=["event_id", "ts", "event_type"]
+            )
+            for res in _trans_fn((7,), [pdf], state):
+                out += list(zip(res["from_type"], res["to_type"]))
+        return out
+
+    whole = run([events])
+    # random cut points, preserving time order across batches
+    n_cuts = data.draw(st.integers(0, min(5, len(events))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(events)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    parts, prev = [], 0
+    for c in cuts + [len(events)]:
+        parts.append(events[prev:c])
+        prev = c
+    split = run(parts)
+    assert split == whole
