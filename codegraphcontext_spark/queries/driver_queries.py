@@ -5575,3 +5575,225 @@ def events_json_props(spark, sf_dir):
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+# =============================================================================
+# Count-Min Sketch frequency estimation (the third mergeable sketch, next to
+# KMV cardinality and Misra-Gries heavy hitters)
+# =============================================================================
+
+_CMS_D = 3    # hash rows
+_CMS_W = 64   # buckets per row
+
+
+def _cms_cell_expr(d: int, col: str) -> str:
+    """48-bit md5-prefix hash of (row-index : key), folded into the row's W
+    buckets — the one hash rule both engines evaluate bit-identically."""
+    return (
+        f"CAST(conv(substr(md5(CONCAT('{d}', ':', CAST({col} AS STRING))), "
+        f"1, 12), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_CELL_SQL = (
+    "CAST(('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' "
+    "|| CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % " + str(_CMS_W)
+)
+
+
+@_q(
+    "events_cms_topk",
+    f"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    ds AS (SELECT unnest([0, 1, 2]) AS d),
+    cells AS (SELECT ds.d, {_CMS_CELL_SQL.format(d='ds.d')} AS cell
+              FROM ev CROSS JOIN ds),
+    sketch AS (SELECT d, cell, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+    ks AS (SELECT DISTINCT user_id FROM ev),
+    kc AS (SELECT ks.user_id, ds.d, {_CMS_CELL_SQL.format(d='ds.d')} AS cell
+           FROM ks CROSS JOIN ds),
+    est AS (SELECT kc.user_id, MIN(s.n) AS est_cms
+            FROM kc JOIN sketch s ON s.d = kc.d AND s.cell = kc.cell
+            GROUP BY kc.user_id),
+    exact AS (SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(e.est_cms AS BIGINT) AS est_cms
+    FROM est e JOIN exact x ON x.user_id = e.user_id
+    ORDER BY est_cms DESC, e.user_id ASC LIMIT 10""",
+)
+def events_cms_topk(spark, sf_dir):
+    """Count-Min Sketch frequency estimates: a D x W (3 x 64) counter grid
+    keyed by D independent md5-derived hashes; a key's estimate is the MIN
+    over its D cells — always >= the true count, with the overestimate
+    bounded by collision mass. The exact count rides along as the
+    verification column, and the oracle twin recomputes the identical
+    sketch, so the deterministic estimate itself is cross-checked, not
+    just the exact leg.
+
+    This completes the engine's mergeable-sketch trio (KMV = distinct
+    count, Misra-Gries = heavy hitters, CMS = point frequency): two CMS
+    grids merge by cell-wise SUM, so at 100 TB each partition builds its
+    local grid map-side and the combine is a (D*W)-row shuffle —
+    `groupBy(d, cell).count()` below IS that shape (partial aggregation
+    emits <=192 rows per task regardless of corpus size). The estimate
+    join probes a broadcast-sized sketch (192 rows); candidate keys at
+    scale come from a heavy-hitter pre-pass (events_heavy_hitters), not
+    a full-cardinality distinct — here the test-scale candidate set is
+    the distinct key set so the oracle can check every estimate.
+
+    Reference analog: none (the reference counts exactly); task addendum
+    sketch family (frequency leg)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_cms_cell_expr(d, "user_id")).alias("cell"),
+            )
+            for d in range(_CMS_D)
+        ]
+    )
+    cells = ev.select(F.explode(cell_structs).alias("x")).select(
+        F.col("x.d").alias("d"), F.col("x.cell").alias("cell")
+    )
+    sketch = cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("n"))
+    keys = ev.select("user_id").distinct()
+    kc = keys.select("user_id", F.explode(cell_structs).alias("x")).select(
+        "user_id", F.col("x.d").alias("d"), F.col("x.cell").alias("cell")
+    )
+    est = (
+        kc.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("est_cms"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("est_cms").cast("bigint").alias("est_cms"),
+        )
+        .orderBy(F.desc("est_cms"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# =============================================================================
+# Quantile estimation from a deterministic bottom-K hash sample (the
+# mergeable-quantile leg of the sketch family)
+# =============================================================================
+
+_QS_K = 128            # sample size per group
+_QS_QUANTS = (50, 90, 99)
+
+
+@_q(
+    "events_quantile_sample",
+    f"""WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+             event_id,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    full_r AS (SELECT event_type, v, event_id,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY v ASC, event_id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM base),
+    exact AS (SELECT f.event_type, qs.q, f.v AS exact_x1e6
+              FROM full_r f CROSS JOIN qs
+              WHERE f.rn = (qs.q * f.n + 99) // 100),
+    samp0 AS (SELECT event_type, v, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY h ASC, event_id ASC) AS hr
+              FROM base),
+    samp AS (SELECT event_type, v, event_id,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY v ASC, event_id ASC) AS srn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS ns
+             FROM samp0 WHERE hr <= {_QS_K}),
+    est AS (SELECT s.event_type, qs.q, s.v AS est_x1e6
+            FROM samp s CROSS JOIN qs
+            WHERE s.srn = (qs.q * s.ns + 99) // 100)
+    SELECT e.event_type, e.q,
+           CAST(e.exact_x1e6 AS BIGINT) AS exact_x1e6,
+           CAST(s.est_x1e6 AS BIGINT) AS est_x1e6
+    FROM exact e JOIN est s ON s.event_type = e.event_type AND s.q = e.q
+    ORDER BY e.event_type ASC, e.q ASC""",
+)
+def events_quantile_sample(spark, sf_dir):
+    """Per-group quantiles (p50/p90/p99 of `value`) estimated from a
+    deterministic bottom-K hash sample, with the exact quantile riding
+    along as the verification column. The sample is the K rows whose
+    48-bit md5(event_id) hashes are smallest within the group — the SAME
+    mergeable bottom-K rule as the KMV sketch, so two partition samples
+    merge by union + re-take-K, and the estimate is a pure function of
+    the data (no RNG, both engines compute the identical sample).
+    Quantile rank is ceil(q*n/100) in integer math over a total
+    (value, event_id) order — no interpolation, no float summation.
+
+    Scale shape: at 100 TB the EXACT leg (a per-group total sort) is the
+    thing you cannot afford — the bottom-K sample leg is the scale path:
+    a narrow scan emitting per-partition K-minima (map-side, bounded),
+    one K-rows-per-group shuffle to merge, and a K-row sort per group.
+    Here both legs run so the oracle pins the estimator's determinism;
+    the windows are PARTITIONed by group key, so even the exact leg
+    parallelizes across groups rather than one global sort.
+
+    Reference analog: none; task addendum sketch family (quantile leg)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("v"),
+        "event_id",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) "
+            "AS BIGINT)"
+        ).alias("h"),
+    )
+    quants = spark.createDataFrame(
+        [(q,) for q in _QS_QUANTS], "q int"
+    )
+    w_v = Window.partitionBy("event_type").orderBy(
+        F.asc("v"), F.asc("event_id")
+    )
+    w_n = Window.partitionBy("event_type")
+    full_r = base.withColumn("rn", F.row_number().over(w_v)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    exact = (
+        full_r.join(F.broadcast(quants))
+        .where(F.col("rn") == F.expr("(q * n + 99) DIV 100"))
+        .select("event_type", "q", F.col("v").alias("exact_x1e6"))
+    )
+    w_h = Window.partitionBy("event_type").orderBy(
+        F.asc("h"), F.asc("event_id")
+    )
+    samp = (
+        base.withColumn("hr", F.row_number().over(w_h))
+        .where(F.col("hr") <= _QS_K)
+        .withColumn("srn", F.row_number().over(w_v))
+        .withColumn("ns", F.count(F.lit(1)).over(w_n))
+    )
+    est = (
+        samp.join(F.broadcast(quants))
+        .where(F.col("srn") == F.expr("(q * ns + 99) DIV 100"))
+        .select("event_type", "q", F.col("v").alias("est_x1e6"))
+    )
+    return (
+        exact.join(est, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            F.col("exact_x1e6").cast("bigint").alias("exact_x1e6"),
+            F.col("est_x1e6").cast("bigint").alias("est_x1e6"),
+        )
+        .orderBy(F.asc("event_type"), F.asc("q"))
+    )

@@ -4066,3 +4066,125 @@ def kg_gnn_export(spark, sf_dir):
         .distinct()
         .orderBy(F.asc("src_idx"), F.asc("pred_idx"), F.asc("dst_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the entity-type partition (whole-graph structural profile,
+# next to kg_graph_assortativity / kg_graph_reciprocity)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "kg_graph_modularity",
+    f"""{_G_CTE},
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    p0 AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                           GREATEST(subj_id, obj_id) AS b FROM rel),
+    ety AS (SELECT node_id, etype FROM nodes WHERE node_type = 'Entity'),
+    p AS (SELECT p0.a, p0.b, ea.etype AS ea, eb.etype AS eb
+          FROM p0 JOIN ety ea ON ea.node_id = p0.a
+                  JOIN ety eb ON eb.node_id = p0.b),
+    und AS (SELECT a AS node, ea AS etype FROM p
+            UNION ALL SELECT b, eb FROM p),
+    degc AS (SELECT etype, COUNT(*) AS deg_sum FROM und GROUP BY etype),
+    intra AS (SELECT ea AS etype, COUNT(*) AS n_intra FROM p
+              WHERE ea = eb GROUP BY ea),
+    m AS (SELECT COUNT(*) AS m FROM p)
+    SELECT d.etype,
+           CAST(COALESCE(i.n_intra, 0) AS BIGINT) AS n_intra,
+           CAST(d.deg_sum AS BIGINT) AS deg_sum,
+           CAST(COALESCE(i.n_intra, 0) * 1000000 // m.m AS BIGINT)
+             AS observed_x1e6,
+           CAST(d.deg_sum * d.deg_sum * 1000000 // (4 * m.m * m.m)
+                AS BIGINT) AS expected_x1e6,
+           CAST(COALESCE(i.n_intra, 0) * 1000000 // m.m
+                - d.deg_sum * d.deg_sum * 1000000 // (4 * m.m * m.m)
+                AS BIGINT) AS contrib_x1e6
+    FROM degc d LEFT JOIN intra i ON i.etype = d.etype CROSS JOIN m
+    ORDER BY d.etype ASC""",
+)
+def kg_graph_modularity(spark, sf_dir):
+    """Newman modularity of the ENTITY-TYPE partition over the undirected
+    open-relation graph: per etype-community c, the observed intra-
+    community edge fraction E_c/m versus the degree-model expectation
+    (deg_c / 2m)^2, both as scaled integers; contrib_x1e6 is their
+    difference and sums (over rows) to the partition's modularity Q_x1e6.
+    Complements kg_graph_assortativity (degree mixing) with ATTRIBUTE
+    mixing: a high-Q type partition means relations stay within entity
+    types (ORG-ORG acquisitions), Q~0 means types don't explain structure
+    — the diagnostic for whether type-sharded processing would cut the
+    relation join's network traffic.
+
+    Determinism: each ratio is one floor division of non-negative
+    bigints (no negative-division rounding divergence; the signed value
+    is a plain subtraction of the two floored ratios), identical in both
+    engines. The unordered-pair canonicalization is LEAST/GREATEST +
+    DISTINCT on both sides.
+
+    Scale shape: one distinct over the open-relation edge set, two
+    broadcast-sized joins to the entity-type dimension (O(|V|) — left to
+    AQE, no forced hint), then map-side-combinable counts keyed by etype
+    (result is type-grammar-sized); the single-row m aggregate cross-joins
+    back broadcast-by-construction. No per-node state rides the driver.
+
+    Reference analog: none (Neo4j has no modularity primitive); the
+    natural next question after graph_builder.py's typed-node schema."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    pairs0 = rel.select(
+        F.least("subj_id", "obj_id").alias("a"),
+        F.greatest("subj_id", "obj_id").alias("b"),
+    ).distinct()
+    ety = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "etype"
+    )
+    p = (
+        pairs0.join(
+            ety.select(F.col("node_id").alias("a"), F.col("etype").alias("ea")),
+            "a",
+        )
+        .join(
+            ety.select(F.col("node_id").alias("b"), F.col("etype").alias("eb")),
+            "b",
+        )
+        .localCheckpoint(eager=True)
+    )
+    und = p.select(F.col("ea").alias("etype")).unionAll(
+        p.select(F.col("eb").alias("etype"))
+    )
+    degc = und.groupBy("etype").agg(F.count(F.lit(1)).alias("deg_sum"))
+    intra = (
+        p.where(F.col("ea") == F.col("eb"))
+        .groupBy(F.col("ea").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n_intra"))
+    )
+    m = p.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        degc.join(intra, "etype", "left")
+        .na.fill(0, ["n_intra"])
+        .crossJoin(F.broadcast(m))
+        .select(
+            "etype",
+            F.col("n_intra").cast("bigint").alias("n_intra"),
+            F.col("deg_sum").cast("bigint").alias("deg_sum"),
+            F.expr("n_intra * 1000000L div m").cast("bigint")
+            .alias("observed_x1e6"),
+            F.expr("deg_sum * deg_sum * 1000000L div (4 * m * m)")
+            .cast("bigint")
+            .alias("expected_x1e6"),
+            (
+                F.expr("n_intra * 1000000L div m")
+                - F.expr("deg_sum * deg_sum * 1000000L div (4 * m * m)")
+            )
+            .cast("bigint")
+            .alias("contrib_x1e6"),
+        )
+        .orderBy(F.asc("etype"))
+    )

@@ -633,3 +633,159 @@ def test_assortativity_hand_computed_star_and_regular(spark, monkeypatch):
     row = gq.kg_graph_assortativity(spark, SF_DIR).first()
     assert row.n_pairs == 6
     assert row.assortativity_x1e6 is None
+
+
+def test_cms_estimates_dominate_exact(spark):
+    """CMS soundness: the min-over-rows estimate can NEVER undercount (a
+    key's own increments land in all D of its cells), and the returned
+    top-k is ordered by the estimate with the exact count riding along."""
+    from codegraphcontext_spark.queries.driver_queries import events_cms_topk
+
+    rows = events_cms_topk(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_cms >= r.n_exact > 0
+    ests = [r.est_cms for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_cms_sketch_merges_cellwise(spark):
+    """CMS mergeability (the 1000-executor contract): the sketch of the
+    full stream equals the CELL-WISE SUM of the sketches of any split —
+    so per-partition grids combine losslessly in a D*W-row shuffle."""
+    from pyspark.sql import functions as F
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        _CMS_D,
+        _CMS_W,
+        _cms_cell_expr,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_id")
+    )
+
+    def grid(df):
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_cell_expr(d, "user_id")).alias("cell"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+        cells = df.select(F.explode(structs).alias("x")).select(
+            "x.d", "x.cell"
+        )
+        out = {
+            (r.d, r.cell): r.n
+            for r in cells.groupBy("d", "cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert len(out) <= _CMS_D * _CMS_W
+        return out
+
+    whole = grid(ev)
+    lo = grid(ev.where(F.col("event_id") % 2 == 0))
+    hi = grid(ev.where(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_quantile_sample_hand_computed(spark, tmp_path):
+    """Hand-built group: values 1..100 (n < K) make the sample the whole
+    group, so est == exact at every q and the exact ranks are the
+    ceil(q*n/100)-th order statistics (50, 90, 99). A second 300-row group
+    (n > K) exercises the real subsample: estimates stay inside the value
+    range and both legs are monotone in q."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        events_quantile_sample,
+    )
+
+    n_small, n_big = 100, 300
+    rows = [
+        ("small", i + 1, float(i + 1)) for i in range(n_small)
+    ] + [("big", 1000 + i, float((i * 7) % 300 + 1)) for i in range(n_big)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([datetime(2024, 1, 1)] * len(rows)),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = {
+        (r.event_type, r.q): r
+        for r in events_quantile_sample(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 6
+    for q in (50, 90, 99):
+        r = out[("small", q)]
+        assert r.exact_x1e6 == q * 1_000_000  # rank ceil(q) of 1..100
+        assert r.est_x1e6 == r.exact_x1e6     # n < K: sample IS the data
+    prev_e = prev_s = 0
+    for q in (50, 90, 99):
+        r = out[("big", q)]
+        assert 1_000_000 <= r.est_x1e6 <= 300_000_000
+        assert r.exact_x1e6 >= prev_e and r.est_x1e6 >= prev_s
+        prev_e, prev_s = r.exact_x1e6, r.est_x1e6
+
+
+def test_modularity_hand_computed(spark, monkeypatch):
+    """Two hand graphs pin the math: a perfectly-assortative pair of
+    communities (intra edges only) gives each etype contrib = +0.25, and
+    a perfect bipartite crossing gives -0.25 each — the sum is Newman's
+    Q = +/-0.5 exactly."""
+    import codegraphcontext_spark.queries.graph_queries as gq
+
+    def fake_graph(edge_rows):
+        edges = spark.createDataFrame(
+            [(s, "FOUNDED", o, 1, "u", 0) for s, o in edge_rows],
+            "subj_id string, pred string, obj_id string, "
+            "n_occurrences long, first_url string, first_sent_id int",
+        )
+        nodes = spark.createDataFrame(
+            [
+                (n, "Entity", n, et, "en")
+                for n, et in [
+                    ("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"),
+                ]
+            ],
+            "node_id string, node_type string, name string, "
+            "etype string, lang string",
+        )
+        return nodes, edges
+
+    monkeypatch.setattr(
+        gq, "ensure_graph", lambda *_: fake_graph([("a1", "a2"), ("b1", "b2")])
+    )
+    rows = {r.etype: r for r in gq.kg_graph_modularity(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B"}
+    for et in ("A", "B"):
+        assert rows[et].n_intra == 1 and rows[et].deg_sum == 2
+        assert rows[et].observed_x1e6 == 500_000
+        assert rows[et].expected_x1e6 == 250_000
+        assert rows[et].contrib_x1e6 == 250_000
+
+    monkeypatch.setattr(
+        gq, "ensure_graph", lambda *_: fake_graph([("a1", "b1"), ("a2", "b2")])
+    )
+    rows = {r.etype: r for r in gq.kg_graph_modularity(spark, SF_DIR).collect()}
+    for et in ("A", "B"):
+        assert rows[et].n_intra == 0 and rows[et].deg_sum == 2
+        assert rows[et].contrib_x1e6 == -250_000
