@@ -37,7 +37,19 @@ from ..queries.driver_queries import _KMV_K as KMV_K
 from ..queries.driver_queries import _KMV_SPACE as KMV_SPACE
 from .windowed import EVENTS_SCHEMA
 
-__all__ = ["KMV_K", "KMV_SPACE", "kmv_keyed", "kmv_stream", "kmv_estimate"]
+__all__ = [
+    "KMV_K",
+    "KMV_SPACE",
+    "kmv_keyed",
+    "kmv_stream",
+    "kmv_estimate",
+    "CMS_D",
+    "CMS_W",
+    "cms_keyed",
+    "cms_stream",
+    "cms_batch_twin",
+    "cms_estimate",
+]
 
 _OUT_SCHEMA = "event_type string, n_seen long, n_kept long, est_distinct long"
 _STATE_SCHEMA = "hs array<long>, n_seen long"
@@ -168,3 +180,144 @@ def kmv_batch_twin(events: DataFrame) -> DataFrame:
         F.least(F.col("nd"), F.lit(KMV_K)).cast("long").alias("n_kept"),
         est.cast("long").alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min Sketch (the frequency leg; batch contract in
+# queries/driver_queries.py events_cms_topk)
+# ---------------------------------------------------------------------------
+
+from ..queries.driver_queries import _CMS_D as CMS_D      # noqa: E402
+from ..queries.driver_queries import _CMS_W as CMS_W      # noqa: E402
+from ..queries.driver_queries import _cms_cell_expr       # noqa: E402
+
+_CMS_OUT_SCHEMA = "d long, n_seen long, cells array<long>"
+_CMS_STATE_SCHEMA = "cells array<long>, n_seen long"
+
+
+def cms_keyed(events: DataFrame) -> DataFrame:
+    """One row per (event, hash-row d) carrying the bucket index — the
+    shared pre-grouping transform for the stream fold and the batch twin.
+    Null user_ids are dropped HERE, before either consumer (the
+    applyInPandasWithState null-poison class: a NaN bucket would crash the
+    state fold and the checkpoint would replay the poison file forever)."""
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                F.expr(_cms_cell_expr(d, "user_id")).alias("cell"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .select(F.explode(cell_structs).alias("x"))
+        .select(F.col("x.d").alias("d"), F.col("x.cell").alias("cell"))
+    )
+
+
+def _cms_fn(
+    key: Tuple[int], pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's bucket hits into the hash-row's W-counter state.
+    Counter addition is associative and commutative, so the state after
+    any prefix of micro-batches equals the direct grid of that prefix —
+    stream == batch by construction, and the state is W longs FOREVER
+    (the whole point of a CMS over an exact per-key count)."""
+    if state.exists:
+        cells_list, n_seen = state.get
+        cells = np.asarray(cells_list, dtype=np.int64)
+    else:
+        cells, n_seen = np.zeros(CMS_W, dtype=np.int64), 0
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        n_seen += len(pdf)
+        cells += np.bincount(
+            pdf["cell"].to_numpy(dtype=np.int64), minlength=CMS_W
+        )
+    state.update((cells.tolist(), n_seen))
+    yield pd.DataFrame(
+        {"d": [key[0]], "n_seen": [n_seen], "cells": [cells.tolist()]}
+    )
+
+
+def cms_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    once: bool = True,
+    processing_time: str = "2 seconds",
+    max_files_per_trigger: int | None = None,
+) -> Any:
+    """Streaming CMS over an events directory: CMS_D keyed state rows (one
+    per hash row), each exactly CMS_W longs, updated per micro-batch and
+    emitted append-mode with a cumulative ``n_seen`` stamp — the latest
+    row per d (max n_seen) is the current grid. At cluster scale the D
+    state rows hash-partition across executors and each micro-batch's
+    map-side explode is the only per-row work. Returns the
+    StreamingQuery."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(watch_dir)
+    sketched = cms_keyed(stream).groupBy("d").applyInPandasWithState(
+        _cms_fn,
+        _CMS_OUT_SCHEMA,
+        _CMS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        sketched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def cms_batch_twin(events: DataFrame) -> DataFrame:
+    """The batch grid the stream's final rows must equal: (d, cells) with
+    cells[j] = number of (event, d) pairs hashing to bucket j — assembled
+    from the same map-side-combinable (d, cell) count the batch query
+    events_cms_topk builds."""
+    counts = cms_keyed(events).groupBy("d", "cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = counts.groupBy("d").agg(
+        F.map_from_arrays(
+            F.collect_list("cell"), F.collect_list("n")
+        ).alias("m")
+    )
+    idx = F.array(*[F.lit(j).cast("long") for j in range(CMS_W)])
+    return dense.select(
+        "d",
+        F.transform(
+            idx,
+            lambda j: F.coalesce(
+                F.element_at(F.col("m"), j), F.lit(0).cast("long")
+            ),
+        ).alias("cells"),
+    )
+
+
+def cms_estimate(grids: dict, user_id: int) -> int:
+    """Point-frequency estimate from {d: cells} grids: min over hash rows
+    of the key's bucket counter — the same rule as events_cms_topk."""
+    import hashlib
+
+    est = None
+    for d in range(CMS_D):
+        h = int(
+            hashlib.md5(f"{d}:{user_id}".encode()).hexdigest()[:12], 16
+        ) % CMS_W
+        v = grids[d][h]
+        est = v if est is None else min(est, v)
+    return int(est)
