@@ -4188,3 +4188,111 @@ def kg_graph_modularity(spark, sf_dir):
         )
         .orderBy(F.asc("etype"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (the directed complement of the weak-CC
+# query kg_graph_components)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "kg_graph_scc",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    r AS (SELECT subj_id AS a, obj_id AS b FROM adj
+          UNION
+          SELECT r.a, adj.obj_id FROM r JOIN adj ON adj.subj_id = r.b),
+    mut AS (SELECT x.a AS v, MIN(x.b) AS cyc_min
+            FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+            GROUP BY x.a),
+    lab AS (SELECT n.node_id, n.name,
+                   COALESCE(m.cyc_min, n.node_id) AS scc_id
+            FROM nodes n LEFT JOIN mut m ON m.v = n.node_id
+            WHERE n.node_type = 'Entity')
+    SELECT MIN(name) AS rep_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(name, ',' ORDER BY name) AS members
+    FROM lab GROUP BY scc_id
+    ORDER BY n_members DESC, rep_name ASC""",
+)
+def kg_graph_scc(spark, sf_dir):
+    """Strongly connected components over the open-relation entity graph —
+    the directed complement of kg_graph_components (weak CC): entities
+    mutually reachable through FOUNDED/ACQUIRED/... chains form one SCC
+    (the M&A / partnership cores of a web KG; everything else is a
+    singleton). A node's SCC id is the minimum node_id among its mutual-
+    reachability set (a cycle member always sees itself in the closure),
+    computed from the transitive closure R as min{w : R(v,w) ∧ R(w,v)}.
+
+    The Spark side materializes R by semi-naive driver-loop iteration
+    (join the frontier onto the once-checkpointed adjacency, union,
+    distinct, stop at fixpoint — the kg_graph_closure shape without the
+    depth cap); the DuckDB twin is the same closure as a recursive CTE.
+
+    Scale shape: the open-relation graph is ENTITY-DICTIONARY-sized — a
+    closed dictionary, NOT corpus-sized — so the closure is bounded by
+    |dict|^2 rows regardless of how many of the 10^12 pages mention the
+    entities; each round is one hash join + distinct, and the loop depth
+    is the graph diameter. For an open-vocabulary web graph (closure
+    unbounded), swap this for forward-max-id coloring + per-color
+    backward confirmation (FB peeling), which the weak-CC min-label loop
+    in pipeline/canon.py already implements per direction.
+
+    Reference analog: none (Neo4j SCC lives in the GDS plugin, outside
+    the reference's Cypher surface); natural next to components/truss."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = adj.select(
+        F.col("subj_id").alias("a"), F.col("obj_id").alias("b")
+    ).localCheckpoint(eager=True)
+    n_r = r.count()
+    while True:
+        r_new = (
+            r.join(adj.withColumnRenamed("obj_id", "nxt"), r.b == adj.subj_id)
+            .select("a", F.col("nxt").alias("b"))
+            .unionByName(r)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = r_new.count()
+        r = r_new
+        if n_new == n_r:
+            break
+        n_r = n_new
+    rev = r.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mut = (
+        r.join(rev, ["a", "b"])
+        .groupBy(F.col("a").alias("v"))
+        .agg(F.min("b").alias("cyc_min"))
+    )
+    lab = (
+        nodes.where(F.col("node_type") == "Entity")
+        .join(mut, nodes.node_id == mut.v, "left")
+        .select(
+            "name",
+            F.coalesce("cyc_min", "node_id").alias("scc_id"),
+        )
+    )
+    return (
+        lab.groupBy("scc_id")
+        .agg(
+            F.min("name").alias("rep_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.array_join(F.sort_array(F.collect_list("name")), ",").alias(
+                "members"
+            ),
+        )
+        .select("rep_name", "n_members", "members")
+        .orderBy(F.desc("n_members"), F.asc("rep_name"))
+    )

@@ -789,3 +789,32 @@ def test_modularity_hand_computed(spark, monkeypatch):
     for et in ("A", "B"):
         assert rows[et].n_intra == 0 and rows[et].deg_sum == 2
         assert rows[et].contrib_x1e6 == -250_000
+
+
+def test_scc_hand_computed_cycle_and_chain(spark, monkeypatch):
+    """Hand graph: a 3-cycle a->b->c->a plus a chain c->d->e. The cycle is
+    one SCC of 3; d and e are singletons even though they are REACHABLE
+    from the cycle (reachability is not mutuality — the weak-CC query
+    would merge all five)."""
+    import codegraphcontext_spark.queries.graph_queries as gq
+
+    edges = spark.createDataFrame(
+        [
+            (s, "FOUNDED", o, 1, "u", 0)
+            for s, o in [
+                ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+            ]
+        ],
+        "subj_id string, pred string, obj_id string, "
+        "n_occurrences long, first_url string, first_sent_id int",
+    )
+    nodes = spark.createDataFrame(
+        [(n, "Entity", n, "org", "en") for n in "abcde"],
+        "node_id string, node_type string, name string, "
+        "etype string, lang string",
+    )
+    monkeypatch.setattr(gq, "ensure_graph", lambda *_: (nodes, edges))
+    rows = {r.rep_name: r for r in gq.kg_graph_scc(spark, SF_DIR).collect()}
+    assert set(rows) == {"a", "d", "e"}
+    assert rows["a"].n_members == 3 and rows["a"].members == "a,b,c"
+    assert rows["d"].n_members == 1 and rows["e"].n_members == 1
