@@ -271,3 +271,33 @@ def test_train_labels_balance_is_window_free(spark):
     assert "Window" not in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_cms_sketch_partial_agg_and_broadcast_probe(spark):
+    """The CMS grid build must partial-aggregate map-side (each task emits
+    <= D*W rows — the 'per-partition grid' scale story), the estimate join
+    must probe the grid as a broadcast (192 rows, never a shuffle side),
+    and the top-k must compile to TakeOrderedAndProject."""
+    p = _plan(spark, "events_cms_topk")
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quantile_sample_windows_are_group_partitioned(spark):
+    """Both quantile legs window PARTITION BY event_type — a global
+    (unpartitioned) window would plan Exchange SinglePartition and
+    serialize the whole table through one task."""
+    p = _plan(spark, "events_quantile_sample")
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(event_type" in p, p
+
+
+def test_modularity_single_row_cross_join_is_broadcast(spark):
+    """The m-count cross join must ride a broadcast nested loop (1-row
+    side), never a CartesianProduct over data rows."""
+    from codegraphcontext_spark.queries import graph_queries  # noqa: F401
+
+    p = _plan(spark, "kg_graph_modularity")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
