@@ -89,6 +89,11 @@ _SWEEP_FIRST = (
     "events_markov_transitions",
     "search_hybrid_rrf",
     "kg_domain_graph",
+    "events_cms_topk",
+    "events_quantile_sample",
+    "kg_graph_modularity",
+    "kg_graph_scc",
+    # never-green overflow (window is ~50): queue for round 5's sweep
     "kg_template_stats",
     "events_json_props",
     "kg_graph_eigenvector",
