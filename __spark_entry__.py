@@ -71,11 +71,6 @@ _SWEEP_FIRST = (
     "kg_graph_truss",
     "kg_triple_pr",
     "kg_linking_tier_accuracy",
-    "kg_alias_table",
-    "kg_kge_train_pairs",
-    "kg_pred_drift",
-    "kg_verbalize",
-    "kg_entity_lifespan",
     "kg_graph_bridges",
     "er_blocking_quality",
     "kg_graph_clustering",
@@ -93,7 +88,17 @@ _SWEEP_FIRST = (
     "events_quantile_sample",
     "kg_graph_modularity",
     "kg_graph_scc",
+    "curate_clf_score",
+    "kg_graph_edge_timeline",
+    "kg_graph_lpa",
+    "kg_graph_katz",
+    "events_bloom_prune",
     # never-green overflow (window is ~50): queue for round 5's sweep
+    "kg_alias_table",
+    "kg_kge_train_pairs",
+    "kg_pred_drift",
+    "kg_verbalize",
+    "kg_entity_lifespan",
     "kg_template_stats",
     "events_json_props",
     "kg_graph_eigenvector",

@@ -5797,3 +5797,331 @@ def events_quantile_sample(spark, sf_dir):
         )
         .orderBy(F.asc("event_type"), F.asc("q"))
     )
+
+
+_CLF_D = 256  # hashed-feature buckets; the weight table is <= _CLF_D rows
+
+
+@_q(
+    "curate_clf_score",
+    f"""{_TOKS_CTE},
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
+                   AS stops,
+                 SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$')
+                     THEN 1 ELSE 0 END) AS alpha,
+                 SUM(CASE WHEN term IN ('the', 'a', 'of')
+                     THEN 1 ELSE 0 END) AS en_hits,
+                 SUM(CASE WHEN term IN ('der', 'die', 'und')
+                     THEN 1 ELSE 0 END) AS de_hits,
+                 SUM(CASE WHEN term IN ('le', 'la', 'et')
+                     THEN 1 ELSE 0 END) AS fr_hits
+          FROM toks GROUP BY doc_id),
+    lab AS (SELECT m.doc_id,
+                   CASE WHEN CAST(LEAST(n_tokens, 200) * 2
+                             + alpha * 300 // n_tokens
+                             + CASE WHEN stops * 100 // n_tokens
+                                         BETWEEN 2 AND 40
+                                    THEN 300 ELSE 0 END AS BIGINT) >= 600
+                         AND (CASE WHEN en_hits >= de_hits
+                                        AND en_hits >= fr_hits
+                                        AND en_hits > 0 THEN 'en'
+                                   WHEN de_hits >= fr_hits AND de_hits > 0
+                                        THEN 'de'
+                                   WHEN fr_hits > 0 THEN 'fr'
+                                   ELSE 'unknown' END) = d.lang
+                        THEN 1 ELSE 0 END AS label
+            FROM m JOIN documents d ON d.doc_id = m.doc_id),
+    cnt AS (SELECT doc_id,
+                   ('0x' || substring(md5(term), 1, 12))::BIGINT % {_CLF_D}
+                     AS b,
+                   COUNT(*) AS c
+            FROM toks GROUP BY 1, 2),
+    wt AS (SELECT b,
+                  CAST((SUM(c * label) + 1) * 1000000
+                       // (SUM(c) + 2) AS BIGINT) AS w
+           FROM cnt JOIN lab USING (doc_id) GROUP BY b),
+    sc AS (SELECT doc_id, SUM(c * w) AS swc, SUM(c) AS n
+           FROM cnt JOIN wt USING (b) GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(swc // n AS BIGINT) AS clf_score_x1e6,
+           CAST(CASE WHEN swc // n >= 500000 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM sc ORDER BY clf_score_x1e6 DESC, doc_id ASC""",
+)
+def curate_clf_score(spark, sf_dir):
+    """Hashed quality-classifier TRAIN + INFERENCE in one job (the
+    fastText/CCNet filter stage of an LLM data pipeline, trained on the
+    same weak labels curate_train_labels exports): tokens hash into
+    _CLF_D=256 feature buckets; the per-bucket weight is the smoothed
+    posterior P(keep | bucket) in integer millionths,
+    w(b) = (pos_occ+1)*1e6 DIV (occ+2), learned from the weak label
+    (quality >= 600 AND predicted language agrees); a document's score is
+    the occurrence-weighted mean bucket weight, keep iff >= 500000. All
+    integer math, no RNG — both engines compute identical weights.
+
+    Scale shape: TRAINING on 100 TB is one map-side-combinable
+    (doc_id, bucket) count, a doc_id-keyed join with the label table
+    (both sides already hash-partitioned by doc_id), and an aggregate
+    down to <= 256 weight rows. INFERENCE is a broadcast join of that
+    256-row table against the counts plus one per-doc aggregate — no
+    shuffle of raw token rows, no driver-side model state beyond the
+    broadcast. The trap this avoids: joining the label onto every token
+    OCCURRENCE (shuffles the whole token stream); counts-first makes the
+    join side |docs|x|distinct buckets| bounded.
+
+    Reference analog: none (query addendum — training-data curation
+    family; pairs with curate_train_labels / curate_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+        F.sum(F.col("term").isin("the", "a", "of").cast("int")).alias(
+            "en_hits"
+        ),
+        F.sum(F.col("term").isin("der", "die", "und").cast("int")).alias(
+            "de_hits"
+        ),
+        F.sum(F.col("term").isin("le", "la", "et").cast("int")).alias(
+            "fr_hits"
+        ),
+    )
+    quality = F.expr(
+        "CAST(LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens "
+        "+ CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40 "
+        "THEN 300 ELSE 0 END AS BIGINT)"
+    )
+    lang_pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0),
+            F.lit("de"),
+        )
+        .when(F.col("fr_hits") > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    lab = m.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        ((quality >= 600) & (lang_pred == F.col("lang")))
+        .cast("int")
+        .alias("label"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % _CLF_D
+    )
+    cnt = (
+        toks.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = (
+        cnt.join(lab, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("c") * F.col("label")).alias("pos_occ"),
+            F.sum("c").alias("occ"),
+        )
+        .select(
+            "b",
+            F.expr(
+                "CAST((pos_occ + 1) * 1000000 DIV (occ + 2) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    sc = (
+        cnt.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("w")).alias("swc"),
+            F.sum("c").alias("n"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(swc DIV n AS BIGINT)").alias("clf_score_x1e6"),
+        F.expr(
+            "CAST(CASE WHEN swc DIV n >= 500000 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    ).orderBy(F.desc("clf_score_x1e6"), F.asc("doc_id"))
+
+
+_BLOOM_M = 4096  # bits
+_BLOOM_W = 32    # bits packed per word (positive range of an int32 shift)
+
+
+def _bloom_h_sql(j: int, col: str) -> str:
+    """48-bit md5 position for hash j of `col`, mod _BLOOM_M (DuckDB)."""
+    return (
+        f"('0x' || substring(md5('b{j}:' || CAST({col} AS VARCHAR)), 1, 12)"
+        f")::BIGINT % {_BLOOM_M}"
+    )
+
+
+@_q(
+    "events_bloom_prune",
+    f"""WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+    lastev AS (SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM ev),
+    flg AS (SELECT user_id FROM lastev WHERE rn = 1
+            AND event_type = 'error'),
+    pos AS (SELECT {_bloom_h_sql(1, "user_id")} AS p FROM flg
+            UNION ALL
+            SELECT {_bloom_h_sql(2, "user_id")} AS p FROM flg),
+    bloom AS (SELECT p // {_BLOOM_W} AS w,
+                     bit_or(CAST(1 AS BIGINT)
+                            << CAST(p % {_BLOOM_W} AS INT)) AS bits
+              FROM pos GROUP BY 1),
+    probe AS (SELECT event_id, user_id,
+                     {_bloom_h_sql(1, "user_id")} AS h1,
+                     {_bloom_h_sql(2, "user_id")} AS h2
+              FROM ev),
+    passed AS (SELECT pr.event_id, pr.user_id FROM probe pr
+               LEFT JOIN bloom b1 ON b1.w = pr.h1 // {_BLOOM_W}
+               LEFT JOIN bloom b2 ON b2.w = pr.h2 // {_BLOOM_W}
+               WHERE (COALESCE(b1.bits, 0)
+                      & (CAST(1 AS BIGINT)
+                         << CAST(pr.h1 % {_BLOOM_W} AS INT))) <> 0
+                 AND (COALESCE(b2.bits, 0)
+                      & (CAST(1 AS BIGINT)
+                         << CAST(pr.h2 % {_BLOOM_W} AS INT))) <> 0),
+    c AS (SELECT
+            (SELECT COUNT(*) FROM flg) AS n_flagged,
+            (SELECT COUNT(*) FROM ev) AS n_events,
+            (SELECT COUNT(*) FROM ev
+             WHERE user_id IN (SELECT user_id FROM flg)) AS n_exact,
+            (SELECT COUNT(*) FROM passed) AS n_bloom)
+    SELECT CAST(n_flagged AS BIGINT) AS n_flagged,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_bloom AS BIGINT) AS n_bloom,
+           CAST(n_bloom - n_exact AS BIGINT) AS n_false_pos,
+           CAST(CASE WHEN n_events = n_exact THEN 0
+                     ELSE (n_bloom - n_exact) * 1000000
+                          // (n_events - n_exact) END AS BIGINT)
+             AS fp_rate_x1e6
+    FROM c""",
+)
+def events_bloom_prune(spark, sf_dir):
+    """Broadcast Bloom-filter semi-join pruning — THE 100 TB pattern for
+    'filter a huge fact table by a derived dimension without shuffling
+    the facts': churn-risk users (those whose LAST event is an error,
+    ties broken by event_id) are folded into a {_BLOOM_M}-bit Bloom
+    filter (k=2 md5 hashes, bits packed {_BLOOM_W}/word so every shift
+    stays in positive int range on both engines); the fact scan probes
+    the <=128-word filter via broadcast joins and only surviving rows
+    would continue into the expensive join. The exact semi-join runs
+    alongside so the output row REPORTS the filter's measured false-
+    positive rate — the sketch's quality is part of the contract, the
+    same discipline as the KMV and CMS queries.
+
+    Scale shape: the filter build aggregates to <=128 (word, bits) rows
+    (map-side combinable bit_or); the probe is two broadcast hash joins
+    + a narrow filter — the 100 TB fact side is never shuffled; the
+    exact leg here is verification only (at scale you'd skip it — that
+    is the point of the filter). Spark's own runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter) does this transparently;
+    this operator is the EXPLICIT, engine-checked form with a measured
+    FP rate.
+
+    Reference analog: none (sketch-family addendum: membership, joining
+    KMV=distinct, CMS=frequency)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    flg = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .select("user_id")
+    )
+
+    def h(j, c):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{j}:"), F.col(c).cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    pos = flg.select(h(1, "user_id").alias("p")).unionAll(
+        flg.select(h(2, "user_id").alias("p"))
+    )
+    bloom = (
+        pos.select(
+            (F.col("p") / _BLOOM_W).cast("bigint").alias("w"),
+            F.expr(f"shiftleft(1L, CAST(p % {_BLOOM_W} AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    probe = ev.select(
+        "event_id", "user_id", h(1, "user_id").alias("h1"),
+        h(2, "user_id").alias("h2"),
+    )
+    b1 = F.broadcast(
+        bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    )
+    b2 = F.broadcast(
+        bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    )
+    passed = (
+        probe.join(b1, F.expr(f"h1 div {_BLOOM_W} = w1"), "left")
+        .join(b2, F.expr(f"h2 div {_BLOOM_W} = w2"), "left")
+        .where(
+            F.expr(
+                f"(coalesce(bits1, 0L) & shiftleft(1L, CAST(h1 % {_BLOOM_W}"
+                " AS INT))) <> 0"
+            )
+            & F.expr(
+                f"(coalesce(bits2, 0L) & shiftleft(1L, CAST(h2 % {_BLOOM_W}"
+                " AS INT))) <> 0"
+            )
+        )
+    )
+    n_flagged = flg.agg(F.count(F.lit(1)).alias("n_flagged"))
+    n_events = ev.agg(F.count(F.lit(1)).alias("n_events"))
+    n_exact = ev.join(flg, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_bloom = passed.agg(F.count(F.lit(1)).alias("n_bloom"))
+    return (
+        n_flagged.crossJoin(n_events)
+        .crossJoin(n_exact)
+        .crossJoin(n_bloom)
+        .select(
+            F.col("n_flagged").cast("bigint").alias("n_flagged"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_bloom").cast("bigint").alias("n_bloom"),
+            F.expr("CAST(n_bloom - n_exact AS BIGINT)").alias(
+                "n_false_pos"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_events = n_exact THEN 0"
+                " ELSE (n_bloom - n_exact) * 1000000"
+                " DIV (n_events - n_exact) END AS BIGINT)"
+            ).alias("fp_rate_x1e6"),
+        )
+    )

@@ -4296,3 +4296,326 @@ def kg_graph_scc(spark, sf_dir):
         .select("rep_name", "n_members", "members")
         .orderBy(F.desc("n_members"), F.asc("rep_name"))
     )
+
+
+@_q(
+    "kg_graph_edge_timeline",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    pts AS (SELECT url, MAX(epoch_us(warc_ts)) AS us
+            FROM read_parquet('{_ORACLE_CORPUS}/pages.parquet/*.parquet')
+            GROUP BY url),
+    tl AS (SELECT o.subj_id, o.pred, o.obj_id,
+                  MIN(p.us) AS valid_from_us, MAX(p.us) AS valid_to_us,
+                  COUNT(*) AS n_sites
+           FROM occ o JOIN pts p ON p.url = o.url
+           WHERE o.pred NOT IN {_CLOSED_SQL}
+           GROUP BY o.subj_id, o.pred, o.obj_id)
+    SELECT sn.name AS subj, t.pred AS pred, obn.name AS obj,
+           CAST(t.valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(t.valid_to_us AS BIGINT) AS valid_to_us,
+           CAST((t.valid_to_us - t.valid_from_us) // 86400000000
+             AS BIGINT) AS span_days,
+           CAST(t.n_sites AS BIGINT) AS n_sites
+    FROM tl t
+    JOIN nodes sn ON sn.node_id = t.subj_id
+    JOIN nodes obn ON obn.node_id = t.obj_id
+    ORDER BY n_sites DESC, subj ASC, pred ASC, obj ASC LIMIT 50""",
+)
+def kg_graph_edge_timeline(spark, sf_dir):
+    """Temporal-KG edge validity intervals: every open-relation edge gets
+    [valid_from, valid_to] from the crawl timestamps of the pages whose
+    sentences assert it (per-url attestation time = the url's LATEST
+    snapshot — the snapshot whose text the latest-wins dedup actually
+    extracted from), plus the attestation count. This is the temporal
+    slice a KG consumer needs for "was this fact asserted before T?" /
+    staleness audits; the reference keeps created_at-style metadata per
+    node but has no edge-time view (graph_builder.py stores only
+    line_number provenance on CALLS edges).
+
+    Scale shape: pts is a map-side-combinable per-url max over the raw
+    pages scan (projecting two columns); the occ-pts join is url-keyed —
+    at 100 TB both sides hash-partition on url and the join output stays
+    |occurrence| rows; the edge aggregate is the same key the edge table
+    is already written by; the two name joins probe the bounded entity
+    dictionary; top-k compiles to TakeOrderedAndProject.
+
+    Reference analog: none (temporal addendum to graph_builder.py edge
+    provenance)."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    pages = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "corpus", "pages.parquet")
+    )
+    pts = (
+        pages.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("us"),
+        )
+        .groupBy("url")
+        .agg(F.max("us").alias("us"))
+    )
+    tl = (
+        occ.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .join(pts, "url")
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.min("us").alias("valid_from_us"),
+            F.max("us").alias("valid_to_us"),
+            F.count(F.lit(1)).alias("n_sites"),
+        )
+    )
+    names = nodes.select("node_id", "name")
+    return (
+        tl.join(
+            names.withColumnRenamed("node_id", "subj_id").withColumnRenamed(
+                "name", "subj"
+            ),
+            "subj_id",
+        )
+        .join(
+            names.withColumnRenamed("node_id", "obj_id").withColumnRenamed(
+                "name", "obj"
+            ),
+            "obj_id",
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
+            F.col("valid_to_us").cast("bigint").alias("valid_to_us"),
+            F.expr(
+                "CAST((valid_to_us - valid_from_us) DIV 86400000000 "
+                "AS BIGINT)"
+            ).alias("span_days"),
+            F.col("n_sites").cast("bigint").alias("n_sites"),
+        )
+        .orderBy(
+            F.desc("n_sites"), F.asc("subj"), F.asc("pred"), F.asc("obj")
+        )
+        .limit(50)
+    )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-iteration LPA twin: iteration i picks, per node, the
+    most frequent neighbor label (ties -> smallest label) from l{i-1}."""
+    its = []
+    for i in range(1, _LPA_ITERS + 1):
+        its.append(
+            f"""n{i} AS (SELECT e.s, l.label, COUNT(*) AS c
+             FROM e2 e JOIN l{i - 1} l ON l.v = e.d GROUP BY e.s, l.label),
+    p{i} AS (SELECT s, label FROM (
+               SELECT s, label,
+                      ROW_NUMBER() OVER (PARTITION BY s
+                        ORDER BY c DESC, label ASC) AS rn FROM n{i}) z
+             WHERE rn = 1),
+    l{i} AS (SELECT v.v, COALESCE(p{i}.label, v.v) AS label
+             FROM verts v LEFT JOIN p{i} ON p{i}.s = v.v)"""
+        )
+    iters = ",\n    ".join(its)
+    return f"""{_G_CTE},
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    e2 AS (SELECT subj_id AS s, obj_id AS d FROM rel
+           UNION ALL SELECT obj_id AS s, subj_id AS d FROM rel),
+    verts AS (SELECT DISTINCT s AS v FROM e2),
+    l0 AS (SELECT v, v AS label FROM verts),
+    {iters},
+    ents AS (SELECT node_id FROM nodes WHERE node_type = 'Entity'),
+    fin AS (SELECT ents.node_id,
+                   COALESCE(l{_LPA_ITERS}.label, ents.node_id) AS label
+            FROM ents LEFT JOIN l{_LPA_ITERS} ON l{_LPA_ITERS}.v = ents.node_id)
+    SELECT fin.label AS community, n2.name AS community_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM fin JOIN nodes n2 ON n2.node_id = fin.label
+    GROUP BY fin.label, n2.name
+    ORDER BY n_members DESC, community ASC"""
+
+
+@_q("kg_graph_lpa", _lpa_oracle())
+def kg_graph_lpa(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the open-relation subgraph: every entity starts as its
+    own label; each of the {_LPA_ITERS} fixed iterations re-labels a node
+    with its neighbors' MODE label (ties -> smallest label), giving the
+    denser communities that pure connectivity (kg_graph_components) can't
+    see. Fixed iteration count + total tie-break = fully deterministic,
+    so the DuckDB twin is the same recursion unrolled.
+
+    Scale shape: per iteration ONE key-partitioned join of the edge list
+    against the (node, label) frame and one two-level map-side-combinable
+    aggregate (count, then min-struct argmax — no window, no global
+    sort); the frame stays |V| rows and lineage is truncated per
+    iteration via localCheckpoint, the same loop discipline as pagerank /
+    eigenvector. The oracle's ROW_NUMBER window is the small-scale twin
+    only — the Spark side's argmax is the min-of-struct aggregate.
+
+    Reference analog: none (Neo4j GDS-style addendum; the reference's
+    graph has no community primitive)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+    )
+    e2 = rel.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        rel.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    verts = e2.select(F.col("s").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    e2 = e2.localCheckpoint(eager=True)
+    lab = verts.select("v", F.col("v").alias("label"))
+    for _ in range(_LPA_ITERS):
+        nb = e2.join(
+            lab.withColumnRenamed("v", "d"), "d"
+        ).select("s", "label")
+        pick = (
+            nb.groupBy("s", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("s")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("best")
+            )
+            .select("s", F.col("best.l").alias("new_label"))
+        )
+        lab = (
+            verts.join(pick.withColumnRenamed("s", "v"), "v", "left")
+            .select(
+                "v", F.coalesce("new_label", F.col("v")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    ents = nodes.where(F.col("node_type") == "Entity").select("node_id")
+    fin = ents.join(
+        lab.withColumnRenamed("v", "node_id"), "node_id", "left"
+    ).select(
+        "node_id", F.coalesce("label", F.col("node_id")).alias("label")
+    )
+    return (
+        fin.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            nodes.select(
+                F.col("node_id").alias("community"),
+                F.col("name").alias("community_name"),
+            ),
+            "community",
+        )
+        .select(
+            "community",
+            "community_name",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+    )
+
+
+_KATZ_ITERS = 5
+_KATZ_ATT = 4      # attenuation: each hop contributes x DIV 4
+_KATZ_BASE = 1000  # per-node bias added every step
+
+
+def _katz_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark Katz iteration — integer
+    floor division everywhere so both engines agree bit-exactly."""
+    parts = [
+        f"""{_G_CTE},
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    ids AS (SELECT subj_id AS node_id FROM rel
+            UNION SELECT obj_id FROM rel),
+    x0 AS (SELECT node_id, {_KATZ_BASE} AS x FROM ids)"""
+    ]
+    for i in range(1, _KATZ_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""    r{i} AS (SELECT rel.obj_id AS node_id, SUM(x{p}.x) AS raw
+           FROM rel JOIN x{p} ON x{p}.node_id = rel.subj_id
+           GROUP BY rel.obj_id),
+    x{i} AS (SELECT ids.node_id,
+                COALESCE(r{i}.raw, 0) // {_KATZ_ATT} + {_KATZ_BASE} AS x
+          FROM ids LEFT JOIN r{i} USING (node_id))"""
+        )
+    k = _KATZ_ITERS
+    parts.append(
+        f"""    SELECT nodes.name, CAST(x{k}.x AS BIGINT) AS katz
+    FROM x{k} JOIN nodes USING (node_id)
+    ORDER BY katz DESC, name ASC LIMIT 20"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@_q("kg_graph_katz", _katz_oracle_sql())
+def kg_graph_katz(spark, sf_dir):
+    """Katz centrality over the DIRECTED open relation graph (Katz 1953):
+    score = attenuated count of all inbound walks, x <- A^T x DIV 4 +
+    1000 for _KATZ_ITERS=5 fixed steps. Complements the centrality
+    family: unlike eigenvector it keeps a per-node bias (so peripheral
+    nodes are ranked, not zeroed) and unlike pagerank it does NOT
+    normalize by out-degree — a hub that asserts many facts passes full
+    weight to each object, which is the 'influence via assertion' view a
+    KG wants when ranking entities by attested prominence.
+
+    Numerics: all-integer (floor-divide attenuation), no normalizer agg
+    at all — the attenuation bounds growth, so there is not even a
+    single-row broadcast in the loop; fixed iterations keep the DuckDB
+    twin an unrolled CTE chain.
+
+    Scale shape: one distinct-edge slice localCheckpoint'ed once; per
+    iteration ONE key-partitioned shuffle join + map-side-combinable
+    groupBy; the score frame stays |V| rows; top-k compiles to
+    TakeOrderedAndProject.
+
+    Reference analog: none (centrality addendum; reference ranks by raw
+    reference counts, code_finder.py:725-756)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        rel.select(F.col("subj_id").alias("node_id"))
+        .union(rel.select(F.col("obj_id").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = ids.select("node_id", F.lit(_KATZ_BASE).cast("long").alias("x"))
+    for _ in range(_KATZ_ITERS):
+        x = x.localCheckpoint(eager=True)
+        raw = (
+            rel.join(x.withColumnRenamed("node_id", "subj_id"), "subj_id")
+            .groupBy(F.col("obj_id").alias("node_id"))
+            .agg(F.sum("x").alias("raw"))
+        )
+        x = ids.join(raw, "node_id", "left").select(
+            "node_id",
+            F.expr(
+                f"coalesce(raw, 0L) div {_KATZ_ATT}L + {_KATZ_BASE}L"
+            ).alias("x"),
+        )
+    return (
+        x.join(F.broadcast(nodes.select("node_id", "name")), "node_id")
+        .select("name", F.col("x").cast("bigint").alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("name"))
+        .limit(20)
+    )

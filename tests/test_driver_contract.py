@@ -818,3 +818,114 @@ def test_scc_hand_computed_cycle_and_chain(spark, monkeypatch):
     assert set(rows) == {"a", "d", "e"}
     assert rows["a"].n_members == 3 and rows["a"].members == "a,b,c"
     assert rows["d"].n_members == 1 and rows["e"].n_members == 1
+
+
+def test_lpa_two_cliques_bridge(spark, monkeypatch):
+    """LPA on two triangles joined by one bridge edge (c-d) converges in
+    the fixed 4 sync iterations to exactly the two cliques — hand-traced
+    with the (count DESC, label ASC) tie rule: {a,b,c} -> label 'a',
+    {d,e,f} -> label 'c'."""
+    import codegraphcontext_spark.queries.graph_queries as gq
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    edges = spark.createDataFrame(
+        [(s, "FOUNDED", o, 1, "u", 0) for s, o in pairs],
+        "subj_id string, pred string, obj_id string, "
+        "n_occurrences long, first_url string, first_sent_id int",
+    )
+    nodes = spark.createDataFrame(
+        [(n, "Entity", n, "org", "en") for n in "abcdef"],
+        "node_id string, node_type string, name string, "
+        "etype string, lang string",
+    )
+    monkeypatch.setattr(gq, "ensure_graph", lambda *_: (nodes, edges))
+    rows = {r.community: r for r in gq.kg_graph_lpa(spark, SF_DIR).collect()}
+    assert set(rows) == {"a", "c"}
+    assert rows["a"].n_members == 3
+    assert rows["c"].n_members == 3
+
+
+def test_katz_hand_computed_chain(spark, monkeypatch):
+    """Katz on a->b, a->c, b->c reaches its integer fixpoint inside the 5
+    iterations: a=1000 (no in-edges, pure bias), b=1250 (one hop from a),
+    c=1562 ((1000+1250)//4 + 1000) — pinning the floor-divide attenuation
+    and the bias term."""
+    import codegraphcontext_spark.queries.graph_queries as gq
+
+    edges = spark.createDataFrame(
+        [(s, "FOUNDED", o, 1, "u", 0)
+         for s, o in [("a", "b"), ("a", "c"), ("b", "c")]],
+        "subj_id string, pred string, obj_id string, "
+        "n_occurrences long, first_url string, first_sent_id int",
+    )
+    nodes = spark.createDataFrame(
+        [(n, "Entity", n, "org", "en") for n in "abc"],
+        "node_id string, node_type string, name string, "
+        "etype string, lang string",
+    )
+    monkeypatch.setattr(gq, "ensure_graph", lambda *_: (nodes, edges))
+    rows = gq.kg_graph_katz(spark, SF_DIR).collect()
+    assert [(r.name, r.katz) for r in rows] == [
+        ("c", 1562), ("b", 1250), ("a", 1000),
+    ]
+
+
+def test_clf_score_separates_weak_labels(spark):
+    """The hashed classifier must (a) emit a bounded integer probability
+    per document, (b) derive `keep` from the 500000 threshold, and (c)
+    actually SEPARATE the weak classes it was trained on: mean score of
+    weakly-positive docs above mean score of weakly-negative docs."""
+    from codegraphcontext_spark.queries.driver_queries import (
+        curate_clf_score,
+        curate_train_labels,
+    )
+    from pyspark.sql import functions as F
+
+    sc = curate_clf_score(spark, SF_DIR)
+    rows = sc.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r.clf_score_x1e6 <= 1_000_000
+        assert r.keep == (1 if r.clf_score_x1e6 >= 500_000 else 0)
+    lab = curate_train_labels(spark, SF_DIR).select("doc_id", "label")
+    m = (
+        sc.join(lab, "doc_id")
+        .groupBy("label")
+        .agg(F.avg("clf_score_x1e6").alias("mean_score"))
+        .collect()
+    )
+    means = {r.label: r.mean_score for r in m}
+    assert means[1] > means[0]
+
+
+def test_bloom_prune_soundness(spark):
+    """Bloom semi-join soundness: no false negatives (bloom count >=
+    exact count), a small measured false-positive rate (k=2, m=4096,
+    <=150 keys inserted -> fp well under 5%), and internally consistent
+    counters."""
+    from codegraphcontext_spark.queries.driver_queries import (
+        events_bloom_prune,
+    )
+
+    r = events_bloom_prune(spark, SF_DIR).first()
+    assert 0 < r.n_flagged < 150
+    assert 0 < r.n_exact <= r.n_bloom <= r.n_events
+    assert r.n_false_pos == r.n_bloom - r.n_exact
+    assert 0 <= r.fp_rate_x1e6 < 50_000
+
+
+def test_edge_timeline_intervals_ordered(spark):
+    """Every temporal edge interval is well-formed (from <= to, span in
+    days consistent, at least one attesting site) and the top-k output
+    is ordered by attestation count."""
+    import codegraphcontext_spark.queries.graph_queries as gq
+
+    rows = gq.kg_graph_edge_timeline(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.valid_from_us <= r.valid_to_us
+        assert r.span_days == (r.valid_to_us - r.valid_from_us) // 86_400_000_000
+        assert r.n_sites >= 1
+    ns = [r.n_sites for r in rows]
+    assert ns == sorted(ns, reverse=True)

@@ -301,3 +301,30 @@ def test_modularity_single_row_cross_join_is_broadcast(spark):
     p = _plan(spark, "kg_graph_modularity")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_clf_score_weight_table_is_broadcast(spark):
+    """Inference probes the <=256-row weight table as a broadcast (never
+    a shuffle side) and no Window appears anywhere in the train+score
+    plan — both legs are pure aggregates."""
+    p = _plan(spark, "curate_clf_score")
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    """The fact scan probes the <=128-word Bloom table via broadcast
+    joins — the 100 TB side is never shuffled for the membership check,
+    and nothing degenerates into a cartesian product."""
+    p = _plan(spark, "events_bloom_prune")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_katz_and_timeline_topk_take_ordered(spark):
+    """Both new graph top-ks compile to TakeOrderedAndProject, never a
+    global sort."""
+    from codegraphcontext_spark.queries import graph_queries  # noqa: F401
+
+    assert "TakeOrderedAndProject" in _plan(spark, "kg_graph_katz")
+    assert "TakeOrderedAndProject" in _plan(spark, "kg_graph_edge_timeline")
