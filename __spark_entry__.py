@@ -70,8 +70,6 @@ _SWEEP_FIRST = (
     "events_heavy_hitters",
     "kg_graph_truss",
     "kg_triple_pr",
-    "kg_linking_tier_accuracy",
-    "kg_graph_bridges",
     "er_blocking_quality",
     "kg_graph_clustering",
     "kg_conjunctive_star",
@@ -93,7 +91,11 @@ _SWEEP_FIRST = (
     "kg_graph_lpa",
     "kg_graph_katz",
     "events_bloom_prune",
+    "dedup_containment",
+    "sample_dsir",
     # never-green overflow (window is ~50): queue for round 5's sweep
+    "kg_linking_tier_accuracy",
+    "kg_graph_bridges",
     "kg_alias_table",
     "kg_kge_train_pairs",
     "kg_pred_drift",

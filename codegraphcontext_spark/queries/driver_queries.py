@@ -6125,3 +6125,222 @@ def events_bloom_prune(spark, sf_dir):
             ).alias("fp_rate_x1e6"),
         )
     )
+
+
+@_q(
+    "dedup_containment",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_shared * 1000000 // sa.n AS BIGINT) AS cont_a_x1e6,
+           CAST(p.n_shared * 1000000 // sb.n AS BIGINT) AS cont_b_x1e6
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_shared >= 2
+      AND GREATEST(p.n_shared * 1000000 // sa.n,
+                   p.n_shared * 1000000 // sb.n) >= 700000""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT near-dup detection (Broder 1997's other
+    resemblance measure): C(A in B) = |S_A intersect S_B| / |S_A| — the
+    'small doc embedded in a larger doc' case (quoted articles, wrapper
+    pages, aggregator copies) that symmetric Jaccard structurally
+    misses: a 100-shingle doc fully contained in a 10,000-shingle doc
+    has Jaccard ~0.01 but containment 1.0. Emits pairs where EITHER
+    direction's containment >= 0.7, both directions reported.
+
+    Scale shape: identical to dedup_shingle_pairs — the _SHINGLE_DF_CAP
+    pre-filter bounds per-shingle fanout at C(K,2) BEFORE the self-join
+    (the quadratic-risk bound is part of the operator definition on both
+    engines); sizes is a map-side-combinable count; the final filter is
+    narrow. Containment costs nothing extra over Jaccard: same shared
+    counts, two divisions instead of one.
+
+    Reference analog: none (dedup-family addendum; completes resemblance
+    [Jaccard] with containment from the same Broder framework)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(keep, on="shingle", how="left_semi").localCheckpoint(
+        eager=True
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n", "na"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n", "nb"
+    )
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr("CAST(n_shared * 1000000 DIV na AS BIGINT)").alias(
+                "cont_a_x1e6"
+            ),
+            F.expr("CAST(n_shared * 1000000 DIV nb AS BIGINT)").alias(
+                "cont_b_x1e6"
+            ),
+        )
+        .where(
+            F.greatest("cont_a_x1e6", "cont_b_x1e6") >= 700000
+        )
+    )
+
+
+@_q(
+    "sample_dsir",
+    f"""{_TOKS_CTE},
+    cnt AS (SELECT doc_id,
+                   ('0x' || substring(md5(term), 1, 12))::BIGINT % {_CLF_D}
+                     AS b,
+                   COUNT(*) AS c
+            FROM toks GROUP BY 1, 2),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    bs AS (SELECT b, SUM(c) AS c_raw,
+                  SUM(CASE WHEN doc_id IN (SELECT doc_id FROM tgt)
+                      THEN c ELSE 0 END) AS c_tgt
+           FROM cnt GROUP BY b),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM bs),
+    sb AS (SELECT b,
+                  (c_tgt + 1) * 1000000 // (tot.n_tgt + {_CLF_D}) AS pt,
+                  (c_raw + 1) * 1000000 // (tot.n_raw + {_CLF_D}) AS pr
+           FROM bs CROSS JOIN tot),
+    sw AS (SELECT b, (pt - pr) * 1000000 // (pt + pr) AS s FROM sb),
+    ds AS (SELECT cnt.doc_id, SUM(cnt.c * sw.s) AS raw, SUM(cnt.c) AS n
+           FROM cnt JOIN sw USING (b) GROUP BY cnt.doc_id),
+    sc AS (SELECT doc_id, raw // n AS w,
+                  LEAST(1000000, GREATEST(0, 500000 + (raw // n) // 2))
+                    AS p,
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  )::BIGINT % 1000000 AS draw
+           FROM ds)
+    SELECT doc_id, CAST(w AS BIGINT) AS dsir_score_x1e6,
+           CAST(p AS BIGINT) AS accept_p_x1e6
+    FROM sc WHERE draw < p
+    ORDER BY doc_id ASC""",
+)
+def sample_dsir(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, integer
+    surrogate): documents are re-weighted toward a TARGET domain (here
+    the lang='en' slice) by comparing hashed-unigram bucket
+    distributions. Per bucket, s(b) = (pt-pr)*1e6 DIV (pt+pr) is the
+    bounded integer surrogate of log(pt/pr) (same sign, same zero,
+    monotone); a document's importance is its occurrence-weighted mean
+    s(b); acceptance probability = clamp(1/2 + score/2) in millionths,
+    decided by the document's own md5 draw — deterministic, no RNG, both
+    engines select the identical sample.
+
+    Scale shape: bucket statistics aggregate to <= {_CLF_D} rows (ONE
+    map-side-combinable pass computing raw and target counts together —
+    conditional sum, not two scans); the per-doc leg reuses the
+    (doc_id, bucket) count table and probes the {_CLF_D}-row score table
+    via broadcast join; acceptance is a narrow hash filter. Raw token
+    rows are never shuffled. Negative-division parity: Spark DIV and
+    DuckDB // both truncate toward zero (pinned by the hand test).
+
+    Reference analog: none (training-data curation addendum: the
+    domain-matching resampler next to the supervised curate_clf_score)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % _CLF_D
+    )
+    cnt = (
+        toks.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tgt = docs.where(F.col("lang") == "en").select("doc_id")
+    bs = (
+        cnt.join(tgt.withColumn("_t", F.lit(1)), "doc_id", "left")
+        .groupBy("b")
+        .agg(
+            F.sum("c").alias("c_raw"),
+            F.sum(
+                F.when(F.col("_t") == 1, F.col("c")).otherwise(F.lit(0))
+            ).alias("c_tgt"),
+        )
+    )
+    tot = bs.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    sw = (
+        bs.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"(c_tgt + 1) * 1000000 DIV (n_tgt + {_CLF_D})"
+            ).alias("pt"),
+            F.expr(
+                f"(c_raw + 1) * 1000000 DIV (n_raw + {_CLF_D})"
+            ).alias("pr"),
+        )
+        .select(
+            "b", F.expr("(pt - pr) * 1000000 DIV (pt + pr)").alias("s")
+        )
+    )
+    ds = (
+        cnt.join(F.broadcast(sw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("s")).alias("raw"),
+            F.sum("c").alias("n"),
+        )
+    )
+    sc = ds.select(
+        "doc_id",
+        F.expr("raw DIV n").alias("w"),
+        F.expr(
+            "LEAST(1000000L, GREATEST(0L, 500000 + (raw DIV n) DIV 2))"
+        ).alias("p"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("draw"),
+    )
+    return (
+        sc.where(F.col("draw") < F.col("p"))
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("dsir_score_x1e6"),
+            F.col("p").cast("bigint").alias("accept_p_x1e6"),
+        )
+        .orderBy(F.asc("doc_id"))
+    )

