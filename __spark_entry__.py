@@ -94,6 +94,10 @@ _SWEEP_FIRST = (
     "dedup_containment",
     "sample_dsir",
     # never-green overflow (window is ~50): queue for round 5's sweep
+    "events_top_paths",
+    "events_drift",
+    "embed_outliers",
+    "curate_rho",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

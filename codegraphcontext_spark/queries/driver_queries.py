@@ -6344,3 +6344,319 @@ def sample_dsir(spark, sf_dir):
         )
         .orderBy(F.asc("doc_id"))
     )
+
+
+# =============================================================================
+# Round-4c additions: session path mining, drift detection, embedding
+# outlier filtering, contrastive LM curation
+# =============================================================================
+
+@_q(
+    "events_top_paths",
+    """WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s),
+    p AS (SELECT event_type AS t1,
+                 LEAD(event_type, 1) OVER w2 AS t2,
+                 LEAD(event_type, 2) OVER w2 AS t3
+          FROM g WINDOW w2 AS (PARTITION BY user_id, sess
+                               ORDER BY ts, event_id))
+    SELECT t1, t2, t3, COUNT(*) AS n
+    FROM p WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 30""",
+)
+def events_top_paths(spark, sf_dir):
+    """Sequential pattern mining over sessionized clickstreams: the top
+    within-session event-type trigrams (the 'what do users do next'
+    funnel-discovery query; the n-gram view of the same session structure
+    events_markov_transitions models pairwise). Session boundary = the same
+    30-min gap rule as events_sessions, so all three session operators
+    agree on what a session is.
+
+    Scale shape: both windows partition by user_id (then (user_id, sess)),
+    so ONE user-keyed shuffle feeds boundary detection, session numbering
+    and the LEAD path expansion — no self-join, no explode; trigram counts
+    are a map-side-combinable groupBy over 3-token strings and the top-k
+    compiles to TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events ship TIMESTAMP_NTZ; Spark won't cast that straight to long,
+    # so hop through TIMESTAMP first (same dance as events_err_latency).
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    prev_s = F.lag("ts").over(w).cast("timestamp").cast("long")
+    s = ev.withColumn(
+        "new_sess",
+        F.when(ts_s - prev_s > 1800, 1).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    p = s.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w2).alias("t2"),
+        F.lead("event_type", 2).over(w2).alias("t3"),
+    )
+    return (
+        p.where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+        .limit(30)
+    )
+
+
+@_q(
+    "events_drift",
+    """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+                  FROM events GROUP BY 1),
+    w AS (SELECT day, n,
+            SUM(n) OVER (ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s_prev,
+            COUNT(n) OVER (ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c_prev
+          FROM d)
+    SELECT day, CAST(n AS BIGINT) AS n,
+           CAST((n * c_prev - s_prev) * 1000000 // s_prev AS BIGINT)
+             AS dev_x1e6,
+           CAST(CASE WHEN ABS((n * c_prev - s_prev) * 1000000 // s_prev)
+                          >= 200000 THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+    FROM w WHERE c_prev >= 3 ORDER BY day ASC""",
+)
+def events_drift(spark, sf_dir):
+    """Volume-drift detection over the event stream: each day's count vs
+    its trailing-7-day mean, flagged when it deviates >=20% — the data-
+    quality monitor a 100 TB ingestion pipeline runs per partition-day to
+    catch upstream crawler breakage / duplication storms before they
+    poison training data. The deviation is integer-exact rational
+    arithmetic ((n*cnt - sum)*1e6 DIV sum), no float mean.
+
+    Scale shape: the raw scan collapses to DAY grain first (map-side
+    combinable count, output rows = #days, bounded by the calendar), so
+    the unpartitioned trailing window runs over a frame that is tiny BY
+    CONSTRUCTION — the single-partition window is over ~365 rows/year,
+    never over events. Truncation parity: Spark DIV and DuckDB // both
+    truncate toward zero (pinned by tests/test_hand.py)."""
+    from pyspark.sql.window import Window
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    dev = F.expr("(n * c_prev - s_prev) * 1000000 DIV s_prev")
+    return (
+        d.withColumn("s_prev", F.sum("n").over(w))
+        .withColumn("c_prev", F.count("n").over(w))
+        .where(F.col("c_prev") >= 3)
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            dev.cast("bigint").alias("dev_x1e6"),
+            F.when(F.abs(dev) >= 200000, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_drift"),
+        )
+        .orderBy(F.asc("day"))
+    )
+
+
+@_q(
+    "embed_outliers",
+    f"""{_EMB_CTE},
+    q AS (SELECT vec_id, i,
+                 CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq
+          FROM e),
+    s AS (SELECT i, SUM(xq) AS si FROM q GROUP BY i)
+    SELECT q.vec_id, CAST(SUM(q.xq * s.si) AS BIGINT) AS align
+    FROM q JOIN s USING (i)
+    GROUP BY q.vec_id
+    ORDER BY align ASC, vec_id ASC LIMIT 50""",
+)
+def embed_outliers(spark, sf_dir):
+    """Embedding outlier screen: the 50 vectors LEAST aligned with the
+    corpus centroid direction — the cheap sanity filter a curation
+    pipeline runs before cosine dedup/ANN (off-manifold encoder failures
+    and topic-foreign vectors sit far from the centroid; cosine against
+    them is noise). Components are quantized to x1000 integers and scored
+    as sum_i(xq_i * S_i) where S_i is the per-dimension corpus sum — the
+    same ordering as dot-with-mean but fully integer-exact, so both
+    engines agree bit-for-bit (no float summation-order hazard).
+
+    Scale shape: the per-dimension sums S collapse via posexplode to a
+    64-row map-side-combinable aggregate and ride the driver as a
+    model-sized array (the kmeans-centroid pattern); scoring is one
+    Arrow-batched numpy pass fused onto the scan — NO shuffle ever
+    touches the raw vectors — and the top-k compiles to
+    TakeOrderedAndProject. Quantization rounds half away from zero on
+    both engines (Spark HALF_UP == DuckDB ROUND; the UDF mirrors it with
+    sign*floor(abs+0.5))."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
+    qrows = emb.select(
+        F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "i",
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias(
+            "xq"
+        ),
+    )
+    s_rows = qrows.groupBy("i").agg(F.sum("xq").alias("si")).collect()
+    dim = max(r["i"] for r in s_rows) + 1
+    s_vec = np.zeros(dim, dtype=np.int64)
+    for r in s_rows:
+        s_vec[r["i"]] = r["si"]
+
+    @pandas_udf("long")
+    def align_udf(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        xq = (np.sign(m) * np.floor(np.abs(m) * 1000 + 0.5)).astype(
+            "int64"
+        )
+        return pd.Series(xq @ s_vec)
+
+    return (
+        emb.select("vec_id", align_udf("embedding").alias("align"))
+        .orderBy(F.asc("align"), F.asc("vec_id"))
+        .limit(50)
+    )
+
+
+@_q(
+    "curate_rho",
+    """WITH t AS (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '), x -> x <> '')
+                           AS a
+                  FROM documents),
+    g AS (SELECT doc_id, lang,
+                 unnest([a[i] || ' ' || a[i+1]
+                         for i in generate_series(1, len(a)-1)]) AS g
+          FROM t),
+    dg AS (SELECT doc_id, g, COUNT(*) AS cg,
+                  MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_hq
+           FROM g GROUP BY doc_id, g),
+    m AS (SELECT g, SUM(cg) AS c_all,
+                 SUM(CASE WHEN is_hq = 1 THEN cg ELSE 0 END) AS c_hq
+          FROM dg GROUP BY g),
+    pre AS (SELECT string_split(g, ' ')[1] AS w1,
+                   SUM(c_all) AS p_all, SUM(c_hq) AS p_hq
+            FROM m GROUP BY w1),
+    p AS (SELECT m.g,
+                 m.c_all * 1000000 // pre.p_all AS pa,
+                 CASE WHEN pre.p_hq > 0
+                      THEN m.c_hq * 1000000 // pre.p_hq ELSE 0 END AS ph
+          FROM m JOIN pre ON string_split(m.g, ' ')[1] = pre.w1),
+    s AS (SELECT dg.doc_id,
+                 SUM(dg.cg) AS nb,
+                 SUM(dg.cg * p.ph) AS tot_hq,
+                 SUM(dg.cg * p.pa) AS tot_all
+          FROM dg JOIN p USING (g) GROUP BY dg.doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(s.tot_hq // s.nb - s.tot_all // s.nb, 0)
+                AS BIGINT) AS rho_x1e6,
+           CAST(CASE WHEN COALESCE(s.tot_hq // s.nb - s.tot_all // s.nb, 0)
+                          >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM t LEFT JOIN s USING (doc_id)""",
+)
+def curate_rho(spark, sf_dir):
+    """Contrastive LM curation (the CCNet/rho-style filter, Wenzek et al.
+    2020): fit TWO bigram LMs — a reference model on the high-quality
+    slice (here lang='en', the same target the DSIR resampler uses) and a
+    background model on the whole corpus — and score each document by the
+    difference of its mean conditional bigram probabilities under the two.
+    rho >= 0 means 'looks at least as much like the reference as like the
+    average of the corpus' -> keep. Complements sample_dsir: that one is
+    hashed-unigram importance RESAMPLING, this one is an explicit
+    two-model likelihood-ratio FILTER. All probabilities are the same
+    scaled-integer floor arithmetic text_lm_score pins.
+
+    Scale shape: both models aggregate from ONE shared (doc_id, bigram)
+    count table (the hq membership rides along as a conditional sum — one
+    pass, not two corpus scans); model size is vocabulary-squared-bounded,
+    orders below the corpus, and the per-doc scoring leg joins counts to
+    the model on the bigram key (AQE broadcasts when it fits). Final
+    per-doc agg is map-side combinable; no window, no driver state."""
+    docs = _fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("a"),
+    )
+    g = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN transform("
+                "sequence(0, size(a) - 2), "
+                "i -> concat(a[i], ' ', a[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    dg = (
+        g.groupBy("doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("cg"),
+            F.max(
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+            ).alias("is_hq"),
+        )
+        .localCheckpoint(eager=True)  # feeds both the model and the scorer
+    )
+    m = dg.groupBy("g").agg(
+        F.sum("cg").alias("c_all"),
+        F.sum(
+            F.when(F.col("is_hq") == 1, F.col("cg")).otherwise(0)
+        ).alias("c_hq"),
+    )
+    pre = (
+        m.withColumn("w1", F.expr("split(g, ' ')[0]"))
+        .groupBy("w1")
+        .agg(F.sum("c_all").alias("p_all"), F.sum("c_hq").alias("p_hq"))
+    )
+    p = (
+        m.withColumn("w1", F.expr("split(g, ' ')[0]"))
+        .join(pre, "w1")
+        .select(
+            "g",
+            F.expr("c_all * 1000000 DIV p_all").alias("pa"),
+            F.expr(
+                "CASE WHEN p_hq > 0 THEN c_hq * 1000000 DIV p_hq "
+                "ELSE 0L END"
+            ).alias("ph"),
+        )
+    )
+    s = (
+        dg.join(p, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cg").alias("nb"),
+            F.sum(F.expr("cg * ph")).alias("tot_hq"),
+            F.sum(F.expr("cg * pa")).alias("tot_all"),
+        )
+    )
+    rho = F.coalesce(
+        F.expr("tot_hq DIV nb - tot_all DIV nb"), F.lit(0)
+    )
+    return t.join(s, "doc_id", "left").select(
+        "doc_id",
+        rho.cast("bigint").alias("rho_x1e6"),
+        F.when(rho >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        .alias("keep"),
+    )
