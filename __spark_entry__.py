@@ -98,6 +98,9 @@ _SWEEP_FIRST = (
     "events_drift",
     "embed_outliers",
     "curate_rho",
+    "text_diversity",
+    "curate_canonical",
+    "kg_edge_confidence",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

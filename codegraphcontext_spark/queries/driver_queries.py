@@ -6660,3 +6660,111 @@ def curate_rho(spark, sf_dir):
         F.when(rho >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         .alias("keep"),
     )
+
+
+@_q(
+    "text_diversity",
+    f"""{_TOKS_CTE},
+    c AS (SELECT doc_id, term, COUNT(*) AS c FROM toks
+          WHERE term <> '' GROUP BY doc_id, term),
+    s AS (SELECT doc_id, SUM(c) AS n, SUM(c * c) AS s2
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE((s.n * s.n - s.s2) * 1000000 // (s.n * s.n), 0)
+                AS BIGINT) AS simpson_x1e6
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id ASC""",
+)
+def text_diversity(spark, sf_dir):
+    """Lexical-diversity quality signal: the Gini-Simpson index
+    1 - sum((c_i/N)^2) of each document's token distribution — unlike the
+    type-token ratio in text_stats it weighs HOW skewed the repetition is
+    (a doc that is one word repeated 500x scores ~0; 500 distinct words
+    score ~1), the signal that catches keyword-stuffed SEO spam that
+    still passes a distinct-token-count filter. Computed as the exact
+    integer rational (N^2 - sum(c^2)) * 1e6 DIV N^2 — no float division,
+    so both engines agree bit-for-bit.
+
+    Scale shape: tokenize is a narrow explode fused onto the scan; the
+    (doc, term) count and the per-doc moment rollup are both map-side
+    combinable aggregations keyed on doc_id — ONE doc-keyed shuffle total,
+    the same layout every other per-doc text op shuffles on. Token-less
+    docs survive via the left join with exact-zero scores."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(F.expr("c * c")).alias("s2")
+    )
+    simpson = F.coalesce(
+        F.expr("(n * n - s2) * 1000000 DIV (n * n)"), F.lit(0)
+    )
+    return (
+        docs.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_tokens"),
+            simpson.cast("bigint").alias("simpson_x1e6"),
+        )
+        .orderBy(F.asc("doc_id"))
+    )
+
+
+@_q(
+    "curate_canonical",
+    f"""WITH cc AS (SELECT * FROM ({ORACLE_SQL["dedup_cc_clusters"]}) t),
+    q AS (SELECT d.doc_id, cc.cluster_id, d.n_chars
+          FROM documents d JOIN cc ON cc.doc_id = d.doc_id),
+    r AS (SELECT doc_id, cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+          FROM q)
+    SELECT doc_id, cluster_id,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM r ORDER BY doc_id ASC""",
+)
+def curate_canonical(spark, sf_dir):
+    """Canonical-representative selection: the step AFTER near-dup
+    clustering that dedup_cc_clusters stops at — within each cluster keep
+    exactly ONE document (longest by n_chars, doc_id as the deterministic
+    tie-break) and mark the rest as drops. This is the materialized
+    keep/drop decision a curation pipeline actually writes; composing it
+    over the cluster map keeps one definition of 'duplicate' across the
+    whole engine (same LSH buckets, same caps, same CC labels).
+
+    Scale shape: the cluster map is 2 narrow columns per doc; the pick is
+    a window over cluster_id — ONE cluster-keyed shuffle where every
+    window group is a connected component of bucket-capped LSH pairs
+    (boilerplate mega-buckets were already excluded upstream by
+    _CC_BUCKET_CAP, so no group degenerates into a corpus-sized sort).
+    Text never rides the shuffle; only (doc_id, cluster_id, n_chars)."""
+    from pyspark.sql.window import Window
+
+    cc = dedup_cc_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    q = cc.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wsz = Window.partitionBy("cluster_id")
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.when(F.col("rk") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .orderBy(F.asc("doc_id"))
+    )

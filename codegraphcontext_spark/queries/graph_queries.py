@@ -4619,3 +4619,69 @@ def kg_graph_katz(spark, sf_dir):
         .orderBy(F.desc("katz"), F.asc("name"))
         .limit(20)
     )
+
+
+@_q(
+    "kg_edge_confidence",
+    f"""WITH occ AS (SELECT * FROM
+           read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    a AS (SELECT subj_id, pred, obj_id,
+                 COUNT(*) AS n_occ,
+                 COUNT(DISTINCT string_split(url, '/')[3]) AS n_domains,
+                 COUNT(DISTINCT url) AS n_pages
+          FROM occ WHERE pred NOT IN {_CLOSED_SQL}
+          GROUP BY subj_id, pred, obj_id)
+    SELECT subj_id, pred, obj_id,
+           CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(n_domains AS BIGINT) AS n_domains,
+           CAST(n_pages AS BIGINT) AS n_pages,
+           CAST(CASE WHEN n_domains >= 3 THEN 2
+                     WHEN n_domains >= 2 THEN 1
+                     ELSE 0 END AS BIGINT) AS tier
+    FROM a ORDER BY subj_id ASC, pred ASC, obj_id ASC""",
+)
+def kg_edge_confidence(spark, sf_dir):
+    """Knowledge-fusion confidence scoring (the Knowledge-Vault-style
+    truth-finding step of KG construction): each open-relation fact
+    (subj, pred, obj) scored by how many INDEPENDENT sources assert it —
+    occurrence count, distinct source domains, distinct pages — and
+    binned into tiers (2 = corroborated by >=3 domains, 1 = two domains,
+    0 = single-source). Multi-domain agreement is the standard extraction-
+    noise filter for web-scale KGs: a fact one site states once is a
+    candidate, a fact ten sites state is knowledge. Closed containment/
+    attribute predicates (MENTIONS/LINKS_TO/HAS_TYPE) are excluded — they
+    are per-page structure, not corroborable facts.
+
+    Scale shape: the domain is a narrow split() on the url fused onto the
+    provenance scan; the rollup is ONE shuffle keyed on the triple — the
+    same (subj, pred, obj) layout the edge table shards on, so at 100 TB
+    this co-partitions with the edge sink and the distinct-counts expand
+    within each key group only (bounded by per-triple provenance fanout,
+    not corpus size).
+
+    Reference analog: graph_builder.py stores one edge per assertion with
+    no source-agreement weighting — this is the aggregation a reference
+    user asks for first when extraction noise appears."""
+    occ = load_occurrences(spark, sf_dir).where(
+        ~F.col("pred").isin(*_CLOSED_PREDS)
+    )
+    dom = F.split(F.col("url"), "/").getItem(2)
+    a = occ.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.countDistinct(dom).cast("bigint").alias("n_domains"),
+        F.countDistinct("url").cast("bigint").alias("n_pages"),
+    )
+    tier = (
+        F.when(F.col("n_domains") >= 3, F.lit(2))
+        .when(F.col("n_domains") >= 2, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return a.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "n_occ",
+        "n_domains",
+        "n_pages",
+        tier.cast("bigint").alias("tier"),
+    ).orderBy(F.asc("subj_id"), F.asc("pred"), F.asc("obj_id"))
