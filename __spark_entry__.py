@@ -101,6 +101,8 @@ _SWEEP_FIRST = (
     "text_diversity",
     "curate_canonical",
     "kg_edge_confidence",
+    "kg_fact_conflicts",
+    "kg_transitive_reduction",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

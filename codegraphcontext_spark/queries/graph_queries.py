@@ -4685,3 +4685,156 @@ def kg_edge_confidence(spark, sf_dir):
         "n_pages",
         tier.cast("bigint").alias("tier"),
     ).orderBy(F.asc("subj_id"), F.asc("pred"), F.asc("obj_id"))
+
+
+# Predicates declared subject-functional in the synthetic schema: a subject
+# may hold at most ONE true object (one birthplace; one org a person is CEO
+# of at a time). Extraction noise violates this — the conflicts are the
+# truth-finding workload.
+_FUNCTIONAL_PREDS = ("BORN_IN", "CEO_OF")
+_FUNCTIONAL_SQL = "('BORN_IN', 'CEO_OF')"
+
+
+@_q(
+    "kg_fact_conflicts",
+    f"""WITH occ AS (SELECT * FROM
+           read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    f AS (SELECT subj_id, pred, obj_id,
+                 COUNT(DISTINCT string_split(url, '/')[3]) AS sup,
+                 COUNT(*) AS n_occ
+          FROM occ WHERE pred IN {_FUNCTIONAL_SQL}
+          GROUP BY subj_id, pred, obj_id),
+    g AS (SELECT subj_id, pred,
+                 COUNT(*) AS n_values, SUM(n_occ) AS total_occ
+          FROM f GROUP BY subj_id, pred HAVING COUNT(*) > 1),
+    w AS (SELECT f.subj_id, f.pred, f.obj_id, f.sup,
+                 ROW_NUMBER() OVER (PARTITION BY f.subj_id, f.pred
+                     ORDER BY f.sup DESC, f.n_occ DESC, f.obj_id ASC) AS rk
+          FROM f JOIN g USING (subj_id, pred))
+    SELECT w.subj_id, w.pred,
+           CAST(g.n_values AS BIGINT) AS n_values,
+           w.obj_id AS winner,
+           CAST(w.sup AS BIGINT) AS winner_domains,
+           CAST(g.total_occ AS BIGINT) AS total_occ
+    FROM w JOIN g USING (subj_id, pred) WHERE w.rk = 1
+    ORDER BY w.subj_id ASC, w.pred ASC""",
+)
+def kg_fact_conflicts(spark, sf_dir):
+    """Functional-constraint conflict detection + majority-vote resolution:
+    for predicates the schema declares subject-functional (one birthplace
+    per person, one org per CEO), find every subject asserted with MORE
+    than one object and elect the winner by source support (distinct
+    domains, then occurrence count, then obj_id — a deterministic total
+    order). This is the voting baseline of web-scale truth discovery
+    (Dong et al., Knowledge Vault / TruthFinder lineage): constraint
+    violations ARE the extraction-noise signal, and per-source vote
+    counting is the resolution floor every fancier EM model is measured
+    against. Complements kg_edge_confidence (per-fact corroboration) with
+    per-SLOT arbitration.
+
+    Scale shape: support aggregation is ONE shuffle keyed on the triple
+    (co-partitioned with the edge sink); the conflict gate and the vote
+    window both key on (subj_id, pred) — a strictly coarser key, so AQE
+    reuses the same exchange; window groups are per-subject candidate
+    lists (bounded by per-slot assertion fanout, not corpus size). Only
+    id-width columns ride any shuffle."""
+    from pyspark.sql.window import Window
+
+    occ = load_occurrences(spark, sf_dir).where(
+        F.col("pred").isin(*_FUNCTIONAL_PREDS)
+    )
+    f = occ.groupBy("subj_id", "pred", "obj_id").agg(
+        F.countDistinct(F.split(F.col("url"), "/").getItem(2)).alias("sup"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    g = (
+        f.groupBy("subj_id", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("n_occ").alias("total_occ"),
+        )
+        .where(F.col("n_values") > 1)
+    )
+    w = Window.partitionBy("subj_id", "pred").orderBy(
+        F.desc("sup"), F.desc("n_occ"), F.asc("obj_id")
+    )
+    return (
+        f.join(g, ["subj_id", "pred"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "subj_id",
+            "pred",
+            F.col("n_values").cast("bigint").alias("n_values"),
+            F.col("obj_id").alias("winner"),
+            F.col("sup").cast("bigint").alias("winner_domains"),
+            F.col("total_occ").cast("bigint").alias("total_occ"),
+        )
+        .orderBy(F.asc("subj_id"), F.asc("pred"))
+    )
+
+
+@_q(
+    "kg_transitive_reduction",
+    f"""{_G_CTE},
+    loc AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred = 'LOCATED_IN' AND subj_id <> obj_id),
+    red AS (SELECT e1.subj_id, e2.obj_id,
+                   COUNT(DISTINCT e1.obj_id) AS n_witnesses
+            FROM loc e1 JOIN loc e2 ON e2.subj_id = e1.obj_id
+            GROUP BY e1.subj_id, e2.obj_id)
+    SELECT l.subj_id, l.obj_id,
+           CAST(r.n_witnesses AS BIGINT) AS n_witnesses
+    FROM loc l JOIN red r
+      ON r.subj_id = l.subj_id AND r.obj_id = l.obj_id
+    ORDER BY l.subj_id ASC, l.obj_id ASC""",
+)
+def kg_transitive_reduction(spark, sf_dir):
+    """Redundant-edge detection for the transitive LOCATED_IN hierarchy:
+    direct edges A->C that are already implied by a 2-hop chain
+    A->B->C, with the number of distinct witnesses B. Transitive
+    reduction is the standard KG-compaction pass (store the Hasse
+    diagram, infer the closure at query time) — the inverse of
+    kg_graph_closure, and the cleanup a web-extracted place hierarchy
+    needs because pages assert both 'office in Berlin' and 'office in
+    Germany'. Defined on the IRREFLEXIVE slice: extracted self-loops
+    ('Berlin ... located in Berlin') are dropped first, else every edge
+    touching a self-looped node would be spuriously implied.
+
+    Scale shape: the pred filter prunes the edge scan to the hierarchy
+    slice first (predicate pushdown to the parquet scan); the 2-hop
+    expansion is one self-join keyed on the mid node and the implied-pair
+    probe joins back on (subj, obj) — both equi-joins on id columns over
+    the pruned slice, never over the full edge table. Witness counting is
+    map-side combinable. At 100 TB the hierarchy slice is dictionary-
+    scale (places), orders below the mention graph."""
+    _, edges = ensure_graph(spark, sf_dir)
+    # the reduction is defined on the IRREFLEXIVE relation: extraction
+    # noise asserts self-loops ("Berlin ... located in Berlin") which
+    # would make every co-incident edge spuriously "redundant"
+    loc = (
+        edges.where(
+            (F.col("pred") == "LOCATED_IN")
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    e1, e2 = loc.alias("e1"), loc.alias("e2")
+    red = (
+        e1.join(e2, F.col("e2.subj_id") == F.col("e1.obj_id"))
+        .groupBy(
+            F.col("e1.subj_id").alias("subj_id"),
+            F.col("e2.obj_id").alias("obj_id"),
+        )
+        .agg(F.countDistinct(F.col("e1.obj_id")).alias("n_witnesses"))
+    )
+    return (
+        loc.join(red, ["subj_id", "obj_id"])
+        .select(
+            "subj_id",
+            "obj_id",
+            F.col("n_witnesses").cast("bigint").alias("n_witnesses"),
+        )
+        .orderBy(F.asc("subj_id"), F.asc("obj_id"))
+    )
