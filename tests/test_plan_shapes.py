@@ -337,3 +337,49 @@ def test_dsir_score_table_is_broadcast(spark):
     p = _plan(spark, "sample_dsir")
     assert "BroadcastHashJoin" in p, p
     assert "Window" not in p, p
+
+
+def test_embed_outliers_topk_and_no_vector_shuffle(spark):
+    p = _plan(spark, "embed_outliers")
+    # the bottom-k compiles to TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in p, p
+    # scoring is a narrow Arrow pass: the only exchanges in the plan are
+    # the 64-row per-dimension rollup and the top-k singleton — no
+    # hash/range exchange carries the embedding column
+    for line in p.splitlines():
+        if "Exchange" in line and "embedding" in line:
+            raise AssertionError(f"vector rode a shuffle: {line}")
+
+
+def test_curate_canonical_windows_share_one_exchange(spark):
+    p = _plan(spark, "curate_canonical")
+    # both windows (row_number pick + cluster-size count) key on
+    # cluster_id; the second must REUSE the first's partitioning — exactly
+    # one cluster_id hash exchange in the whole plan
+    # (the cc subtree's corpus-scale pair/label joins may legitimately
+    # sort-merge — only the window stage's exchange reuse is pinned here)
+    n = p.count("hashpartitioning(cluster_id")
+    assert n == 1, f"expected 1 cluster_id exchange, saw {n}:\n{p}"
+
+
+def test_transitive_reduction_filter_pushdown(spark):
+    p = _plan(spark, "kg_transitive_reduction")
+    # the pred filter must reach the edge parquet scan on every branch
+    assert "EqualTo(pred,LOCATED_IN)" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_fact_conflicts_no_cartesian_and_pred_pushdown(spark):
+    p = _plan(spark, "kg_fact_conflicts")
+    assert "CartesianProduct" not in p
+    # the functional-pred filter prunes the provenance scan
+    assert "In(pred" in p or "EqualTo(pred" in p, p
+
+
+def test_text_diversity_single_doc_keyed_shuffle(spark):
+    p = _plan(spark, "text_diversity")
+    # tokenize+count+moments collapse to doc-keyed exchanges; the raw
+    # text column itself never rides a hash exchange
+    for line in p.splitlines():
+        if "hashpartitioning" in line and "text#" in line:
+            raise AssertionError(f"text rode a shuffle: {line}")
