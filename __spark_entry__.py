@@ -103,6 +103,8 @@ _SWEEP_FIRST = (
     "kg_edge_confidence",
     "kg_fact_conflicts",
     "kg_transitive_reduction",
+    "kg_type_check",
+    "embed_label_separation",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

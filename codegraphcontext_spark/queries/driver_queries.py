@@ -6768,3 +6768,89 @@ def curate_canonical(spark, sf_dir):
         )
         .orderBy(F.asc("doc_id"))
     )
+
+
+@_q(
+    "embed_label_separation",
+    """WITH e AS (SELECT label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings WHERE label IS NOT NULL),
+    q AS (SELECT label, i,
+                 CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq
+          FROM e),
+    sl AS (SELECT label, i, SUM(xq) AS s FROM q GROUP BY label, i),
+    nl AS (SELECT label, COUNT(*) AS n
+           FROM embeddings WHERE label IS NOT NULL GROUP BY label),
+    tot AS (SELECT i, SUM(s) AS t FROM sl GROUP BY i),
+    raw AS (SELECT sl.label,
+                   SUM(sl.s * sl.s) AS intra_raw,
+                   SUM(sl.s * (tot.t - sl.s)) AS cross_raw
+            FROM sl JOIN tot USING (i) GROUP BY sl.label),
+    ntot AS (SELECT SUM(n) AS nt FROM nl)
+    SELECT r.label, CAST(nl.n AS BIGINT) AS n,
+           CAST(r.intra_raw // (nl.n * nl.n) AS BIGINT) AS intra_x1e6,
+           CAST(r.cross_raw // (nl.n * (ntot.nt - nl.n)) AS BIGINT)
+             AS cross_x1e6,
+           CAST(r.intra_raw // (nl.n * nl.n)
+                - r.cross_raw // (nl.n * (ntot.nt - nl.n)) AS BIGINT)
+             AS margin_x1e6
+    FROM raw r JOIN nl USING (label) CROSS JOIN ntot
+    ORDER BY r.label ASC""",
+)
+def embed_label_separation(spark, sf_dir):
+    """Class-separability audit of the embedding space: per label, the
+    mean intra-class dot product vs the mean cross-class dot product (and
+    their margin) — the go/no-go gauge for using these embeddings in a
+    label-aware curation step (mixture balancing by embedding cluster,
+    classifier-filtered sampling). A near-zero or negative margin says
+    the encoder does not separate that class and cosine-based routing of
+    it is noise. The algebra avoids any per-pair work: with per-dimension
+    label sums S_l, sum over intra pairs of dot(u, v) = |S_l|^2 and the
+    cross-class mass is S_l . (S_tot - S_l) — exact, and computed from a
+    (labels x dims) table. Components quantized x1000 (half-away-from-
+    zero, same rule as embed_outliers) so both engines agree bit-for-bit.
+
+    Scale shape: ONE corpus pass — a narrow posexplode into a map-side-
+    combinable (label, i) aggregate with labels*64 output rows; every
+    join after it is over grammar-sized frames. No self-join, no
+    pairwise anything, no vector ever shuffled."""
+    emb = _fan_out(
+        _t(spark, sf_dir, "embeddings").where(F.col("label").isNotNull())
+    )
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "label",
+        "i",
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("xq"),
+    )
+    sl = q.groupBy("label", "i").agg(F.sum("xq").alias("s"))
+    nl = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = sl.groupBy("i").agg(F.sum("s").alias("t"))
+    raw = (
+        sl.join(tot, "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("s * s")).alias("intra_raw"),
+            F.sum(F.expr("s * (t - s)")).alias("cross_raw"),
+        )
+    )
+    ntot = nl.agg(F.sum("n").alias("nt"))
+    return (
+        raw.join(nl, "label")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("intra_raw DIV (n * n)").cast("bigint").alias(
+                "intra_x1e6"
+            ),
+            F.expr("cross_raw DIV (n * (nt - n))").cast("bigint").alias(
+                "cross_x1e6"
+            ),
+            F.expr(
+                "intra_raw DIV (n * n) - cross_raw DIV (n * (nt - n))"
+            ).cast("bigint").alias("margin_x1e6"),
+        )
+        .orderBy(F.asc("label"))
+    )

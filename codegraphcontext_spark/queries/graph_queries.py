@@ -4838,3 +4838,100 @@ def kg_transitive_reduction(spark, sf_dir):
         )
         .orderBy(F.asc("subj_id"), F.asc("obj_id"))
     )
+
+
+@_q(
+    "kg_type_check",
+    f"""{_G_CTE},
+    typed AS (SELECT DISTINCT subj_id AS ent, obj_id AS etype
+              FROM edges WHERE pred = 'HAS_TYPE'),
+    occ AS (SELECT subj_id AS ent, pred, 's' AS role, COUNT(*) AS cnt
+            FROM edges WHERE pred NOT IN {_CLOSED_SQL}
+            GROUP BY subj_id, pred
+            UNION ALL
+            SELECT obj_id AS ent, pred, 'o' AS role, COUNT(*) AS cnt
+            FROM edges WHERE pred NOT IN {_CLOSED_SQL}
+            GROUP BY obj_id, pred),
+    model AS (SELECT o.pred, o.role, t.etype, SUM(o.cnt) AS w
+              FROM occ o JOIN typed t USING (ent)
+              GROUP BY o.pred, o.role, t.etype),
+    score AS (SELECT o.ent, m.etype, SUM(o.cnt * m.w) AS score
+              FROM occ o JOIN model m ON m.pred = o.pred AND m.role = o.role
+              GROUP BY o.ent, m.etype),
+    pick AS (SELECT ent, etype AS predicted, score,
+                    ROW_NUMBER() OVER (PARTITION BY ent
+                        ORDER BY score DESC, etype ASC) AS rk
+             FROM score)
+    SELECT t.ent, t.etype AS asserted, p.predicted,
+           CAST(p.score AS BIGINT) AS score,
+           CAST(CASE WHEN p.predicted = t.etype THEN 1 ELSE 0 END
+                AS BIGINT) AS agree
+    FROM typed t JOIN pick p ON p.ent = t.ent AND p.rk = 1
+    ORDER BY t.ent ASC""",
+)
+def kg_type_check(spark, sf_dir):
+    """Ontology type-consistency audit (KG-completion baseline): predict
+    each entity's type from its relation SIGNATURE — per-(pred, role)
+    votes weighted by how often entities of each type fill that slot —
+    and compare against the asserted HAS_TYPE edge. Disagreements flag
+    either a mistyped entity or a mislinked relation; the signature model
+    is the voting baseline type-inference (SDType lineage, Paulheim 2013)
+    every embedding-based completer is measured against. Votes include
+    the entity's own occurrences (the audit baseline; a leave-one-out
+    variant subtracts self-counts — noted, not needed at this vote mass).
+
+    Scale shape: the (ent, pred, role) occurrence table is one map-side-
+    combinable aggregate over the pred-pruned edge scan; the signature
+    model is grammar-sized (preds x 2 roles x types) and broadcasts into
+    the scoring join; the argmax window runs over <=|types| candidate
+    rows per entity. Everything after the first aggregate is dictionary-
+    scale."""
+    from pyspark.sql.window import Window
+
+    _, edges = ensure_graph(spark, sf_dir)
+    typed = (
+        edges.where(F.col("pred") == "HAS_TYPE")
+        .select(F.col("subj_id").alias("ent"), F.col("obj_id").alias("etype"))
+        .distinct()
+    )
+    opens = edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+    occ = (
+        opens.groupBy(F.col("subj_id").alias("ent"), "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("role", F.lit("s"))
+        .unionByName(
+            opens.groupBy(F.col("obj_id").alias("ent"), "pred")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("role", F.lit("o"))
+        )
+    )
+    model = (
+        occ.join(typed, "ent")
+        .groupBy("pred", "role", "etype")
+        .agg(F.sum("cnt").alias("w"))
+    )
+    score = (
+        occ.join(F.broadcast(model), ["pred", "role"])
+        .groupBy("ent", "etype")
+        .agg(F.sum(F.expr("cnt * w")).alias("score"))
+    )
+    w = Window.partitionBy("ent").orderBy(F.desc("score"), F.asc("etype"))
+    pick = (
+        score.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("ent", F.col("etype").alias("predicted"), "score")
+    )
+    return (
+        typed.join(pick, "ent")
+        .select(
+            "ent",
+            F.col("etype").alias("asserted"),
+            "predicted",
+            F.col("score").cast("bigint").alias("score"),
+            F.when(F.col("predicted") == F.col("etype"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("agree"),
+        )
+        .orderBy(F.asc("ent"))
+    )

@@ -176,3 +176,30 @@ def test_transitive_reduction_edges_are_redundant(spark):
         assert (s, o) in loc
         wit = {m for m in by_src.get(s, ()) if o in by_src.get(m, ())}
         assert len(wit) == r["n_witnesses"] and r["n_witnesses"] >= 1
+
+
+def test_type_check_vocabulary_and_agreement(spark):
+    rows = _queries()["kg_type_check"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    types = {"type:person", "type:org", "type:place"}
+    for r in rows:
+        assert r["asserted"] in types and r["predicted"] in types
+        assert r["agree"] == (1 if r["predicted"] == r["asserted"] else 0)
+        assert r["score"] > 0
+    # signature voting must beat the 1/3 random baseline by a wide margin
+    # on the synthetic KG (typed slots are strongly type-selective)
+    agree = sum(r["agree"] for r in rows)
+    assert agree * 3 > 2 * len(rows), f"{agree}/{len(rows)} agreement"
+
+
+def test_label_separation_margin_consistency(spark):
+    rows = _queries()["embed_label_separation"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["margin_x1e6"] == r["intra_x1e6"] - r["cross_x1e6"]
+        assert r["n"] > 0
+    # labels are distinct and the clustered synthetic embeddings must
+    # separate: every class tighter within than across
+    labels = [r["label"] for r in rows]
+    assert len(labels) == len(set(labels))
+    assert all(r["margin_x1e6"] > 0 for r in rows)
