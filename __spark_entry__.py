@@ -105,6 +105,7 @@ _SWEEP_FIRST = (
     "kg_transitive_reduction",
     "kg_type_check",
     "embed_label_separation",
+    "kg_qa_pairs",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

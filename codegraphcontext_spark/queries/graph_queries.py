@@ -4935,3 +4935,101 @@ def kg_type_check(spark, sf_dir):
         )
         .orderBy(F.asc("ent"))
     )
+
+
+# predicate -> question template ({s} = subject name); shared by both
+# engines so QA generation is part of the operator definition.
+_QA_TEMPLATES = (
+    ("BORN_IN", "Where was {s} born?"),
+    ("LOCATED_IN", "Where is {s} located?"),
+    ("MOVED_TO", "Where did {s} move to?"),
+    ("FOUNDED", "What did {s} found?"),
+    ("WORKS_AT", "Where does {s} work?"),
+    ("CEO_OF", "Which organization is {s} the chief executive of?"),
+    ("PARTNER_OF", "Who is a partner of {s}?"),
+    ("ACQUIRED", "What did {s} acquire?"),
+)
+_QA_PREDS_SQL = "(" + ", ".join(f"'{k}'" for k, _ in _QA_TEMPLATES) + ")"
+
+
+def _qa_case_sql() -> str:
+    whens = "\n           ".join(
+        "WHEN p.pred = '{k}' THEN replace('{t}', '{{s}}', s.name)".format(
+            k=k, t=t
+        )
+        for k, t in _QA_TEMPLATES
+    )
+    return f"CASE {whens} END"
+
+
+@_q(
+    "kg_qa_pairs",
+    f"""{_G_CTE},
+    ents AS (SELECT node_id, name FROM nodes WHERE node_type = 'Entity'),
+    pos AS (SELECT DISTINCT e.subj_id, e.pred, e.obj_id FROM edges e
+            WHERE e.pred IN {_QA_PREDS_SQL}),
+    v AS (SELECT p.subj_id, p.pred, s.name AS subj,
+                 {_qa_case_sql()} AS question, o.name AS obj
+          FROM pos p
+          JOIN ents s ON s.node_id = p.subj_id
+          JOIN ents o ON o.node_id = p.obj_id)
+    SELECT subj, pred, question,
+           string_agg(obj, ', ' ORDER BY obj ASC) AS answer,
+           CAST(COUNT(*) AS BIGINT) AS n_answers
+    FROM v GROUP BY subj, pred, question
+    ORDER BY subj ASC, pred ASC""",
+)
+def kg_qa_pairs(spark, sf_dir):
+    """KG-grounded question-answer pair export (the instruction-tuning leg
+    of KG->LLM data generation, complementing kg_verbalize's pretraining
+    statements): one (question, answer) example per (subject, predicate)
+    slot, the question rendered through a fixed per-predicate template and
+    the answer the SORTED comma-joined set of all asserted objects —
+    multi-valued slots ('What did X found?' with three startups) become
+    one multi-answer example rather than three conflicting single-answer
+    ones, the standard KGQA export convention (WebQuestionsSP lineage).
+
+    Scale shape: template rendering is a narrow codegen CASE/replace; name
+    resolution joins broadcast against the dictionary-sized entity table;
+    the answer-set aggregate keys on (subj, pred) over the deduplicated
+    edge table — dictionary-scale, not corpus-scale. Answer ordering is a
+    total order on both engines (sort_array == string_agg ORDER BY)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name"
+    )
+    qa_preds = [k for k, _ in _QA_TEMPLATES]
+    pos = (
+        edges.where(F.col("pred").isin(*qa_preds))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    qexpr = None
+    for k, t in _QA_TEMPLATES:
+        rendered = F.replace(F.lit(t), F.lit("{s}"), F.col("subj"))
+        qexpr = (
+            F.when(F.col("pred") == k, rendered)
+            if qexpr is None
+            else qexpr.when(F.col("pred") == k, rendered)
+        )
+    return (
+        pos.join(
+            F.broadcast(ents.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(ents.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+        .withColumn("question", qexpr)
+        .groupBy("subj", "pred", "question")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("obj")), ", "
+            ).alias("answer"),
+            F.count(F.lit(1)).cast("bigint").alias("n_answers"),
+        )
+        .orderBy(F.asc("subj"), F.asc("pred"))
+    )

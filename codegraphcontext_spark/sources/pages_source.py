@@ -17,6 +17,9 @@ Formats:
   shape. At 100 TB you get tens of thousands of segment files and therefore
   tens of thousands of parallel tasks; per-file memory is bounded by the
   segment size the crawler wrote.
+- **orc** — the other columnar lake format Spark reads natively; same
+  pushdown/column-pruning contract as parquet (one `.orc` suffix probe in
+  `infer_format`, binary html travels as-is).
 - **jsonl / csv** — text interchange for small corpora and debugging; the
   ``html`` blob travels base64-encoded (both formats are line-oriented and
   cannot carry raw bytes), decoded JVM-side with ``unbase64`` — no Python
@@ -76,6 +79,7 @@ def infer_format(path: str) -> str:
     low = base.lower()
     for ext, fmt in (
         (".parquet", "parquet"),
+        (".orc", "orc"),
         (".warc.gz", "warc"),
         (".warc", "warc"),
         (".jsonl.gz", "jsonl"),
@@ -89,6 +93,7 @@ def infer_format(path: str) -> str:
     if os.path.isdir(base):
         for pat, fmt in (
             ("*.parquet", "parquet"),
+            ("*.orc", "orc"),
             ("_SUCCESS", "parquet"),
             ("*.warc*", "warc"),
             ("*.jsonl*", "jsonl"),
@@ -104,6 +109,10 @@ def read_pages(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
     fmt = fmt or infer_format(path)
     if fmt == "parquet":
         return spark.read.parquet(path).select(*_COLS)
+    if fmt == "orc":
+        # the other columnar lake format Spark reads natively; same
+        # pushdown/pruning contract as parquet, binary column travels as-is
+        return spark.read.orc(path).select(*_COLS)
     if fmt == "warc":
         return _read_warc(spark, path)
     if fmt == "jsonl":

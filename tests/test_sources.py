@@ -43,6 +43,7 @@ def formats_dir(spark, corpus_dir, tmp_path_factory):
     write_pages_jsonl(pages, os.path.join(d, "pages.jsonl"))
     write_pages_csv(pages, os.path.join(d, "pages.csv"))
     write_pages_warc(pages, os.path.join(d, "warc"), n_files=4)
+    pages.write.orc(os.path.join(d, "pages_orc"))
     return d
 
 
@@ -51,6 +52,7 @@ def test_infer_format(formats_dir, corpus_dir):
     assert infer_format(os.path.join(formats_dir, "pages.jsonl")) == "jsonl"
     assert infer_format(os.path.join(formats_dir, "pages.csv")) == "csv"
     assert infer_format(os.path.join(formats_dir, "warc")) == "warc"
+    assert infer_format(os.path.join(formats_dir, "pages_orc")) == "orc"
     assert (
         infer_format(os.path.join(formats_dir, "warc", "seg-00000.warc.gz"))
         == "warc"
@@ -61,6 +63,7 @@ def test_infer_format(formats_dir, corpus_dir):
     ("jsonl", "pages.jsonl"),
     ("csv", "pages.csv"),
     ("warc", "warc"),
+    ("orc", "pages_orc"),
 ])
 def test_format_roundtrip_identical(spark, corpus_dir, formats_dir, fmt, name):
     native = _canon(read_pages(spark, os.path.join(corpus_dir, "pages.parquet")))

@@ -100,3 +100,57 @@ def test_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
         for r in dedup_batch_twin(spark.read.parquet(watch)).collect()
     }
     assert got == twin
+
+
+def _run_once_wm(spark, watch_dir, out_dir, ckpt, delay="10 minutes"):
+    from codegraphcontext_spark.streaming.stateful import dedup_stream_wm
+
+    q = dedup_stream_wm(spark, watch_dir, out_dir, ckpt, delay=delay, once=True)
+    q.awaitTermination(300)
+
+
+def test_watermark_dedup_within_horizon_and_restart(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark variant: in-horizon duplicates
+    are suppressed, including across a query restart (state rides the
+    checkpoint); each distinct key appears exactly once in the sink."""
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    # batch 1: two distinct keys + an in-batch duplicate of A
+    pq.write_table(
+        _pages_table(
+            [
+                ("u1", 0, b"A"),
+                ("u2", 5, b"A"),
+                ("u3", 10, b"B"),
+            ]
+        ),
+        os.path.join(watch, "b1.parquet"),
+    )
+    _run_once_wm(spark, watch, out, ckpt)
+
+    # batch 2 (restarted query): late duplicate of A within the horizon
+    # + a new key C
+    pq.write_table(
+        _pages_table(
+            [
+                ("u4", 60, b"A"),
+                ("u5", 65, b"C"),
+            ]
+        ),
+        os.path.join(watch, "b2.parquet"),
+    )
+    _run_once_wm(spark, watch, out, ckpt)
+
+    got = spark.read.parquet(out).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["dedup_key"], []).append(r["url"])
+    # exactly one sink row per distinct content
+    assert sorted(len(v) for v in by_key.values()) == [1, 1, 1]
+    urls = {u for v in by_key.values() for u in v}
+    # the duplicates (u2 in-batch, u4 cross-restart) never reached the sink
+    assert "u2" not in urls and "u4" not in urls
+    assert {"u1", "u3", "u5"} == urls
