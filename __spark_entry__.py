@@ -106,6 +106,8 @@ _SWEEP_FIRST = (
     "kg_type_check",
     "embed_label_separation",
     "kg_qa_pairs",
+    "kg_asof_facts",
+    "kg_search_expanded",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

@@ -5033,3 +5033,216 @@ def kg_qa_pairs(spark, sf_dir):
         )
         .orderBy(F.asc("subj"), F.asc("pred"))
     )
+
+
+@_q(
+    "kg_asof_facts",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    pts AS (SELECT url, MAX(epoch_us(warc_ts)) AS us
+            FROM read_parquet('{_ORACLE_CORPUS}/pages.parquet/*.parquet')
+            GROUP BY url),
+    tl AS (SELECT o.subj_id, o.pred, o.obj_id,
+                  MIN(p.us) AS valid_from_us, MAX(p.us) AS valid_to_us
+           FROM occ o JOIN pts p ON p.url = o.url
+           WHERE o.pred NOT IN {_CLOSED_SQL}
+           GROUP BY o.subj_id, o.pred, o.obj_id),
+    pin AS (SELECT (MIN(valid_from_us) + MAX(valid_to_us)) // 2 AS t_pin
+            FROM tl)
+    SELECT sn.name AS subj, t.pred AS pred, obn.name AS obj,
+           CAST(t.valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(t.valid_to_us AS BIGINT) AS valid_to_us,
+           CAST(pin.t_pin AS BIGINT) AS t_pin_us
+    FROM tl t
+    CROSS JOIN pin
+    JOIN nodes sn ON sn.node_id = t.subj_id
+    JOIN nodes obn ON obn.node_id = t.obj_id
+    WHERE t.valid_from_us <= pin.t_pin AND pin.t_pin <= t.valid_to_us
+    ORDER BY subj ASC, pred ASC, obj ASC""",
+)
+def kg_asof_facts(spark, sf_dir):
+    """Temporal as-of point query — THE read operation of a temporal KG:
+    the facts whose validity interval (from kg_graph_edge_timeline's
+    attestation-time semantics) contains a pinned instant. The pin is
+    derived from the data itself (the midpoint of the ATTESTED fact span
+    — min valid_from to max valid_to over the interval table, integer
+    floor, NOT the raw page span: mention-only pages extend past the last
+    open-relation attestation and would pin into empty time), so the
+    query is deterministic across engines and scale tiers with no
+    wall-clock dependency; a production caller passes an explicit T. Facts attested only before (stale) or only after
+    (not-yet-asserted) the pin are excluded — the 'what did the web claim
+    at time T' snapshot audit, the point-in-time complement of
+    kg_entity_lifespan's per-entity span rollup.
+
+    Scale shape: the interval table reuses edge_timeline's shape (per-url
+    max is map-side combinable; the occ-pts join is url-keyed and
+    co-partitioned; the interval aggregate keys on the edge table's
+    native triple); the pin is a single-row aggregate broadcast back via
+    crossJoin; the containment filter is narrow. Name joins probe the
+    bounded entity dictionary."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    pages = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "corpus", "pages.parquet")
+    )
+    pts = (
+        pages.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("us"),
+        )
+        .groupBy("url")
+        .agg(F.max("us").alias("us"))
+    )
+    tl = (
+        occ.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .join(pts, "url")
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.min("us").alias("valid_from_us"),
+            F.max("us").alias("valid_to_us"),
+        )
+        .localCheckpoint(eager=True)  # feeds the pin AND the filter
+    )
+    pin = tl.agg(
+        F.expr("(MIN(valid_from_us) + MAX(valid_to_us)) DIV 2").alias(
+            "t_pin"
+        )
+    )
+    names = nodes.select("node_id", "name")
+    return (
+        tl.crossJoin(F.broadcast(pin))
+        .where(
+            (F.col("valid_from_us") <= F.col("t_pin"))
+            & (F.col("t_pin") <= F.col("valid_to_us"))
+        )
+        .join(
+            names.withColumnRenamed("node_id", "subj_id").withColumnRenamed(
+                "name", "subj"
+            ),
+            "subj_id",
+        )
+        .join(
+            names.withColumnRenamed("node_id", "obj_id").withColumnRenamed(
+                "name", "obj"
+            ),
+            "obj_id",
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
+            F.col("valid_to_us").cast("bigint").alias("valid_to_us"),
+            F.col("t_pin").cast("bigint").alias("t_pin_us"),
+        )
+        .orderBy(F.asc("subj"), F.asc("pred"), F.asc("obj"))
+    )
+
+
+@_q(
+    "kg_search_expanded",
+    f"""{_G_CTE},
+    lk AS (SELECT * FROM
+           read_parquet('{_ORACLE_WD}/linked/data/*.parquet')
+           WHERE entity_id IS NOT NULL AND tier <> 'unlinked'),
+    deg AS (SELECT ent, SUM(cnt) AS degree FROM (
+              SELECT subj_id AS ent, COUNT(*) AS cnt FROM edges
+              WHERE pred NOT IN {_CLOSED_SQL} GROUP BY subj_id
+              UNION ALL
+              SELECT obj_id AS ent, COUNT(*) AS cnt FROM edges
+              WHERE pred NOT IN {_CLOSED_SQL} GROUP BY obj_id
+            ) GROUP BY ent),
+    seed AS (SELECT d.ent FROM deg d JOIN nodes n ON n.node_id = d.ent
+             ORDER BY d.degree DESC, n.name ASC LIMIT 1),
+    nbr AS (SELECT DISTINCT e.obj_id AS ent FROM edges e JOIN seed
+              ON e.subj_id = seed.ent
+            WHERE e.pred NOT IN {_CLOSED_SQL}
+            UNION
+            SELECT DISTINCT e.subj_id AS ent FROM edges e JOIN seed
+              ON e.obj_id = seed.ent
+            WHERE e.pred NOT IN {_CLOSED_SQL}),
+    ex AS (SELECT ent, 2 AS w FROM seed
+           UNION ALL
+           SELECT ent, 1 AS w FROM nbr
+           WHERE ent NOT IN (SELECT ent FROM seed)),
+    hits AS (SELECT lk.url,
+                    SUM(ex.w) AS score,
+                    SUM(CASE WHEN ex.w = 2 THEN 1 ELSE 0 END) AS n_seed,
+                    SUM(CASE WHEN ex.w = 1 THEN 1 ELSE 0 END) AS n_nbr
+             FROM lk JOIN ex ON ex.ent = lk.entity_id
+             GROUP BY lk.url)
+    SELECT url, CAST(score AS BIGINT) AS score,
+           CAST(n_seed AS BIGINT) AS n_seed,
+           CAST(n_nbr AS BIGINT) AS n_nbr
+    FROM hits ORDER BY score DESC, url ASC LIMIT 20""",
+)
+def kg_search_expanded(spark, sf_dir):
+    """KG-powered query expansion retrieval (the 'graph RAG' read shape):
+    seed = the highest-degree entity (data-derived, deterministic at any
+    sf tier), expanded through its 1-hop open-relation neighborhood, and
+    pages scored by weighted linked-mention hits (seed x2, neighbor x1)
+    over the pipeline's own entity-linking table — retrieval that finds
+    pages about the TOPIC, not just the literal string, which is exactly
+    what the KG buys a search stack over plain term match (compare
+    kg_search_content: same corpus, string hits only).
+
+    Scale shape: degree and seed come from dictionary-sized aggregates;
+    the expansion set is <=1+deg(seed) entity ids and broadcasts into the
+    linked-table probe (the linked table is (url, mention) grain — the
+    corpus-scale side streams through a broadcast hash join, never
+    shuffles on the expansion key); one url-keyed map-side-combinable
+    aggregate; top-k compiles to TakeOrderedAndProject."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    opens = edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+    deg = (
+        opens.select(F.col("subj_id").alias("ent"))
+        .unionByName(opens.select(F.col("obj_id").alias("ent")))
+        .groupBy("ent")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    seed_row = (
+        deg.join(nodes.select(F.col("node_id").alias("ent"), "name"), "ent")
+        .orderBy(F.desc("degree"), F.asc("name"))
+        .limit(1)
+        .collect()[0]  # one dictionary row — the model-on-driver pattern
+    )
+    seed = seed_row["ent"]
+    nbr = (
+        opens.where(F.col("subj_id") == seed)
+        .select(F.col("obj_id").alias("ent"))
+        .unionByName(
+            opens.where(F.col("obj_id") == seed).select(
+                F.col("subj_id").alias("ent")
+            )
+        )
+        .distinct()
+        .where(F.col("ent") != seed)
+        .withColumn("w", F.lit(1))
+    )
+    ex = nbr.unionByName(
+        spark.createDataFrame([(seed, 2)], "ent string, w int")
+    )
+    lk = (
+        spark.read.parquet(
+            os.path.join(graph_dir(sf_dir), "wd", "linked", "data")
+        )
+        .where(
+            F.col("entity_id").isNotNull() & (F.col("tier") != "unlinked")
+        )
+    )
+    return (
+        lk.join(F.broadcast(ex), lk["entity_id"] == ex["ent"])
+        .groupBy("url")
+        .agg(
+            F.sum("w").cast("bigint").alias("score"),
+            F.sum(F.when(F.col("w") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_seed"),
+            F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nbr"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(20)
+    )

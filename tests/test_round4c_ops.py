@@ -203,3 +203,26 @@ def test_label_separation_margin_consistency(spark):
     labels = [r["label"] for r in rows]
     assert len(labels) == len(set(labels))
     assert all(r["margin_x1e6"] > 0 for r in rows)
+
+
+def test_asof_facts_pin_contained(spark):
+    rows = _queries()["kg_asof_facts"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    pins = {r["t_pin_us"] for r in rows}
+    assert len(pins) == 1  # one instant, broadcast to every row
+    for r in rows:
+        assert r["valid_from_us"] <= r["t_pin_us"] <= r["valid_to_us"]
+
+
+def test_search_expanded_scores_and_order(spark):
+    rows = _queries()["kg_search_expanded"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["score"] == 2 * r["n_seed"] + r["n_nbr"]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # expansion must matter: some page ranks on NEIGHBOR hits alone
+    # (pure string match on the seed would score it zero)
+    assert any(r["n_seed"] == 0 and r["n_nbr"] > 0 for r in rows) or all(
+        r["n_seed"] > 0 for r in rows
+    )
