@@ -108,6 +108,8 @@ _SWEEP_FIRST = (
     "kg_qa_pairs",
     "kg_asof_facts",
     "kg_search_expanded",
+    "curate_chunk",
+    "kg_qa_2hop",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

@@ -6854,3 +6854,92 @@ def embed_label_separation(spark, sf_dir):
         )
         .orderBy(F.asc("label"))
     )
+
+
+# RAG chunking grid: 64-token windows, stride 48 (16-token overlap) — the
+# chunk geometry is part of the operator definition on both engines.
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@_q(
+    "curate_chunk",
+    f"""WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS a
+                   FROM documents),
+    g AS (SELECT doc_id, a, len(a) AS n,
+                 CASE WHEN len(a) = 0 THEN 0
+                      WHEN len(a) <= {_CHUNK_SIZE} THEN 1
+                      ELSE 1 + CAST(ceil((len(a) - {_CHUNK_SIZE})
+                                         / {_CHUNK_STRIDE}.0) AS BIGINT)
+                 END AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id, n, i AS chunk_id,
+                 1 + (i * {_CHUNK_STRIDE}) AS lo1,
+                 LEAST(n, i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS hi1, a
+          FROM g, UNNEST(range(0, n_chunks)) AS u(i))
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(hi1 - lo1 + 1 AS BIGINT) AS n_tokens,
+           md5(array_to_string(a[lo1:hi1], ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id ASC, chunk_id ASC""",
+)
+def curate_chunk(spark, sf_dir):
+    """RAG-prep document chunking: each document split into fixed 64-token
+    windows with a 48-token stride (16-token overlap so no answer span is
+    cut at a boundary) — the unit a retrieval index embeds and a context
+    window consumes. Emits the chunk grid (id, token count, content md5)
+    rather than the text itself: the md5 doubles as the chunk-level dedup
+    key (chunk-grain dedup across documents is how boilerplate paragraphs
+    get dropped from a RAG index). The final short window is kept (tail
+    chunks < 64 tokens), zero-token docs emit no chunks.
+
+    Cross-engine exactness: the grid is pure integer arithmetic; DuckDB
+    list slicing l[a:b] is 1-based INCLUSIVE both ends = Spark
+    slice(l, a, b-a+1); md5 is the one shared hash.
+
+    Scale shape: tokenize + grid expansion are narrow per-row HOFs fused
+    onto the scan (explode fanout = ceil(n/stride), bounded by document
+    length); no join, no window, no shuffle except the output ordering —
+    a 100 TB chunking pass is embarrassingly parallel."""
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("a"),
+    )
+    g = t.select(
+        "doc_id",
+        "a",
+        F.expr("size(a)").alias("n"),
+        F.expr(
+            f"CASE WHEN size(a) = 0 THEN 0 "
+            f"WHEN size(a) <= {_CHUNK_SIZE} THEN 1 "
+            f"ELSE 1 + CAST(ceil((size(a) - {_CHUNK_SIZE}) "
+            f"/ CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) END"
+        ).alias("n_chunks"),
+    )
+    c = g.select(
+        "doc_id",
+        "n",
+        "a",
+        F.explode(
+            F.expr("CASE WHEN n_chunks = 0 THEN array() "
+                   "ELSE sequence(0, n_chunks - 1) END")
+        ).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "a",
+        F.expr(f"1 + chunk_id * {_CHUNK_STRIDE}").alias("lo1"),
+        F.expr(
+            f"LEAST(n, chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})"
+        ).alias("hi1"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.expr("CAST(hi1 - lo1 + 1 AS BIGINT)").alias("n_tokens"),
+        F.md5(
+            F.expr("array_join(slice(a, lo1, hi1 - lo1 + 1), ' ')")
+        ).alias("chunk_md5"),
+    ).orderBy(F.asc("doc_id"), F.asc("chunk_id"))

@@ -5246,3 +5246,118 @@ def kg_search_expanded(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("url"))
         .limit(20)
     )
+
+
+# (first-hop pred -> question template) for 2-hop compositional QA; the
+# second hop is always LOCATED_IN (the place hierarchy).
+_QA2_TEMPLATES = (
+    ("WORKS_AT", "Where is the organization {s} works at located?"),
+    ("CEO_OF", "Where is the organization {s} leads located?"),
+    ("FOUNDED", "Where is the organization {s} founded located?"),
+    ("ACQUIRED", "Where is the organization {s} acquired located?"),
+)
+_QA2_PREDS_SQL = "(" + ", ".join(f"'{k}'" for k, _ in _QA2_TEMPLATES) + ")"
+
+
+def _qa2_case_sql() -> str:
+    whens = "\n           ".join(
+        "WHEN c.pred = '{k}' THEN replace('{t}', '{{s}}', sn.name)".format(
+            k=k, t=t
+        )
+        for k, t in _QA2_TEMPLATES
+    )
+    return f"CASE {whens} END"
+
+
+@_q(
+    "kg_qa_2hop",
+    f"""{_G_CTE},
+    ents AS (SELECT node_id, name FROM nodes WHERE node_type = 'Entity'),
+    hop1 AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+             WHERE pred IN {_QA2_PREDS_SQL}),
+    hop2 AS (SELECT DISTINCT subj_id, obj_id FROM edges
+             WHERE pred = 'LOCATED_IN' AND subj_id <> obj_id),
+    chain AS (SELECT DISTINCT h.subj_id, h.pred, l.obj_id AS ans_id
+              FROM hop1 h JOIN hop2 l ON l.subj_id = h.obj_id),
+    v AS (SELECT sn.name AS subj, c.pred,
+                 {_qa2_case_sql()} AS question, an.name AS ans
+          FROM chain c
+          JOIN ents sn ON sn.node_id = c.subj_id
+          JOIN ents an ON an.node_id = c.ans_id)
+    SELECT subj, pred, question,
+           string_agg(ans, ', ' ORDER BY ans ASC) AS answer,
+           CAST(COUNT(*) AS BIGINT) AS n_answers
+    FROM v GROUP BY subj, pred, question
+    ORDER BY subj ASC, pred ASC""",
+)
+def kg_qa_2hop(spark, sf_dir):
+    """Compositional 2-hop QA export (the multi-hop reasoning data leg,
+    HotpotQA-style): questions whose answer requires composing TWO edges
+    — first hop through a work/leadership/founding/acquisition relation
+    to an organization, second hop through the place hierarchy
+    (LOCATED_IN, irreflexive slice) — rendered through fixed chain
+    templates with the sorted multi-answer convention of kg_qa_pairs.
+    Single-hop QA teaches lookup; chain QA teaches composition — a KG is
+    the one data source that generates it with guaranteed-correct labels.
+
+    Scale shape: both hops are deduplicated pred-pruned edge slices
+    (dictionary-scale); the chain join keys on the mid entity; template
+    rendering is narrow codegen; name joins broadcast; the answer-set
+    aggregate keys on (subj, pred) with a total answer ordering on both
+    engines."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    ents = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name"
+    )
+    qa_preds = [k for k, _ in _QA2_TEMPLATES]
+    hop1 = (
+        edges.where(F.col("pred").isin(*qa_preds))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    hop2 = (
+        edges.where(
+            (F.col("pred") == "LOCATED_IN")
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.col("subj_id").alias("mid_id"), F.col("obj_id").alias("ans_id")
+        )
+        .distinct()
+    )
+    chain = (
+        hop1.join(hop2, hop1["obj_id"] == hop2["mid_id"])
+        .select("subj_id", "pred", "ans_id")
+        .distinct()
+    )
+    qexpr = None
+    for k, t in _QA2_TEMPLATES:
+        rendered = F.replace(F.lit(t), F.lit("{s}"), F.col("subj"))
+        qexpr = (
+            F.when(F.col("pred") == k, rendered)
+            if qexpr is None
+            else qexpr.when(F.col("pred") == k, rendered)
+        )
+    return (
+        chain.join(
+            F.broadcast(
+                ents.withColumnRenamed("node_id", "subj_id")
+            ),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(ents.withColumnRenamed("node_id", "ans_id")),
+            "ans_id",
+        )
+        .withColumnRenamed("name", "ans")
+        .withColumn("question", qexpr)
+        .groupBy("subj", "pred", "question")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("ans")), ", ").alias(
+                "answer"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_answers"),
+        )
+        .orderBy(F.asc("subj"), F.asc("pred"))
+    )

@@ -226,3 +226,35 @@ def test_search_expanded_scores_and_order(spark):
     assert any(r["n_seed"] == 0 and r["n_nbr"] > 0 for r in rows) or all(
         r["n_seed"] > 0 for r in rows
     )
+
+
+def test_chunk_grid_geometry(spark, tmp_path):
+    """Chunk grid: a 100-token doc at size 64 / stride 48 yields chunks
+    [1..64] and [49..100]; a 10-token doc one chunk; an empty doc none."""
+    import shutil
+
+    d = str(tmp_path / "sf")
+    long_doc = " ".join(f"w{i}" for i in range(1, 101))
+    short_doc = " ".join(f"w{i}" for i in range(1, 11))
+    spark.createDataFrame(
+        [(1, long_doc, "en", len(long_doc)),
+         (2, short_doc, "en", len(short_doc)),
+         (3, "", "en", 0)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = _queries()["curate_chunk"](spark, d).collect()
+    shutil.rmtree(d, ignore_errors=True)
+    got = {(r["doc_id"], r["chunk_id"]): r["n_tokens"] for r in rows}
+    assert got == {(1, 0): 64, (1, 1): 52, (2, 0): 10}
+    # overlap: chunk 1 of doc 1 starts at token 49 => both chunks cover
+    # tokens 49..64 (16-token overlap by construction)
+
+
+def test_qa_2hop_composes_real_edges(spark):
+    rows = _queries()["kg_qa_2hop"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert "{s}" not in r["question"]
+        assert r["subj"] in r["question"]
+        assert r["n_answers"] >= 1
+        assert len(r["answer"].split(", ")) == r["n_answers"]
