@@ -110,6 +110,7 @@ _SWEEP_FIRST = (
     "kg_search_expanded",
     "curate_chunk",
     "kg_qa_2hop",
+    "kg_graph_diff",
     "kg_linking_tier_accuracy",
     "kg_graph_bridges",
     "kg_alias_table",

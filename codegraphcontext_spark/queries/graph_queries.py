@@ -5361,3 +5361,66 @@ def kg_qa_2hop(spark, sf_dir):
         )
         .orderBy(F.asc("subj"), F.asc("pred"))
     )
+
+
+@_q(
+    "kg_graph_diff",
+    f"""WITH before AS (
+      SELECT DISTINCT subj_id, pred, obj_id
+      FROM read_parquet('{_ORACLE_INCR}/wd/edges/data/*.parquet')),
+    after AS (
+      SELECT DISTINCT subj_id, pred, obj_id
+      FROM read_parquet('{_ORACLE_INCR}/wd_del/edges/data/*.parquet')),
+    removed AS (SELECT 'removed' AS change, b.subj_id, b.pred, b.obj_id
+                FROM before b
+                WHERE NOT EXISTS (SELECT 1 FROM after a
+                                  WHERE a.subj_id = b.subj_id
+                                    AND a.pred = b.pred
+                                    AND a.obj_id = b.obj_id)),
+    added AS (SELECT 'added' AS change, a.subj_id, a.pred, a.obj_id
+              FROM after a
+              WHERE NOT EXISTS (SELECT 1 FROM before b
+                                WHERE b.subj_id = a.subj_id
+                                  AND b.pred = a.pred
+                                  AND b.obj_id = a.obj_id))
+    SELECT * FROM removed UNION ALL SELECT * FROM added
+    ORDER BY change ASC, subj_id ASC, pred ASC, obj_id ASC""",
+)
+def kg_graph_diff(spark, sf_dir):
+    """Edge-grain CDC diff between two graph snapshots (post-ingest vs
+    post-site-delete): WHICH distinct facts changed, not just the per-pred
+    counts kg_incremental_delete_counts rolls up — the change feed a
+    downstream KG consumer (cache invalidation, embedding re-train queue,
+    notification fan-out) subscribes to. The 'added' direction is part of
+    the operator: a delete must never ADD facts, so any added row is an
+    oracle-checked invariant violation surfaced as data (the gate pins it
+    empty).
+
+    Scale shape: two deduplicated edge scans anti-joined on the triple key
+    — the edge table's native layout, so at 100 TB both sides co-partition
+    and the anti-join is exchange-aligned; NOT EXISTS matches LEFT ANTI
+    null semantics (no null keys in the edge sink by construction).
+
+    Reference analog: delete_repository + GC (graph_builder.py:407-441)
+    returns only a success flag; the diff view is the auditable upgrade."""
+    d = ensure_incremental_graph(spark, sf_dir)
+    before = (
+        spark.read.parquet(os.path.join(d, "wd", "edges", "data"))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    after = (
+        spark.read.parquet(os.path.join(d, "wd_del", "edges", "data"))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    key = ["subj_id", "pred", "obj_id"]
+    removed = before.join(after, key, "left_anti").select(
+        F.lit("removed").alias("change"), *key
+    )
+    added = after.join(before, key, "left_anti").select(
+        F.lit("added").alias("change"), *key
+    )
+    return removed.unionByName(added).orderBy(
+        F.asc("change"), F.asc("subj_id"), F.asc("pred"), F.asc("obj_id")
+    )

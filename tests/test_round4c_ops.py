@@ -258,3 +258,11 @@ def test_qa_2hop_composes_real_edges(spark):
         assert r["subj"] in r["question"]
         assert r["n_answers"] >= 1
         assert len(r["answer"].split(", ")) == r["n_answers"]
+
+
+def test_graph_diff_delete_never_adds(spark):
+    rows = _queries()["kg_graph_diff"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    changes = {r["change"] for r in rows}
+    # a site delete removes facts; it must NEVER add any
+    assert changes == {"removed"}
