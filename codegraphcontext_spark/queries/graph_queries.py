@@ -5424,3 +5424,480 @@ def kg_graph_diff(spark, sf_dir):
     return removed.unionByName(added).orderBy(
         F.asc("change"), F.asc("subj_id"), F.asc("pred"), F.asc("obj_id")
     )
+
+
+@_q(
+    "kg_pred_functionality",
+    f"""{_G_CTE},
+    t AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL})
+    SELECT pred,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT subj_id) AS BIGINT) AS n_subj,
+           CAST(COUNT(DISTINCT obj_id) AS BIGINT) AS n_obj,
+           CAST(COUNT(DISTINCT subj_id) * 1000000 // COUNT(*) AS BIGINT)
+             AS fun_x1e6,
+           CAST(COUNT(DISTINCT obj_id) * 1000000 // COUNT(*) AS BIGINT)
+             AS inv_fun_x1e6
+    FROM t GROUP BY pred ORDER BY pred ASC""",
+)
+def kg_pred_functionality(spark, sf_dir):
+    """Per-predicate (inverse-)functionality profile — the PARIS alignment
+    statistic (Suchanek et al., VLDB 2012): functionality = distinct
+    subjects / triples (1.0 means each subject asserts the slot once, i.e.
+    the predicate behaves as a function), inverse-functionality the same
+    on the object side. High-functionality predicates are the ones
+    kg_fact_conflicts arbitrates and the ones entity-resolution can trust
+    as near-keys; this query is the schema-profiling step that DECIDES
+    which predicates those are, instead of hard-coding the list. Exact
+    integer rational (x * 1e6 DIV n) so both engines agree bit-for-bit.
+
+    Scale shape: one deduplicated edge scan into a map-side-combinable
+    aggregate over a handful of predicate groups; the two COUNT(DISTINCT)
+    expand to the standard two-phase partial/merge plan keyed on pred —
+    no corpus-scale window, no join. Reference analog: the fixed
+    CALLS/IMPORTS relationship-type table (graph_builder.py:302-329) is
+    schema-declared; over open web relations the profile must be measured."""
+    _, edges = ensure_graph(spark, sf_dir)
+    t = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    return (
+        t.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+            F.countDistinct("subj_id").cast("bigint").alias("n_subj"),
+            F.countDistinct("obj_id").cast("bigint").alias("n_obj"),
+        )
+        .withColumn(
+            "fun_x1e6",
+            F.expr("n_subj * 1000000L div n_triples").cast("bigint"),
+        )
+        .withColumn(
+            "inv_fun_x1e6",
+            F.expr("n_obj * 1000000L div n_triples").cast("bigint"),
+        )
+        .orderBy(F.asc("pred"))
+    )
+
+
+@_q(
+    "kg_entity_summary",
+    f"""{_G_CTE},
+    t AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL}),
+    n AS (SELECT COUNT(*) AS total FROM t),
+    po AS (SELECT pred, obj_id, COUNT(*) AS cnt FROM t GROUP BY pred, obj_id),
+    sc AS (SELECT t.subj_id, t.pred, t.obj_id,
+                  CAST(n.total * 1000000 // po.cnt AS BIGINT) AS ifreq_x1e6
+           FROM t
+           JOIN po ON po.pred = t.pred AND po.obj_id = t.obj_id
+           CROSS JOIN n),
+    named AS (SELECT sn.name AS subj, sc.pred, onn.name AS obj, sc.ifreq_x1e6
+              FROM sc
+              JOIN nodes sn ON sn.node_id = sc.subj_id
+              JOIN nodes onn ON onn.node_id = sc.obj_id),
+    rked AS (SELECT subj, pred, obj, ifreq_x1e6,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY subj
+                      ORDER BY ifreq_x1e6 DESC, pred ASC, obj ASC) AS rk
+             FROM named)
+    SELECT subj, CAST(rk AS BIGINT) AS rk, pred, obj, ifreq_x1e6
+    FROM rked WHERE rk <= 3 ORDER BY subj ASC, rk ASC""",
+)
+def kg_entity_summary(spark, sf_dir):
+    """Entity summarization: the top-3 most INFORMATIVE facts per subject,
+    ranked by inverse global (pred, obj) frequency — the rarer a
+    predicate-object slot is corpus-wide, the more it distinguishes this
+    entity (the frequency-based informativeness core of the RELIN/FACES
+    entity-summarization line, Cheng et al. 2011). This is the fact-
+    selection step of entity-card rendering and of context-window-bounded
+    KG->LLM prompting: kg_verbalize exports EVERY fact, this picks the
+    few worth the tokens. Scored as the exact integer rational
+    N * 1e6 DIV cnt (monotone in -log p, no float logs to disagree on).
+
+    Scale shape: the (pred, obj) frequency table is one map-side-
+    combinable aggregate, dictionary-x-dictionary sized, joined back
+    broadcast-style by AQE; the scalar N rides a CROSS JOIN of a 1-row
+    aggregate (Spark: a literal from a count()); the top-3 window
+    partitions by subject over that subject's own facts only — bounded
+    fan-in, no global sort (final ORDER BY is presentation)."""
+    from pyspark.sql.window import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    t = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    total = t.count()
+    po = t.groupBy("pred", "obj_id").agg(F.count(F.lit(1)).alias("cnt"))
+    names = nodes.select("node_id", "name")
+    sc = t.join(po, ["pred", "obj_id"]).withColumn(
+        "ifreq_x1e6",
+        F.expr(f"CAST({total}L * 1000000L div cnt AS BIGINT)"),
+    )
+    named = (
+        sc.join(
+            F.broadcast(names.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.desc("ifreq_x1e6"), F.asc("pred"), F.asc("obj")
+    )
+    return (
+        named.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("subj", "rk", "pred", "obj", "ifreq_x1e6")
+        .orderBy(F.asc("subj"), F.asc("rk"))
+    )
+
+
+# IRI construction shared by both engines: names are percent-escaped for
+# space only (the datagen surface alphabet is [a-z0-9 .-]); the pred IRI is
+# the lowercased predicate. rdf:type is the W3C IRI, classes live under /t/.
+_RDF_E = "http://kg.example/e/"
+_RDF_P = "http://kg.example/p/"
+_RDF_T = "http://kg.example/t/"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@_q(
+    "kg_rdf_ntriples",
+    f"""{_G_CTE},
+    t AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL}),
+    v AS (SELECT sn.name AS subj, t.pred, onn.name AS obj
+          FROM t
+          JOIN nodes sn ON sn.node_id = t.subj_id
+          JOIN nodes onn ON onn.node_id = t.obj_id),
+    ty AS (SELECT DISTINCT sn.name AS subj, 'HAS_TYPE' AS pred,
+                  tn.name AS obj
+           FROM edges e
+           JOIN nodes sn ON sn.node_id = e.subj_id
+           JOIN nodes tn ON tn.node_id = e.obj_id
+           WHERE e.pred = 'HAS_TYPE'),
+    u AS (SELECT * FROM v UNION ALL SELECT * FROM ty)
+    SELECT subj, pred, obj,
+           CASE WHEN pred = 'HAS_TYPE' THEN
+             '<{_RDF_E}' || replace(subj, ' ', '%20')
+             || '> <{_RDF_TYPE}> <{_RDF_T}'
+             || replace(obj, ' ', '%20') || '> .'
+           ELSE
+             '<{_RDF_E}' || replace(subj, ' ', '%20')
+             || '> <{_RDF_P}' || lower(pred) || '> <{_RDF_E}'
+             || replace(obj, ' ', '%20') || '> .'
+           END AS ntriple
+    FROM u ORDER BY subj ASC, pred ASC, obj ASC""",
+)
+def kg_rdf_ntriples(spark, sf_dir):
+    """N-Triples serialization of the materialized graph (W3C RDF 1.1
+    N-Triples): every deduplicated open-relation fact as
+    `<subj-IRI> <pred-IRI> <obj-IRI> .` plus the HAS_TYPE attribute edges
+    as rdf:type statements against /t/ class IRIs — the interchange export
+    that makes the graph loadable by any triple store, the RDF sibling of
+    the DOT export (S8, reference graph_builder.py's visualize path /
+    cli.py:764 cmd_dot). Line rendering is pure string concat + percent
+    escaping, identical expressions on both engines.
+
+    Scale shape: serialization is a NARROW codegen projection fused onto
+    the deduplicated edge scan; name resolution joins against the
+    dictionary-sized node projection (AQE broadcasts); at 100 TB the
+    output is written partition-parallel as text part-files — no single-
+    writer choke point, which is the reason to serialize in the engine
+    instead of exporting rows and serializing driver-side."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    names = nodes.select("node_id", "name")
+    t = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    v = (
+        t.join(
+            F.broadcast(names.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+        .select("subj", "pred", "obj")
+    )
+    ty = (
+        edges.where(F.col("pred") == "HAS_TYPE")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+        .select("subj", F.lit("HAS_TYPE").alias("pred"), "obj")
+        .distinct()
+    )
+    esc = lambda c: F.replace(F.col(c), F.lit(" "), F.lit("%20"))  # noqa: E731
+    u = v.unionByName(ty)
+    ntriple = F.when(
+        F.col("pred") == "HAS_TYPE",
+        F.concat(
+            F.lit(f"<{_RDF_E}"), esc("subj"),
+            F.lit(f"> <{_RDF_TYPE}> <{_RDF_T}"), esc("obj"), F.lit("> ."),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(f"<{_RDF_E}"), esc("subj"),
+            F.lit(f"> <{_RDF_P}"), F.lower(F.col("pred")),
+            F.lit(f"> <{_RDF_E}"), esc("obj"), F.lit("> ."),
+        )
+    )
+    return u.withColumn("ntriple", ntriple).orderBy(
+        F.asc("subj"), F.asc("pred"), F.asc("obj")
+    )
+
+
+@_q(
+    "kg_shacl_lite",
+    f"""{_G_CTE},
+    typed AS (SELECT DISTINCT subj_id AS ent, obj_id AS etype FROM edges
+              WHERE pred = 'HAS_TYPE'),
+    sp AS (SELECT DISTINCT subj_id AS ent, pred FROM edges
+           WHERE pred NOT IN {_CLOSED_SQL}),
+    tn AS (SELECT etype, COUNT(*) AS n_typed FROM typed GROUP BY etype),
+    have AS (SELECT t.etype, s.pred, COUNT(DISTINCT t.ent) AS n_with
+             FROM typed t JOIN sp s ON s.ent = t.ent
+             GROUP BY t.etype, s.pred),
+    shapes AS (SELECT h.etype, h.pred, tn.n_typed, h.n_with
+               FROM have h JOIN tn ON tn.etype = h.etype
+               WHERE h.n_with * 2 >= tn.n_typed AND h.n_with >= 2),
+    viol AS (SELECT s.etype, s.pred, n.name
+             FROM shapes s
+             JOIN typed t ON t.etype = s.etype
+             JOIN nodes n ON n.node_id = t.ent
+             WHERE NOT EXISTS (SELECT 1 FROM sp
+                               WHERE sp.ent = t.ent AND sp.pred = s.pred)),
+    va AS (SELECT etype, pred, COUNT(*) AS n_missing,
+                  MIN(name) AS first_missing
+           FROM viol GROUP BY etype, pred)
+    SELECT s.etype, s.pred,
+           CAST(s.n_typed AS BIGINT) AS n_typed,
+           CAST(s.n_with AS BIGINT) AS n_with,
+           CAST(COALESCE(va.n_missing, 0) AS BIGINT) AS n_missing,
+           COALESCE(va.first_missing, '') AS first_missing
+    FROM shapes s
+    LEFT JOIN va ON va.etype = s.etype AND va.pred = s.pred
+    ORDER BY s.etype ASC, s.pred ASC""",
+)
+def kg_shacl_lite(spark, sf_dir):
+    """Shape induction + validation (SHACL-lite): for every entity type,
+    INDUCE the mandatory outgoing predicates (held by >=50% of the type's
+    entities, and by >=2 of them so singleton types induce nothing), then
+    report each induced shape with its violation count and the first
+    violating entity — the statistical-schema counterpart of the W3C SHACL
+    minCount=1 property shape, induced from data the way Paulheim's SDType/
+    SDValidate line does rather than hand-declared. Violations are the
+    extraction-incompleteness worklist: a person entity with no BORN_IN
+    edge either needs more pages scanned or was under-extracted.
+    Complements kg_type_check (is the TYPE consistent with the relations)
+    with the inverse audit (are the RELATIONS complete for the type).
+
+    Scale shape: typed and subject-predicate projections are deduplicated
+    dictionary-scale tables; the shape model is (types x preds)-sized; the
+    violation anti-join keys on ent against the entity-partitioned sp
+    table. Nothing in the plan is corpus-scale after the first two
+    deduplicating scans, both map-side combinable."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    typed = (
+        edges.where(F.col("pred") == "HAS_TYPE")
+        .select(F.col("subj_id").alias("ent"), F.col("obj_id").alias("etype"))
+        .distinct()
+    )
+    sp = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select(F.col("subj_id").alias("ent"), "pred")
+        .distinct()
+    )
+    tn = typed.groupBy("etype").agg(F.count(F.lit(1)).alias("n_typed"))
+    have = (
+        typed.join(sp, "ent")
+        .groupBy("etype", "pred")
+        .agg(F.countDistinct("ent").alias("n_with"))
+    )
+    shapes = have.join(tn, "etype").where(
+        (F.col("n_with") * 2 >= F.col("n_typed")) & (F.col("n_with") >= 2)
+    )
+    viol = (
+        shapes.select("etype", "pred")
+        .join(typed, "etype")
+        .join(sp, ["ent", "pred"], "left_anti")
+        .join(
+            F.broadcast(
+                nodes.select(F.col("node_id").alias("ent"), "name")
+            ),
+            "ent",
+        )
+        .groupBy("etype", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_missing"),
+            F.min("name").alias("first_missing"),
+        )
+    )
+    return (
+        shapes.join(viol, ["etype", "pred"], "left")
+        .select(
+            "etype",
+            "pred",
+            F.col("n_typed").cast("bigint").alias("n_typed"),
+            F.col("n_with").cast("bigint").alias("n_with"),
+            F.coalesce(F.col("n_missing"), F.lit(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.coalesce(F.col("first_missing"), F.lit("")).alias(
+                "first_missing"
+            ),
+        )
+        .orderBy(F.asc("etype"), F.asc("pred"))
+    )
+
+
+# type-constrained negative-sampling candidate cap: at most this many
+# replacement entities per type ride the candidate broadcast, hash-ranked so
+# the subset is deterministic. Part of the operator definition (both engines
+# apply it), the same capped-semantics discipline as _CC_BUCKET_CAP.
+_KGE_CAND_CAP = 64
+
+
+@_q(
+    "kg_kge_hard_negatives",
+    f"""{_G_CTE},
+    typed AS (SELECT subj_id AS ent, MIN(obj_id) AS etype FROM edges
+              WHERE pred = 'HAS_TYPE' GROUP BY subj_id),
+    t AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL}),
+    cand AS (SELECT etype, ent AS cand_id FROM (
+               SELECT etype, ent,
+                      ROW_NUMBER() OVER (PARTITION BY etype
+                        ORDER BY md5(ent) ASC, ent ASC) AS crk
+               FROM typed) WHERE crk <= {_KGE_CAND_CAP}),
+    pos AS (SELECT t.subj_id, t.pred, t.obj_id, ty.etype
+            FROM t JOIN typed ty ON ty.ent = t.obj_id),
+    blown AS (SELECT p.subj_id, p.pred, p.obj_id, c.cand_id
+              FROM pos p JOIN cand c ON c.etype = p.etype
+              WHERE c.cand_id <> p.obj_id
+                AND NOT EXISTS (SELECT 1 FROM t
+                                WHERE t.subj_id = p.subj_id
+                                  AND t.pred = p.pred
+                                  AND t.obj_id = c.cand_id)),
+    pick AS (SELECT subj_id, pred, obj_id, cand_id,
+                    ROW_NUMBER() OVER (PARTITION BY subj_id, pred, obj_id
+                      ORDER BY md5(subj_id || ':' || pred || ':' || obj_id
+                                   || ':' || cand_id) ASC,
+                               cand_id ASC) AS rk
+             FROM blown)
+    SELECT sn.name AS subj, p.pred, onn.name AS pos_obj, cn.name AS neg_obj
+    FROM pick p
+    JOIN nodes sn ON sn.node_id = p.subj_id
+    JOIN nodes onn ON onn.node_id = p.obj_id
+    JOIN nodes cn ON cn.node_id = p.cand_id
+    WHERE p.rk = 1
+    ORDER BY subj ASC, pred ASC, pos_obj ASC""",
+)
+def kg_kge_hard_negatives(spark, sf_dir):
+    """Type-constrained FILTERED negative sampling for KG-embedding
+    training: for each positive open-relation triple, one corrupted-tail
+    negative whose replacement entity has the SAME type as the true object
+    (Krompass et al. 2015's type-constraint protocol — uniform corruption,
+    kg_kge_train_pairs, mostly yields trivially-wrong negatives; same-type
+    corruptions are the hard ones that move the loss), in the FILTERED
+    setting of Bordes et al. 2013 (a corruption that is itself a true
+    triple is excluded, not mislabeled). The picked candidate is the
+    md5-minimum over the hash-capped per-type candidate pool, so the
+    sample is deterministic across engines, runs, and cluster sizes.
+
+    Scale shape: the candidate pool is capped at 64 (_KGE_CAND_CAP) entities
+    per type (hash-ranked window over the dictionary-sized typed table)
+    and BROADCASTS into the expansion join — fan-out per positive is
+    <= the cap, never |entities|; the filter anti-join keys on the
+    (subj, pred, obj) triple, the edge table's native shard key; the
+    argmin window partitions per positive over its own <= cap-many
+    candidates. Positives whose object carries no HAS_TYPE edge are
+    dropped (no type constraint to satisfy), positives whose whole
+    candidate pool is filtered yield no row — both documented, both
+    oracle-checked semantics."""
+    from pyspark.sql.window import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    typed = (
+        edges.where(F.col("pred") == "HAS_TYPE")
+        .groupBy(F.col("subj_id").alias("ent"))
+        .agg(F.min("obj_id").alias("etype"))
+    )
+    t = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    wc = Window.partitionBy("etype").orderBy(
+        F.md5(F.col("ent")).asc(), F.asc("ent")
+    )
+    cand = (
+        typed.withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= _KGE_CAND_CAP)
+        .select("etype", F.col("ent").alias("cand_id"))
+    )
+    pos = t.join(
+        typed.select(F.col("ent").alias("obj_id"), "etype"), "obj_id"
+    )
+    blown = (
+        pos.join(F.broadcast(cand), "etype")
+        .where(F.col("cand_id") != F.col("obj_id"))
+        .join(
+            t.select(
+                "subj_id", "pred", F.col("obj_id").alias("cand_id")
+            ),
+            ["subj_id", "pred", "cand_id"],
+            "left_anti",
+        )
+    )
+    wp = Window.partitionBy("subj_id", "pred", "obj_id").orderBy(
+        F.md5(
+            F.concat_ws(":", "subj_id", "pred", "obj_id", "cand_id")
+        ).asc(),
+        F.asc("cand_id"),
+    )
+    names = nodes.select("node_id", "name")
+    return (
+        blown.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "pos_obj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "cand_id")),
+            "cand_id",
+        )
+        .withColumnRenamed("name", "neg_obj")
+        .select("subj", "pred", "pos_obj", "neg_obj")
+        .orderBy(F.asc("subj"), F.asc("pred"), F.asc("pos_obj"))
+    )
