@@ -6943,3 +6943,116 @@ def curate_chunk(spark, sf_dir):
             F.expr("array_join(slice(a, lo1, hi1 - lo1 + 1), ' ')")
         ).alias("chunk_md5"),
     ).orderBy(F.asc("doc_id"), F.asc("chunk_id"))
+
+
+# hopping-window geometry (batch twin of streaming/windowed.py's native
+# F.window): 1-hour windows every 30 minutes, so each event lands in exactly
+# two windows. Window starts are computed with the SAME integer microsecond
+# arithmetic on both engines (epoch-aligned, the alignment F.window uses) —
+# no engine timestamp-zone semantics in the hash path.
+_HOP_US = 1_800_000_000
+_HOP_PER_WIN = 2
+
+
+@_q(
+    "events_hopping_counts",
+    f"""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+    x AS (SELECT (us // {_HOP_US} - k.k) * {_HOP_US} AS win_start_us,
+                 event_type
+          FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k)
+    SELECT CAST(win_start_us AS BIGINT) AS win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY win_start_us, event_type
+    ORDER BY win_start_us ASC, event_type ASC""",
+)
+def events_hopping_counts(spark, sf_dir):
+    """Hopping-window aggregation — the sliding complement of the tumbling
+    events_daily rollup and the batch twin of the streaming windowed
+    counts (streaming/windowed.py uses the native F.window; this is the
+    identical epoch-aligned geometry): 1-hour windows advancing every 30
+    minutes, each event contributing to exactly two overlapping windows.
+    The overlap is what a rate-alerting consumer wants — a burst split
+    across a tumbling boundary is invisible to tumbling counts but lands
+    intact in one hopping window.
+
+    Scale shape: the window expansion is a narrow 2-way explode fused onto
+    the scan (fan-out = window/hop ratio, a constant), followed by ONE
+    map-side-combinable aggregate keyed on (window, type) — the same
+    shuffle events_daily already pays, with no window-function sort
+    anywhere. At 100 TB the fan-out factor is the only cost multiplier
+    and it is 2 by construction."""
+    ev = _fan_out(_t(spark, sf_dir, "events").select("ts", "event_type"))
+    return (
+        ev.select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_type",
+        )
+        .select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+            "us",
+            "event_type",
+        )
+        .select(
+            F.expr(
+                f"CAST((us div {_HOP_US} - k) * {_HOP_US} AS BIGINT)"
+            ).alias("win_start_us"),
+            "event_type",
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.asc("win_start_us"), F.asc("event_type"))
+    )
+
+
+@_q(
+    "text_complexity",
+    """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                  FROM documents),
+    v AS (SELECT doc_id, term,
+                 length(regexp_extract_all(lower(term), '[aeiouy]+')) AS syl
+          FROM t WHERE term <> ''),
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(syl) AS syl,
+                 SUM(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS cmplx
+          FROM v GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(syl * 1000000 // n_tokens AS BIGINT) AS avg_syl_x1e6,
+           CAST(cmplx * 1000000 // n_tokens AS BIGINT) AS complex_pct_x1e6
+    FROM m ORDER BY doc_id ASC""",
+)
+def text_complexity(spark, sf_dir):
+    """Lexical-complexity quality signal (Gunning-FOG's complex-word leg,
+    sentence-free because the corpus ships unpunctuated text): per-token
+    syllable counts approximated as vowel-group runs, rolled up to average
+    syllables per token and the share of 'complex' (>=3-syllable) tokens —
+    the readability band a pretraining curator filters on (too low =
+    navigation/boilerplate fragments, too high = OCR noise and
+    tokenizer-hostile jargon). Exact integer rationals, no float division.
+
+    Scale shape: the vowel-group count is computed INSIDE the per-token
+    projection fused onto the scan (regexp on a short token, JVM codegen,
+    no Python); the per-doc rollup is the one doc_id-keyed map-side-
+    combinable shuffle every text op in this family pays. No join, no
+    window function."""
+    toks = _tokens(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    v = toks.withColumn(
+        "syl",
+        F.size(F.regexp_extract_all(F.lower("term"), F.lit("[aeiouy]+"), 0)),
+    )
+    m = v.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("syl").alias("syl"),
+        F.sum((F.col("syl") >= 3).cast("int")).alias("cmplx"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(syl * 1000000 div n_tokens AS BIGINT)").alias(
+            "avg_syl_x1e6"
+        ),
+        F.expr("CAST(cmplx * 1000000 div n_tokens AS BIGINT)").alias(
+            "complex_pct_x1e6"
+        ),
+    ).orderBy(F.asc("doc_id"))

@@ -5901,3 +5901,303 @@ def kg_kge_hard_negatives(spark, sf_dir):
         .select("subj", "pred", "pos_obj", "neg_obj")
         .orderBy(F.asc("subj"), F.asc("pred"), F.asc("pos_obj"))
     )
+
+
+# provenance-list cap: at most this many citation URLs ride each fact row
+# (sorted-prefix, deterministic); the full distinct count is still reported.
+_SRC_URL_CAP = 5
+
+
+@_q(
+    "kg_fact_sources",
+    f"""{_G_CTE},
+    occ AS (SELECT * FROM
+            read_parquet('{_ORACLE_WD}/edge_occurrences/data/*.parquet')),
+    a AS (SELECT subj_id, pred, obj_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_sites,
+                 CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                 array_to_string(
+                   (list_sort(list(DISTINCT url)))[1:{_SRC_URL_CAP}],
+                   ', ') AS sources
+          FROM occ WHERE pred NOT IN {_CLOSED_SQL}
+          GROUP BY subj_id, pred, obj_id)
+    SELECT sn.name AS subj, a.pred, onn.name AS obj,
+           a.n_sites, a.n_urls, a.sources
+    FROM a
+    JOIN nodes sn ON sn.node_id = a.subj_id
+    JOIN nodes onn ON onn.node_id = a.obj_id
+    ORDER BY subj ASC, pred ASC, obj ASC""",
+)
+def kg_fact_sources(spark, sf_dir):
+    """Per-fact citation export: every open-relation fact with its
+    attestation counts and the first 5 (sorted) supporting URLs — the
+    provenance record a grounded-generation consumer attaches to each
+    retrieved fact (RAG citation lists) and a human auditor follows to
+    the asserting pages. kg_edge_confidence scores HOW corroborated a
+    fact is; this exports WHERE — the reference keeps the same per-edge
+    site provenance as (file, line_number) properties on CALLS edges
+    (graph_builder.py:302-329).
+
+    Scale shape: one aggregate over the occurrence table keyed on the
+    triple — its native sort/shard key, so row-group pruning and map-side
+    partials both apply; the URL list is capped at 5 sorted entries
+    (collect_set bounded by the cap after sort-prefix, never an unbounded
+    per-key array); name resolution probes the dictionary-sized node
+    projection."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    occ = load_occurrences(spark, sf_dir)
+    a = (
+        occ.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            F.countDistinct("url").cast("bigint").alias("n_urls"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_set("url")), 1, _SRC_URL_CAP
+                ),
+                ", ",
+            ).alias("sources"),
+        )
+    )
+    names = nodes.select("node_id", "name")
+    return (
+        a.join(
+            F.broadcast(names.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+        .select("subj", "pred", "obj", "n_sites", "n_urls", "sources")
+        .orderBy(F.asc("subj"), F.asc("pred"), F.asc("obj"))
+    )
+
+
+def _qa_viol_case_sql() -> str:
+    whens = "\n           ".join(
+        "WHEN v.pred = '{k}' THEN replace('{t}', '{{s}}', v.name)".format(
+            k=k, t=t
+        )
+        for k, t in _QA_TEMPLATES
+    )
+    return f"CASE {whens} END"
+
+
+@_q(
+    "kg_qa_unanswerable",
+    f"""{_G_CTE},
+    typed AS (SELECT DISTINCT subj_id AS ent, obj_id AS etype FROM edges
+              WHERE pred = 'HAS_TYPE'),
+    sp AS (SELECT DISTINCT subj_id AS ent, pred FROM edges
+           WHERE pred NOT IN {_CLOSED_SQL}),
+    tn AS (SELECT etype, COUNT(*) AS n_typed FROM typed GROUP BY etype),
+    have AS (SELECT t.etype, s.pred, COUNT(DISTINCT t.ent) AS n_with
+             FROM typed t JOIN sp s ON s.ent = t.ent
+             GROUP BY t.etype, s.pred),
+    shapes AS (SELECT h.etype, h.pred
+               FROM have h JOIN tn ON tn.etype = h.etype
+               WHERE h.n_with * 2 >= tn.n_typed AND h.n_with >= 2
+                 AND h.pred IN {_QA_PREDS_SQL}),
+    viol AS (SELECT n.name, s.pred, MIN(s.etype) AS etype
+             FROM shapes s
+             JOIN typed t ON t.etype = s.etype
+             JOIN nodes n ON n.node_id = t.ent
+             WHERE NOT EXISTS (SELECT 1 FROM sp
+                               WHERE sp.ent = t.ent AND sp.pred = s.pred)
+             GROUP BY n.name, s.pred)
+    SELECT v.name AS subj, v.pred, v.etype,
+           {_qa_viol_case_sql()} AS question,
+           'unanswerable' AS label
+    FROM viol v
+    ORDER BY subj ASC, pred ASC""",
+)
+def kg_qa_unanswerable(spark, sf_dir):
+    """Unanswerable-question export — the calibration complement of
+    kg_qa_pairs (SQuAD 2.0's insight applied to KGQA): for every entity
+    that VIOLATES an induced mandatory shape (kg_shacl_lite's >=50%-support
+    predicates, restricted to templated ones), render the question whose
+    answer the graph does NOT hold, labeled 'unanswerable'. Training a
+    QA/RAG model only on answerable pairs teaches it to always answer;
+    these are the examples that teach abstention, generated from the SAME
+    shape statistics that say the question is fair to ask of this entity
+    type (a person-type entity where most persons have BORN_IN, but this
+    one doesn't).
+
+    Scale shape: identical to kg_shacl_lite's dictionary-scale plan (the
+    shape model is (types x preds)-sized, the violation anti-join keys on
+    ent) plus a narrow codegen CASE template render; the (name, pred)
+    rollup collapses multi-typed entities to one question."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    typed = (
+        edges.where(F.col("pred") == "HAS_TYPE")
+        .select(F.col("subj_id").alias("ent"), F.col("obj_id").alias("etype"))
+        .distinct()
+    )
+    sp = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select(F.col("subj_id").alias("ent"), "pred")
+        .distinct()
+    )
+    tn = typed.groupBy("etype").agg(F.count(F.lit(1)).alias("n_typed"))
+    qa_preds = [k for k, _ in _QA_TEMPLATES]
+    have = (
+        typed.join(sp, "ent")
+        .groupBy("etype", "pred")
+        .agg(F.countDistinct("ent").alias("n_with"))
+    )
+    shapes = (
+        have.join(tn, "etype")
+        .where(
+            (F.col("n_with") * 2 >= F.col("n_typed"))
+            & (F.col("n_with") >= 2)
+            & F.col("pred").isin(*qa_preds)
+        )
+        .select("etype", "pred")
+    )
+    viol = (
+        shapes.join(typed, "etype")
+        .join(sp, ["ent", "pred"], "left_anti")
+        .join(
+            F.broadcast(
+                nodes.select(F.col("node_id").alias("ent"), "name")
+            ),
+            "ent",
+        )
+        .groupBy("name", "pred")
+        .agg(F.min("etype").alias("etype"))
+    )
+    qexpr = None
+    for k, t in _QA_TEMPLATES:
+        rendered = F.replace(F.lit(t), F.lit("{s}"), F.col("name"))
+        qexpr = (
+            F.when(F.col("pred") == k, rendered)
+            if qexpr is None
+            else qexpr.when(F.col("pred") == k, rendered)
+        )
+    return viol.select(
+        F.col("name").alias("subj"),
+        "pred",
+        "etype",
+        qexpr.alias("question"),
+        F.lit("unanswerable").alias("label"),
+    ).orderBy(F.asc("subj"), F.asc("pred"))
+
+
+# GraphSAGE-style sampling geometry: seed count and per-hop fan-out are part
+# of the operator definition (both engines apply them); the hash ranking
+# makes the sample deterministic across engines, runs, and cluster sizes.
+_GNN_SEEDS = 8
+_GNN_FANOUT = 4
+
+
+@_q(
+    "kg_gnn_neighbor_sample",
+    f"""{_G_CTE},
+    adj AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL}),
+    sampled AS (SELECT src, dst FROM (
+                  SELECT src, dst,
+                         ROW_NUMBER() OVER (PARTITION BY src
+                           ORDER BY md5(src || ':' || dst) ASC, dst ASC)
+                           AS rk
+                  FROM adj) WHERE rk <= {_GNN_FANOUT}),
+    seeds AS (SELECT src AS seed FROM (
+                SELECT src,
+                       ROW_NUMBER() OVER (ORDER BY md5(src) ASC, src ASC)
+                         AS srk
+                FROM (SELECT DISTINCT src FROM adj))
+              WHERE srk <= {_GNN_SEEDS}),
+    hop1 AS (SELECT s.seed, 1 AS hop, a.src, a.dst
+             FROM seeds s JOIN sampled a ON a.src = s.seed),
+    mid AS (SELECT DISTINCT seed, dst FROM hop1),
+    hop2 AS (SELECT m.seed, 2 AS hop, a.src, a.dst
+             FROM mid m JOIN sampled a ON a.src = m.dst),
+    u AS (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+    SELECT ns.name AS seed, CAST(u.hop AS BIGINT) AS hop,
+           nsrc.name AS src, ndst.name AS dst
+    FROM u
+    JOIN nodes ns ON ns.node_id = u.seed
+    JOIN nodes nsrc ON nsrc.node_id = u.src
+    JOIN nodes ndst ON ndst.node_id = u.dst
+    ORDER BY seed ASC, hop ASC, src ASC, dst ASC""",
+)
+def kg_gnn_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style fixed-fanout neighbor sampling (Hamilton et al.
+    2017): from 8 hash-selected seed nodes, the 2-hop sampled computation
+    graph with at most 4 out-neighbors kept per node per hop — the
+    mini-batch loader operation between kg_gnn_export's full COO tensor
+    and actual GNN training, where loading every hub neighbor would blow
+    the batch. Neighbor choice is the md5-minimum prefix of each node's
+    sorted neighbor list, so the sample is deterministic across engines,
+    runs, and cluster sizes (a production loader swaps the hash for a
+    per-epoch seeded one — same plan, different salt).
+
+    Scale shape: the fan-out window partitions per source over its OWN
+    neighbor list and keeps a constant prefix — on a real cluster the
+    rank filter stops hub explosion at the sampler, which is the entire
+    point of GraphSAGE; hop expansion is two joins against the sampled
+    (not raw) adjacency, each bounded by seeds x fanout^hop; the seed
+    window runs over the dictionary-sized distinct-source projection."""
+    from pyspark.sql.window import Window
+
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .distinct()
+    )
+    wf = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws(":", "src", "dst")).asc(), F.asc("dst")
+    )
+    sampled = (
+        adj.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= _GNN_FANOUT)
+        .select("src", "dst")
+    )
+    ws = Window.orderBy(F.md5(F.col("src")).asc(), F.asc("src"))
+    seeds = (
+        adj.select("src")
+        .distinct()
+        .withColumn("srk", F.row_number().over(ws))
+        .where(F.col("srk") <= _GNN_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    hop1 = seeds.join(
+        sampled, seeds["seed"] == sampled["src"]
+    ).select("seed", F.lit(1).alias("hop"), "src", "dst")
+    mid = hop1.select("seed", "dst").distinct()
+    hop2 = (
+        mid.withColumnRenamed("dst", "mid_dst")
+        .join(sampled, F.col("mid_dst") == sampled["src"])
+        .select("seed", F.lit(2).alias("hop"), "src", "dst")
+    )
+    u = hop1.unionByName(hop2)
+    names = nodes.select("node_id", "name")
+    return (
+        u.join(
+            F.broadcast(names.withColumnRenamed("node_id", "seed")),
+            "seed",
+        )
+        .withColumnRenamed("name", "seed_name")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "src")),
+            "src",
+        )
+        .withColumnRenamed("name", "src_name")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "dst")),
+            "dst",
+        )
+        .withColumnRenamed("name", "dst_name")
+        .select(
+            F.col("seed_name").alias("seed"),
+            F.col("hop").cast("bigint").alias("hop"),
+            F.col("src_name").alias("src"),
+            F.col("dst_name").alias("dst"),
+        )
+        .orderBy(F.asc("seed"), F.asc("hop"), F.asc("src"), F.asc("dst"))
+    )
