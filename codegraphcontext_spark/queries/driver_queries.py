@@ -7056,3 +7056,132 @@ def text_complexity(spark, sf_dir):
             "complex_pct_x1e6"
         ),
     ).orderBy(F.asc("doc_id"))
+
+
+# Matryoshka truncation geometry: the first _MRL_DIM of 64 dims (MRL nesting
+# uses power-of-two prefixes); top-k depth for the overlap comparison.
+_MRL_DIM = 32
+_MRL_K = 10
+
+
+@_q(
+    "embed_mrl_overlap",
+    f"""{_EMB_CTE},
+    df AS (SELECT b.vec_id,
+                  SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+                  SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+                  SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+           FROM e a JOIN e b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+           GROUP BY b.vec_id),
+    dt AS (SELECT b.vec_id,
+                  SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+                  SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+                  SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+           FROM e a JOIN e b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+                            AND a.i <= {_MRL_DIM}
+           GROUP BY b.vec_id),
+    sf AS (SELECT vec_id,
+                  CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT)
+                    AS cos_full_x1e6 FROM df),
+    st AS (SELECT vec_id,
+                  CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT)
+                    AS cos_trunc_x1e6 FROM dt),
+    ft AS (SELECT vec_id, cos_full_x1e6,
+                  ROW_NUMBER() OVER (ORDER BY cos_full_x1e6 DESC,
+                                              vec_id ASC) AS rank
+           FROM sf),
+    tt AS (SELECT vec_id, cos_trunc_x1e6,
+                  ROW_NUMBER() OVER (ORDER BY cos_trunc_x1e6 DESC,
+                                              vec_id ASC) AS trank
+           FROM st)
+    SELECT CAST(ft.rank AS BIGINT) AS rank, ft.vec_id,
+           ft.cos_full_x1e6, tt.cos_trunc_x1e6,
+           CAST(CASE WHEN tt.trank <= {_MRL_K} THEN tt.trank ELSE 0 END
+                AS BIGINT) AS trunc_rank,
+           CAST(CASE WHEN tt.trank <= {_MRL_K} THEN 1 ELSE 0 END
+                AS BIGINT) AS in_trunc
+    FROM ft JOIN tt ON tt.vec_id = ft.vec_id
+    WHERE ft.rank <= {_MRL_K}
+    ORDER BY rank ASC""",
+)
+def embed_mrl_overlap(spark, sf_dir):
+    """Matryoshka truncation-quality evaluation (Kusupati et al. 2022):
+    does ranking by the FIRST 32 of 64 dimensions reproduce the full-dim
+    cosine top-10? Emits the full-dimension top-10 for query vec 0, each
+    row flagged with whether (and where) it also appears in the
+    truncated-prefix top-10 — the retrieval-overlap measurement that
+    decides whether an index can store the cheap prefix and rerank with
+    full vectors (the MRL funnel), the dimension-axis sibling of
+    embed_pq_rerank's quantization funnel.
+
+    Scale shape: both scoring passes are Arrow-batched numpy against the
+    broadcast query vector, fused onto one candidate scan (the truncated
+    slice is a narrow array op, no second scan); both rankings compile to
+    TakeOrderedAndProject (top-k partials per partition, never a global
+    sort); the final join is 10x10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        _fan_out(emb.where(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .withColumn("t_emb", F.slice("embedding", 1, _MRL_DIM))
+        .withColumn("qt_emb", F.slice("q_emb", 1, _MRL_DIM))
+    )
+    cf = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
+    )
+    ct = _dot_udf("t_emb", "qt_emb") / (
+        _norm_udf("t_emb") * _norm_udf("qt_emb")
+    )
+    scored = cand.select(
+        "vec_id",
+        F.round(cf * 1e6).cast("bigint").alias("cos_full_x1e6"),
+        F.round(ct * 1e6).cast("bigint").alias("cos_trunc_x1e6"),
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    ft = (
+        scored.orderBy(F.desc("cos_full_x1e6"), F.asc("vec_id"))
+        .limit(_MRL_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("cos_full_x1e6"), F.asc("vec_id"))
+            )
+            .cast("bigint"),
+        )
+        .select("rank", "vec_id", "cos_full_x1e6", "cos_trunc_x1e6")
+    )
+    tt = (
+        scored.orderBy(F.desc("cos_trunc_x1e6"), F.asc("vec_id"))
+        .limit(_MRL_K)
+        .withColumn(
+            "trank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("cos_trunc_x1e6"), F.asc("vec_id"))
+            )
+            .cast("bigint"),
+        )
+        .select("vec_id", "trank")
+    )
+    return (
+        ft.join(tt, "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "cos_full_x1e6",
+            "cos_trunc_x1e6",
+            F.coalesce(F.col("trank"), F.lit(0))
+            .cast("bigint")
+            .alias("trunc_rank"),
+            F.when(F.col("trank").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("in_trunc"),
+        )
+        .orderBy(F.asc("rank"))
+    )

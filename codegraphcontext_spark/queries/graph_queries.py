@@ -6201,3 +6201,199 @@ def kg_gnn_neighbor_sample(spark, sf_dir):
         )
         .orderBy(F.asc("seed"), F.asc("hop"), F.asc("src"), F.asc("dst"))
     )
+
+
+# the stages the minimal-checkpoint pipeline commits (runner.py `_commit`):
+# each has data/ + lineage/lineage.parquet + manifest.json in the workdir.
+_LINEAGE_STAGES = ("docs", "edge_occurrences", "edges", "linked", "nodes")
+
+
+def _lineage_stage_sql(stage: str) -> str:
+    base = f"{_ORACLE_WD}/{stage}"
+    return f"""
+    SELECT '{stage}' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{base}/lineage/lineage.parquet'))
+             AS n_partitions,
+           (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT)
+            FROM read_parquet('{base}/lineage/lineage.parquet'))
+             AS lineage_rows,
+           (SELECT CAST(n_rows AS BIGINT)
+            FROM read_json_auto('{base}/manifest.json'))
+             AS manifest_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{base}/data/*.parquet')) AS data_rows"""
+
+
+@_q(
+    "kg_pipeline_lineage",
+    "WITH s AS ("
+    + " UNION ALL ".join(_lineage_stage_sql(s) for s in _LINEAGE_STAGES)
+    + """)
+    SELECT stage, n_partitions, lineage_rows, manifest_rows, data_rows,
+           CAST(CASE WHEN lineage_rows = manifest_rows
+                      AND manifest_rows = data_rows
+                     THEN 1 ELSE 0 END AS BIGINT) AS consistent
+    FROM s ORDER BY stage ASC""",
+)
+def kg_pipeline_lineage(spark, sf_dir):
+    """Job-status / lineage audit as a first-class query (the J1-J5
+    surface, reference server.py job bookkeeping + cli status): for every
+    committed stage of the minimal-checkpoint pipeline, reconcile THREE
+    independent row counts — the per-partition lineage rows the stage
+    wrote beside its checkpoint (the north rule's resumability evidence),
+    the manifest's recorded total, and the committed parquet itself — and
+    flag any stage where they disagree. `consistent=1` across the board
+    IS the integrity proof that a resume can trust the manifests without
+    rescanning data; a 0 means a torn commit and pins exactly which stage.
+
+    Scale shape: lineage and manifest tables are partition-count-sized
+    (KBs at 100 TB); the only data-scale leg is the parquet COUNT(*),
+    which both engines answer from row-group metadata without reading
+    column pages. The audit is therefore metadata-only end to end."""
+    ensure_graph(spark, sf_dir)
+    wd = os.path.join(graph_dir(sf_dir), "wd")
+    out = None
+    for stage in _LINEAGE_STAGES:
+        base = os.path.join(wd, stage)
+        lin = spark.read.parquet(
+            os.path.join(base, "lineage", "lineage.parquet")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("lineage_rows"),
+        )
+        man = (
+            spark.read.json(os.path.join(base, "manifest.json"))
+            .select(F.col("n_rows").cast("bigint").alias("manifest_rows"))
+        )
+        dat = spark.read.parquet(os.path.join(base, "data")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("data_rows")
+        )
+        row = (
+            lin.crossJoin(man)
+            .crossJoin(dat)
+            .select(
+                F.lit(stage).alias("stage"),
+                "n_partitions",
+                "lineage_rows",
+                "manifest_rows",
+                "data_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn(
+        "consistent",
+        F.when(
+            (F.col("lineage_rows") == F.col("manifest_rows"))
+            & (F.col("manifest_rows") == F.col("data_rows")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    ).orderBy(F.asc("stage"))
+
+
+@_q(
+    "kg_entity_subgraph",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    seedn AS (SELECT node_id FROM nodes
+              WHERE node_type = 'Entity' AND name = 'acme corp'),
+    t AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL}),
+    und AS (SELECT subj_id AS a, obj_id AS b FROM t
+            UNION SELECT obj_id AS a, subj_id AS b FROM t),
+    r AS (SELECT node_id AS id, 0 AS depth FROM seedn
+          UNION ALL
+          SELECT und.b, r.depth + 1 FROM r
+          JOIN und ON und.a = r.id WHERE r.depth < 2),
+    keep AS (SELECT id, MIN(depth) AS d FROM r GROUP BY id)
+    SELECT sn.name AS subj, t.pred, onn.name AS obj,
+           CAST(LEAST(ks.d, ko.d) AS BIGINT) AS min_ep_depth
+    FROM t
+    JOIN keep ks ON ks.id = t.subj_id
+    JOIN keep ko ON ko.id = t.obj_id
+    JOIN nodes sn ON sn.node_id = t.subj_id
+    JOIN nodes onn ON onn.node_id = t.obj_id
+    ORDER BY subj ASC, pred ASC, obj ASC""",
+)
+def kg_entity_subgraph(spark, sf_dir):
+    """Entity-centric k-hop subgraph extraction (k=2, undirected reach):
+    every open-relation fact BOTH of whose endpoints lie within 2
+    undirected hops of the hub entity — the bounded evidence subgraph a
+    GraphRAG consumer stuffs into a context window and a visualization
+    follows outward from a focus node (the reference's visualize tool
+    renders exactly this neighborhood cut, cli.py:893 / Q24). Differs
+    from kg_graph_closure (reachable NODES with depth) by returning the
+    induced EDGE set, and from kg_gnn_neighbor_sample by being exact
+    within the radius rather than fan-out-sampled.
+
+    Scale shape: the BFS is a 2-iteration driver loop of broadcast
+    frontier joins against the once-checkpointed undirected adjacency
+    (frontier is entity-dictionary-sized); the induced-edge filter is two
+    semi-join probes of the edge table against the broadcast reach set —
+    the hub's neighborhood, not the corpus, bounds every intermediate."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    t = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        t.select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .unionByName(
+            t.select(F.col("obj_id").alias("a"), F.col("subj_id").alias("b"))
+        )
+        .distinct()
+    )
+    seed = nodes.where(
+        (F.col("node_type") == "Entity") & (F.col("name") == "acme corp")
+    ).select(F.col("node_id").alias("id"), F.lit(0).alias("depth"))
+    frontier, seen = seed, seed
+    for depth in range(1, 3):
+        frontier = (
+            und.join(
+                F.broadcast(frontier.where(F.col("depth") == depth - 1)),
+                on=und["a"] == F.col("id"),
+            )
+            .select(F.col("b").alias("id"), F.lit(depth).alias("depth"))
+            .distinct()
+        )
+        seen = seen.unionByName(frontier)
+    keep = seen.groupBy("id").agg(F.min("depth").alias("d"))
+    names = nodes.select("node_id", "name")
+    return (
+        t.join(
+            F.broadcast(
+                keep.select(F.col("id").alias("subj_id"), F.col("d").alias("ds"))
+            ),
+            "subj_id",
+        )
+        .join(
+            F.broadcast(
+                keep.select(F.col("id").alias("obj_id"), F.col("d").alias("do"))
+            ),
+            "obj_id",
+        )
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "subj_id")),
+            "subj_id",
+        )
+        .withColumnRenamed("name", "subj")
+        .join(
+            F.broadcast(names.withColumnRenamed("node_id", "obj_id")),
+            "obj_id",
+        )
+        .withColumnRenamed("name", "obj")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.least("ds", "do").cast("bigint").alias("min_ep_depth"),
+        )
+        .orderBy(F.asc("subj"), F.asc("pred"), F.asc("obj"))
+    )

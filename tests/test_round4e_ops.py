@@ -112,3 +112,52 @@ def test_gnn_neighbor_sample_fanout_and_hop_chain(spark):
         else:
             assert (r["seed"], r["src"]) in h1
     assert any(r["hop"] == 2 for r in rows)
+
+
+def test_pipeline_lineage_all_stages_consistent(spark):
+    rows = _queries()["kg_pipeline_lineage"](spark, SF_DIR).collect()
+    stages = {r["stage"] for r in rows}
+    assert stages == {"docs", "edge_occurrences", "edges", "linked", "nodes"}
+    for r in rows:
+        assert r["consistent"] == 1, r
+        assert r["lineage_rows"] == r["manifest_rows"] == r["data_rows"]
+        assert r["n_partitions"] >= 1
+
+
+def test_entity_subgraph_is_induced_and_bounded(spark):
+    from codegraphcontext_spark.queries.graph_queries import ensure_graph
+    from pyspark.sql import functions as F
+
+    rows = _queries()["kg_entity_subgraph"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    _, edges = ensure_graph(spark, SF_DIR)
+    n_open = (
+        edges.where(~F.col("pred").isin("MENTIONS", "LINKS_TO", "HAS_TYPE"))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+        .count()
+    )
+    # induced subgraph: never larger than the whole open graph (at
+    # sf0.001 the toy graph is dense enough that 2 hops reach all of it,
+    # so equality is legal here; sf0.01's oracle run pins the strict cut)
+    assert len(rows) <= n_open
+    for r in rows:
+        assert 0 <= r["min_ep_depth"] <= 2
+    # the hub's own facts are in the cut
+    assert any(
+        r["subj"] == "acme corp" or r["obj"] == "acme corp" for r in rows
+    )
+
+
+def test_mrl_overlap_ranks_and_flags(spark):
+    rows = _queries()["embed_mrl_overlap"](spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert (r["in_trunc"] == 1) == (r["trunc_rank"] >= 1)
+        assert 0 <= r["trunc_rank"] <= 10
+        assert r["cos_full_x1e6"] <= 1_000_000
+    # sf0.001's embeddings are unstructured noise, where a 32-dim prefix
+    # legitimately decorrelates from the full ranking (overlap 0); the
+    # structured sf0.01 embeddings are where the MRL premise must hold
+    rows01 = _queries()["embed_mrl_overlap"](spark, "/root/testdata/sf0.01")
+    assert sum(r["in_trunc"] for r in rows01.collect()) >= 1
