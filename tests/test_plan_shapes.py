@@ -383,3 +383,96 @@ def test_text_diversity_single_doc_keyed_shuffle(spark):
     for line in p.splitlines():
         if "hashpartitioning" in line and "text#" in line:
             raise AssertionError(f"text rode a shuffle: {line}")
+
+
+def test_pred_functionality_partial_agg_no_join(spark):
+    from codegraphcontext_spark.queries import graph_queries  # noqa: F401
+
+    p = _plan(spark, "kg_pred_functionality")
+    # distinct + countDistinct expand to partial/final aggregate pairs
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_entity_summary_window_partitioned_and_broadcast_names(spark):
+    p = _plan(spark, "kg_entity_summary")
+    # the top-3 window partitions per subject, never one global partition
+    assert "hashpartitioning(subj" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_rdf_ntriples_broadcast_name_resolution(spark):
+    p = _plan(spark, "kg_rdf_ntriples")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_shacl_and_qa_unanswerable_use_anti_join(spark):
+    for name in ("kg_shacl_lite", "kg_qa_unanswerable"):
+        p = _plan(spark, name)
+        # the violation probe must plan as LeftAnti, never a NOT IN scan
+        assert "LeftAnti" in p, (name, p)
+        assert "CartesianProduct" not in p, name
+
+
+def test_kge_hard_negatives_broadcast_pool_and_anti_filter(spark):
+    p = _plan(spark, "kg_kge_hard_negatives")
+    # the capped candidate pool rides a broadcast into the expansion join
+    assert "BroadcastHashJoin" in p, p
+    # the filtered setting is a LeftAnti against the positive set
+    assert "LeftAnti" in p, p
+    # the argmin window partitions per positive triple
+    assert "hashpartitioning(subj_id" in p, p
+
+
+def test_hopping_counts_partial_agg_no_join(spark):
+    p = _plan(spark, "events_hopping_counts")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p, p
+
+
+def test_text_complexity_text_never_shuffled(spark):
+    p = _plan(spark, "text_complexity")
+    for line in p.splitlines():
+        if "hashpartitioning" in line and "text#" in line:
+            raise AssertionError(f"text rode a shuffle: {line}")
+
+
+def test_fact_sources_triple_keyed_agg_broadcast_names(spark):
+    p = _plan(spark, "kg_fact_sources")
+    assert "hashpartitioning(subj_id" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_gnn_sample_fanout_window_per_source(spark):
+    p = _plan(spark, "kg_gnn_neighbor_sample")
+    # the fan-out rank partitions per source node (hub bound), and name
+    # resolution is broadcast; the seed window alone may be single-
+    # partition (dictionary-sized by construction)
+    assert "hashpartitioning(src" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_pipeline_lineage_metadata_only_joins(spark):
+    p = _plan(spark, "kg_pipeline_lineage")
+    # 1-row x 1-row stage rows: every cross join is a broadcast nested
+    # loop over single-row sides, never a data-scale CartesianProduct
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_entity_subgraph_broadcast_reach_probes(spark):
+    p = _plan(spark, "kg_entity_subgraph")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_mrl_overlap_topk_take_ordered(spark):
+    p = _plan(spark, "embed_mrl_overlap")
+    # both ranking legs compile to top-k, never a global sort of scores
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
