@@ -7185,3 +7185,119 @@ def embed_mrl_overlap(spark, sf_dir):
         )
         .orderBy(F.asc("rank"))
     )
+
+
+# contrastive-retrieval export bands: positives = BM25 ranks 1..3 per query,
+# hard negatives = ranks 11..15 (ranked, term-matching, but below the
+# retrieval cutoff — the informative negatives; Karpukhin et al. 2020).
+_HN_POS_K = 3
+_HN_NEG_LO = 11
+_HN_NEG_HI = 15
+
+
+@_q(
+    "search_hard_negatives",
+    f"""WITH hits0 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                              UNNEST(string_split(text, ' ')) AS term
+                       FROM documents),
+    h2 AS (SELECT * FROM hits0 WHERE term IN {_TFIDF_TERMS_SQL}),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM h2 GROUP BY doc_id, dl, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM h2 GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(string_split(text, ' '))) AS l
+              FROM documents),
+    w AS (SELECT term, (stats.n * 1000) // df.df AS w
+          FROM df CROSS JOIN stats),
+    sc AS (SELECT tf.doc_id, tf.term,
+                  ((tf.tf * {_BM25_K1P1} * 1000)
+                   // (tf.tf * 1000
+                       + ({_BM25_K1} * ({_BM25_1MB}
+                          + ({_BM25_B} * tf.dl * stats.n) // stats.l))
+                         // 1000)) * w.w AS rel
+           FROM tf JOIN w USING (term) CROSS JOIN stats),
+    rk AS (SELECT term, doc_id, rel,
+                  ROW_NUMBER() OVER (PARTITION BY term
+                                     ORDER BY rel DESC, doc_id ASC) AS rank
+           FROM sc)
+    SELECT term AS query, doc_id, CAST(rank AS BIGINT) AS rank,
+           CASE WHEN rank <= {_HN_POS_K} THEN 'pos'
+                ELSE 'hard_neg' END AS band,
+           CAST(rel AS BIGINT) AS relevance
+    FROM rk WHERE rank <= {_HN_POS_K}
+       OR rank BETWEEN {_HN_NEG_LO} AND {_HN_NEG_HI}
+    ORDER BY query ASC, rank ASC""",
+)
+def search_hard_negatives(spark, sf_dir):
+    """Contrastive-retrieval training export (DPR, Karpukhin et al. 2020):
+    per query term, the BM25 top-3 as positives and ranks 11-15 as HARD
+    negatives — documents that match the term and rank well, just below
+    the retrieval cutoff; random negatives are trivially separable and
+    teach a dense retriever nothing, BM25-adjacent ones carry the
+    gradient. Scoring is kg_search_tfidf's per-(doc, term) saturated-tf
+    integer BM25 (not the summed multi-term relevance — each query ranks
+    alone), so the export is bit-identical across engines.
+
+    Scale shape: the query-term filter runs INSIDE the array HOF (only
+    query-term occurrences become rows); tf/df are map-side-combinable
+    aggregates over that vanishing slice; the rank window partitions per
+    query term over its own posting list — at web scale the posting list
+    is the bound, and a production exporter caps it with the same
+    rank-filter the window already applies."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = F.filter(
+        F.split("text", " "), lambda t: t.isin(*_TFIDF_TERMS)
+    )
+    hits = (
+        _fan_out(docs)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(kept).alias("term"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tf = hits.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        hits.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n, total_len = docs.agg(
+        F.count(F.lit(1)), F.sum(F.size(F.split("text", " ")))
+    ).first()
+    w = dfreq.select("term", F.expr(f"({n}L * 1000) div df").alias("w"))
+    sat = F.expr(
+        f"(tf * {_BM25_K1P1} * 1000) div "
+        f"(tf * 1000 + ({_BM25_K1} * "
+        f"({_BM25_1MB} + ({_BM25_B} * dl * {n}L) div {total_len}L)) div 1000)"
+    )
+    from pyspark.sql.window import Window
+
+    sc = tf.join(F.broadcast(w), "term").select(
+        F.col("term").alias("query"),
+        "doc_id",
+        (sat * F.col("w")).alias("rel"),
+    )
+    wr = Window.partitionBy("query").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(
+            (F.col("rank") <= _HN_POS_K)
+            | F.col("rank").between(_HN_NEG_LO, _HN_NEG_HI)
+        )
+        .select(
+            "query",
+            "doc_id",
+            "rank",
+            F.when(F.col("rank") <= _HN_POS_K, F.lit("pos"))
+            .otherwise(F.lit("hard_neg"))
+            .alias("band"),
+            F.col("rel").cast("bigint").alias("relevance"),
+        )
+        .orderBy(F.asc("query"), F.asc("rank"))
+    )

@@ -6397,3 +6397,81 @@ def kg_entity_subgraph(spark, sf_dir):
         )
         .orderBy(F.asc("subj"), F.asc("pred"), F.asc("obj"))
     )
+
+
+@_q(
+    "kg_triple_pr_by_pred",
+    f"""WITH
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    got AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL}),
+    exp AS (SELECT DISTINCT subj_id, pred, obj_id
+            FROM read_parquet('{_ORACLE_CORPUS}/golden_edges.parquet')),
+    j AS (SELECT COALESCE(g.pred, e.pred) AS pred,
+                 (g.subj_id IS NOT NULL)::INT AS in_got,
+                 (e.subj_id IS NOT NULL)::INT AS in_exp
+          FROM got g FULL OUTER JOIN exp e
+            ON g.subj_id = e.subj_id AND g.pred = e.pred
+           AND g.obj_id = e.obj_id)
+    SELECT pred,
+           CAST(SUM(in_exp) AS BIGINT) AS n_golden,
+           CAST(SUM(in_got) AS BIGINT) AS n_extracted,
+           CAST(SUM(in_got * in_exp) AS BIGINT) AS n_matched,
+           CAST(CASE WHEN SUM(in_got) = 0 THEN 0
+                ELSE SUM(in_got * in_exp) * {_PR_SCALE_X} // SUM(in_got)
+                END AS BIGINT) AS precision_x1e6,
+           CAST(CASE WHEN SUM(in_exp) = 0 THEN 0
+                ELSE SUM(in_got * in_exp) * {_PR_SCALE_X} // SUM(in_exp)
+                END AS BIGINT) AS recall_x1e6
+    FROM j GROUP BY pred ORDER BY pred ASC""",
+)
+def kg_triple_pr_by_pred(spark, sf_dir):
+    """Per-predicate breakdown of the north rule's P/R metric — WHICH
+    relations extract worse, not just the corpus scalar kg_triple_pr
+    reports: the diagnosis view that routes pattern-table fixes (a
+    low-recall predicate needs more extraction patterns; a low-precision
+    one has an over-greedy pattern). Predicates present only in the golden
+    set (never extracted) or only in the extraction (never golden) appear
+    with a zero-guarded 0 on the undefined ratio instead of vanishing —
+    those rows ARE the worst-case alarms.
+
+    Scale shape: identical to kg_triple_pr (both sides dictionary x
+    predicate sized after the distinct), with the scalar aggregate
+    replaced by a handful of per-pred groups — still map-side
+    combinable."""
+    _, edges = ensure_graph(spark, sf_dir)
+    golden = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "corpus", "golden_edges.parquet")
+    )
+    got = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+        .withColumn("in_got", F.lit(1))
+    )
+    exp = golden.distinct().withColumn("in_exp", F.lit(1))
+    j = got.join(
+        exp, on=["subj_id", "pred", "obj_id"], how="full_outer"
+    ).select(
+        "pred",
+        F.coalesce("in_got", F.lit(0)).alias("in_got"),
+        F.coalesce("in_exp", F.lit(0)).alias("in_exp"),
+    )
+    m = F.sum(F.col("in_got") * F.col("in_exp"))
+    return (
+        j.groupBy("pred")
+        .agg(
+            F.sum("in_exp").cast("bigint").alias("n_golden"),
+            F.sum("in_got").cast("bigint").alias("n_extracted"),
+            m.cast("bigint").alias("n_matched"),
+            F.when(F.sum("in_got") == 0, F.lit(0))
+            .otherwise(F.floor(m * _PR_SCALE_X / F.sum("in_got")))
+            .cast("bigint")
+            .alias("precision_x1e6"),
+            F.when(F.sum("in_exp") == 0, F.lit(0))
+            .otherwise(F.floor(m * _PR_SCALE_X / F.sum("in_exp")))
+            .cast("bigint")
+            .alias("recall_x1e6"),
+        )
+        .orderBy(F.asc("pred"))
+    )

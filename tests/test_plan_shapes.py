@@ -7,6 +7,7 @@ plan SHAPE does not depend on the scale factor."""
 
 import pytest
 
+from codegraphcontext_spark.queries import graph_queries  # noqa: F401  (registers kg_graph_*)
 from codegraphcontext_spark.queries.driver_queries import SPARK_QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -476,3 +477,19 @@ def test_mrl_overlap_topk_take_ordered(spark):
     # both ranking legs compile to top-k, never a global sort of scores
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_triple_pr_by_pred_partial_agg(spark):
+    from codegraphcontext_spark.queries import graph_queries  # noqa: F401
+
+    p = _plan(spark, "kg_triple_pr_by_pred")
+    # the per-pred rollup partial-aggregates map-side after the full outer
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_window_per_query_and_broadcast_weights(spark):
+    p = _plan(spark, "search_hard_negatives")
+    # the rank window partitions per query term, never one global sort
+    assert "hashpartitioning(query" in p or "hashpartitioning(term" in p, p
+    assert "BroadcastHashJoin" in p, p

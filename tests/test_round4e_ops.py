@@ -161,3 +161,35 @@ def test_mrl_overlap_ranks_and_flags(spark):
     # structured sf0.01 embeddings are where the MRL premise must hold
     rows01 = _queries()["embed_mrl_overlap"](spark, "/root/testdata/sf0.01")
     assert sum(r["in_trunc"] for r in rows01.collect()) >= 1
+
+
+def test_triple_pr_by_pred_rolls_up_to_scalar(spark):
+    qs = _queries()
+    per = qs["kg_triple_pr_by_pred"](spark, SF_DIR).collect()
+    tot = qs["kg_triple_pr"](spark, SF_DIR).collect()[0]
+    assert sum(r["n_golden"] for r in per) == tot["n_golden"]
+    assert sum(r["n_extracted"] for r in per) == tot["n_extracted"]
+    assert sum(r["n_matched"] for r in per) == tot["n_matched"]
+    for r in per:
+        assert r["n_matched"] <= min(r["n_golden"], r["n_extracted"])
+        assert 0 <= r["precision_x1e6"] <= 1_000_000
+        assert 0 <= r["recall_x1e6"] <= 1_000_000
+
+
+def test_hard_negatives_band_geometry(spark):
+    rows = _queries()["search_hard_negatives"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query"], []).append(r)
+    assert set(by_q) == {"merge", "window", "hash"}
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 11, 12, 13, 14, 15], (q, ranks)
+        for r in rs:
+            want = "pos" if r["rank"] <= 3 else "hard_neg"
+            assert r["band"] == want
+        # positives outrank hard negatives in relevance
+        min_pos = min(r["relevance"] for r in rs if r["band"] == "pos")
+        max_neg = max(r["relevance"] for r in rs if r["band"] == "hard_neg")
+        assert min_pos >= max_neg
