@@ -79,7 +79,7 @@ SUPPORTED_QUERIES = (
     "top_entities", "entities_by_type", "usage_scope", "class_hierarchy",
     "overrides", "dead_entities", "complexity", "cooccurrence",
     "all_referencers", "all_referenced", "call_chain", "edge_sentences",
-    "related", "suggest", "fuzzy",
+    "related", "suggest", "fuzzy", "summary", "sources", "subgraph",
 )
 
 
@@ -258,6 +258,16 @@ def cmd_query(args) -> int:
                               trigram Jaccard (the reference's Lucene
                               `name~` fuzzy query, graph_builder.py:81-85 /
                               code_finder.py:18-30)
+    summary <name>         -> the entity's most informative facts, ranked
+                              by inverse global (pred, obj) frequency
+                              (entity-card view; kg_entity_summary twin)
+    sources "a->b"         -> per-predicate citation list: attestation
+                              counts + first-5 sorted URLs asserting the
+                              fact (kg_fact_sources twin)
+    subgraph <name>        -> 2-hop undirected induced open-relation edge
+                              set around the entity (GraphRAG evidence
+                              cut; kg_entity_subgraph twin); --depth
+                              overrides the radius
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -560,6 +570,131 @@ def cmd_query(args) -> int:
             .join(obj, on="obj_id", how="left_semi")
             .select("pred", "url", "sent_id")
             .orderBy(F.asc("pred"), F.asc("url"), F.asc("sent_id"))
+            .limit(args.limit)
+        )
+    elif args.query == "summary":
+        # top-informative facts for the entity: its open-relation facts
+        # ranked by inverse global (pred, obj) frequency — the entity-card
+        # view (RELIN/FACES lineage; kg_entity_summary is the whole-graph
+        # oracle twin). The frequency table aggregates map-side; the
+        # entity probe is a broadcast semi-pattern join.
+        t = (
+            edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+            .select("subj_id", "pred", "obj_id")
+            .distinct()
+        )
+        total = t.count()
+        po = t.groupBy("pred", "obj_id").agg(F.count(F.lit(1)).alias("cnt"))
+        ent = F.broadcast(
+            _entity_ids(nodes, name).withColumnRenamed("node_id", "subj_id")
+        )
+        res = (
+            t.join(ent, on="subj_id")
+            .join(po, on=["pred", "obj_id"])
+            .join(
+                nodes.select(
+                    F.col("node_id").alias("obj_id"),
+                    F.col("name").alias("obj"),
+                ),
+                on="obj_id",
+            )
+            .select(
+                "pred",
+                "obj",
+                F.expr(f"CAST({total}L * 1000000L div cnt AS BIGINT)").alias(
+                    "ifreq_x1e6"
+                ),
+            )
+            .orderBy(F.desc("ifreq_x1e6"), F.asc("pred"), F.asc("obj"))
+            .limit(args.limit)
+        )
+    elif args.query == "sources":
+        # per-fact citation list: which pages assert subj->obj, per
+        # predicate (kg_fact_sources is the whole-graph oracle twin; the
+        # reference keeps per-call-site properties on CALLS edges)
+        if "->" not in (args.arg or ""):
+            print(json.dumps({
+                "error": "for sources queries, use format "
+                         "'subj_entity->obj_entity'",
+                "example": "ada lovelace->acme corp",
+            }), file=sys.stderr)
+            return 2
+        a, b = (s.strip().lower() for s in args.arg.split("->", 1))
+        occ = spark.read.parquet(f"{args.workdir}/edge_occurrences/data")
+        subj = F.broadcast(
+            _entity_ids(nodes, a).withColumnRenamed("node_id", "subj_id")
+        )
+        obj = F.broadcast(
+            _entity_ids(nodes, b).withColumnRenamed("node_id", "obj_id")
+        )
+        res = (
+            occ.where(~F.col("pred").isin(*_CLOSED_PREDS))
+            .join(subj, on="subj_id", how="left_semi")
+            .join(obj, on="obj_id", how="left_semi")
+            .groupBy("pred")
+            .agg(
+                F.count(F.lit(1)).alias("n_sites"),
+                F.countDistinct("url").alias("n_urls"),
+                F.array_join(
+                    F.slice(F.array_sort(F.collect_set("url")), 1, 5), ", "
+                ).alias("sources"),
+            )
+            .orderBy(F.asc("pred"))
+            .limit(args.limit)
+        )
+    elif args.query == "subgraph":
+        # 2-hop undirected induced edge set around the entity — the
+        # GraphRAG evidence cut (kg_entity_subgraph is the oracle twin).
+        # Driver loop of broadcast frontier joins; frontier stays
+        # dictionary-sized.
+        t = (
+            edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+            .select("subj_id", "pred", "obj_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        und = (
+            t.select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+            .unionByName(
+                t.select(
+                    F.col("obj_id").alias("a"), F.col("subj_id").alias("b")
+                )
+            )
+            .distinct()
+        )
+        frontier = _entity_ids(nodes, name).select(
+            F.col("node_id").alias("id")
+        )
+        seen = frontier
+        for _ in range(args.depth or 2):
+            frontier = (
+                und.join(F.broadcast(frontier), on=und["a"] == F.col("id"))
+                .select(F.col("b").alias("id"))
+                .distinct()
+            )
+            seen = seen.unionByName(frontier).distinct()
+        keep = F.broadcast(seen)
+        names_df = nodes.select("node_id", "name")
+        res = (
+            t.join(
+                keep.withColumnRenamed("id", "subj_id"), on="subj_id",
+                how="left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("id", "obj_id"), on="obj_id",
+                how="left_semi",
+            )
+            .join(
+                names_df.withColumnRenamed("node_id", "subj_id"),
+                on="subj_id",
+            )
+            .withColumnRenamed("name", "subj")
+            .join(
+                names_df.withColumnRenamed("node_id", "obj_id"), on="obj_id"
+            )
+            .withColumnRenamed("name", "obj")
+            .select("subj", "pred", "obj")
+            .orderBy(F.asc("subj"), F.asc("pred"), F.asc("obj"))
             .limit(args.limit)
         )
     else:  # call_chain

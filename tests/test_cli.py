@@ -466,3 +466,65 @@ def test_layout_subcommand_rejects_unknown_column(capsys):
     assert rc == 2
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "unknown columns" in line["error"]
+
+
+def test_query_summary_entity_card(spark, built_wd, capsys):
+    """summary: the entity's facts ranked by inverse (pred, obj) frequency
+    — scores descend, every row is a real fact of the entity."""
+    rc = cli.main(["query", "--workdir", built_wd, "summary", "acme corp"])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert rows, "hub entity must have facts"
+    assert {"pred", "obj", "ifreq_x1e6"} <= set(rows[0])
+    scores = [r["ifreq_x1e6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 1_000_000 for s in scores)  # N*1e6/cnt >= 1e6
+
+
+def test_query_sources_citations(spark, built_wd, capsys):
+    """sources: per-pred citation list for a fact picked from the graph
+    itself; URL list sorted, capped at 5, counts consistent."""
+    rc = cli.main([
+        "sql", "--workdir", built_wd,
+        "SELECT sn.name AS a, onn.name AS b FROM edges e "
+        "JOIN nodes sn ON sn.node_id = e.subj_id "
+        "JOIN nodes onn ON onn.node_id = e.obj_id "
+        "WHERE e.pred NOT IN ('MENTIONS','LINKS_TO','HAS_TYPE') "
+        "ORDER BY e.n_occurrences DESC LIMIT 1",
+    ])
+    assert rc == 0
+    pair = _rows(capsys)[0]
+    rc = cli.main([
+        "query", "--workdir", built_wd, "sources",
+        f"{pair['a']}->{pair['b']}",
+    ])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert rows
+    for r in rows:
+        urls = r["sources"].split(", ")
+        assert len(urls) == min(r["n_urls"], 5)
+        assert urls == sorted(urls)
+        assert 1 <= r["n_urls"] <= r["n_sites"]
+    # malformed arg -> error contract
+    rc = cli.main(["query", "--workdir", built_wd, "sources", "no-arrow"])
+    assert rc == 2
+
+
+def test_query_subgraph_evidence_cut(spark, built_wd, capsys):
+    """subgraph: induced 2-hop edge set includes the seed's own facts and
+    only name-resolved open relations."""
+    rc = cli.main([
+        "query", "--workdir", built_wd, "subgraph", "acme corp",
+        "--limit", "10000",
+    ])
+    assert rc == 0
+    rows = _rows(capsys)
+    assert rows
+    assert {"subj", "pred", "obj"} <= set(rows[0])
+    assert any(
+        r["subj"] == "acme corp" or r["obj"] == "acme corp" for r in rows
+    )
+    assert not {r["pred"] for r in rows} & {
+        "MENTIONS", "LINKS_TO", "HAS_TYPE"
+    }
