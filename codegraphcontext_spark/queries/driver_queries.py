@@ -7301,3 +7301,71 @@ def search_hard_negatives(spark, sf_dir):
         )
         .orderBy(F.asc("query"), F.asc("rank"))
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@_q(
+    "events_cohort_matrix",
+    f"""WITH e AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk
+                   FROM events WHERE user_id IS NOT NULL),
+    first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+    sizes AS (SELECT cohort_wk, COUNT(*) AS n_cohort
+              FROM first GROUP BY cohort_wk),
+    act AS (SELECT f.cohort_wk, e.wk - f.cohort_wk AS age_wk,
+                   COUNT(DISTINCT e.user_id) AS n_active
+            FROM e JOIN first f ON f.user_id = e.user_id
+            GROUP BY f.cohort_wk, e.wk - f.cohort_wk)
+    SELECT CAST(a.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(a.age_wk AS BIGINT) AS age_wk,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(a.n_active * 1000000 // s.n_cohort AS BIGINT)
+             AS retention_x1e6
+    FROM act a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+    ORDER BY cohort_wk ASC, age_wk ASC""",
+)
+def events_cohort_matrix(spark, sf_dir):
+    """Full weekly cohort-retention triangle — the matrix view behind the
+    D1/D7 scalars of events_retention: users bucketed by first-seen week,
+    each cell the share of the cohort active at week-age k. Weeks are
+    epoch-aligned integer buckets (epoch_us DIV 7 days) rather than
+    calendar date_trunc, so both engines (and any session timezone) agree
+    bit-for-bit; the cell ratio is an exact integer rational.
+
+    Scale shape: the first-seen aggregate and the (cohort, age) rollup are
+    both map-side-combinable over user-keyed shuffles — the SAME key
+    layout, so AQE reuses the exchange for the self-join; the matrix
+    itself is (weeks x weeks)-sized, dictionary-scale. The distinct-user
+    count expands within (cohort, age) groups only. Null user_ids (the
+    anonymous-traffic rows) are excluded on BOTH engines up front."""
+    ev = _fan_out(_t(spark, sf_dir, "events").select("user_id", "ts"))
+    e = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_WEEK_US}").alias(
+            "wk"
+        ),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    act = (
+        e.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(sizes, "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("bigint").alias("cohort_wk"),
+            F.col("age_wk").cast("bigint").alias("age_wk"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.expr("CAST(n_active * 1000000L div n_cohort AS BIGINT)").alias(
+                "retention_x1e6"
+            ),
+        )
+        .orderBy(F.asc("cohort_wk"), F.asc("age_wk"))
+    )

@@ -27,12 +27,26 @@ EVENTS_SCHEMA = (
 )
 
 
-def windowed_counts(events: DataFrame, watermark: str, window: str) -> DataFrame:
+def windowed_counts(
+    events: DataFrame,
+    watermark: str,
+    window: str,
+    slide: str | None = None,
+) -> DataFrame:
     """The aggregation shared by the stream and its batch twin: per
-    (time-window, event_type) counts and value sums."""
+    (time-window, event_type) counts and value sums. With ``slide`` the
+    windows HOP (each event lands in window/slide overlapping windows —
+    the burst-across-a-boundary view; the batch oracle twin is
+    ``events_hopping_counts``); without, they tumble. Watermark eviction
+    is identical either way: state per OPEN window, emitted when the
+    watermark passes its end — a hop ratio of k holds k windows open per
+    key instead of 1, still O(windows in flight)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
@@ -54,6 +68,7 @@ def events_windowed_stream(
     checkpoint_dir: str,
     watermark: str = "1 hour",
     window: str = "1 day",
+    slide: str | None = None,
     once: bool = True,
     processing_time: str = "2 seconds",
 ) -> Any:
@@ -68,7 +83,7 @@ def events_windowed_stream(
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(watch_dir)
     )
-    agg = windowed_counts(stream, watermark, window)
+    agg = windowed_counts(stream, watermark, window, slide)
     writer = (
         agg.writeStream.format("parquet")
         .option("path", out_dir)

@@ -193,3 +193,20 @@ def test_hard_negatives_band_geometry(spark):
         min_pos = min(r["relevance"] for r in rs if r["band"] == "pos")
         max_neg = max(r["relevance"] for r in rs if r["band"] == "hard_neg")
         assert min_pos >= max_neg
+
+
+def test_cohort_matrix_age_zero_is_full_cohort(spark):
+    rows = _queries()["events_cohort_matrix"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["age_wk"] >= 0
+        assert 1 <= r["n_active"] <= r["n_cohort"]
+        assert (
+            r["retention_x1e6"]
+            == r["n_active"] * 1_000_000 // r["n_cohort"]
+        )
+        # a user's first-seen week makes them active at age 0 by definition
+        if r["age_wk"] == 0:
+            assert r["n_active"] == r["n_cohort"]
+            assert r["retention_x1e6"] == 1_000_000
+    assert any(r["age_wk"] == 0 for r in rows)

@@ -92,3 +92,52 @@ def test_watermark_drops_late_and_finalizes_windows(spark, tmp_path):
     # Day-3 window cannot have finalized (watermark ends below its end).
     assert (3, "buy") not in got
     assert len(got) == 2
+
+
+def test_hopping_windows_emit_each_event_twice(spark, tmp_path):
+    """slide=30min under window=1h: every finalized event is counted in
+    exactly TWO overlapping windows (the hopping geometry the batch
+    oracle twin events_hopping_counts pins at corpus scale), windows are
+    1h long on a 30-min start grid, and late finalization still follows
+    the watermark."""
+    watch = str(tmp_path / "incoming_hop")
+    out = str(tmp_path / "out_hop")
+    ckpt = str(tmp_path / "ckpt_hop")
+    os.makedirs(watch)
+    t = lambda h, m: dt.datetime(2025, 3, 1, h, m, tzinfo=_D)  # noqa: E731
+
+    pq.write_table(
+        _events_table(
+            [
+                (1, t(10, 5), "click", 1.0),
+                (2, t(10, 20), "click", 2.0),
+                (3, t(10, 40), "view", 3.0),
+                (4, t(11, 50), "click", 4.0),
+                # watermark pusher: 13:00 - 10min watermark = 12:50, past
+                # the 12:30 end of event 4's latest window
+                (9, t(13, 0), "buy", 0.0),
+            ]
+        ),
+        os.path.join(watch, "f1.parquet"),
+    )
+    q = events_windowed_stream(
+        spark, watch, out, ckpt,
+        watermark="10 minutes", window="1 hour", slide="30 minutes",
+        once=True,
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    assert rows, "finalized hopping windows expected"
+    half_us = 1_800_000_000
+    total = 0
+    for r in rows:
+        start, end = r["win_start"], r["win_end"]
+        assert (end - start) == dt.timedelta(hours=1)
+        assert (
+            int(start.replace(tzinfo=_D).timestamp() * 1_000_000) % half_us
+            == 0
+        )
+        assert r["event_type"] != "buy"  # pusher's windows not finalized
+        total += r["n_events"]
+    # 4 finalized events x 2 windows each
+    assert total == 8
