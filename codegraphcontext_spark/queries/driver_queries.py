@@ -589,7 +589,13 @@ def dedup_shingle_pairs(spark, sf_dir):
     hottest shingle's df). The cap bounds per-shingle fanout at C(K,2) and
     the Jaccard denominator counts only kept (discriminative) shingles, on
     both the Spark and oracle sides."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
+    return _shingle_pairs_from(_shingles(_t(spark, sf_dir, "documents")))
+
+
+def _shingle_pairs_from(sh: DataFrame) -> DataFrame:
+    """The df-capped inverted-index pair join over a (doc_id, shingle)
+    frame — shared by dedup_shingle_pairs and er_blocking_quality so the
+    audit reuses one shingle scan instead of re-exploding the corpus."""
     keep = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -653,7 +659,10 @@ def dedup_minhash_sig(spark, sf_dir):
     so no per-doc shingle array is ever materialized or shuffled — the
     100 TB-safe shape. The oracle's collect-then-list_min form is the same
     min over the same distinct-shingle set."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
+    return _minhash_from(_shingles(_t(spark, sf_dir, "documents")))
+
+
+def _minhash_from(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
@@ -5129,13 +5138,18 @@ def er_blocking_quality(spark, sf_dir):
     consumers (own count + the intersection); at bench scale they are KB.
     """
     docs = _t(spark, sf_dir, "documents")
+    # ONE shingle explode feeds BOTH legs (truth pairs + minhash
+    # signatures); without the shared checkpoint the corpus-wide
+    # tokenize+shingle pass runs twice — the same recompute class the
+    # capped-shingle checkpoint inside _shingle_pairs_from eliminates
+    sh = _shingles(docs).localCheckpoint(eager=True)
     truth = (
-        dedup_shingle_pairs(spark, sf_dir)
+        _shingle_pairs_from(sh)
         .where(F.col("jaccard_x1e6") >= _ERB_JX)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    sig = dedup_minhash_sig(spark, sf_dir)
+    sig = _minhash_from(sh)
     bands = None
     for k in range(_N_MINHASH_Q):
         b = sig.select(
