@@ -7383,3 +7383,118 @@ def events_cohort_matrix(spark, sf_dir):
         )
         .orderBy(F.asc("cohort_wk"), F.asc("age_wk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog over the agreed hash — the register-sketch leg of the
+# distinct-count family (KMV = order-statistics leg, this = bit-pattern leg)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 6                      # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 20                 # observable-window bits feeding rho
+_HLL_W = 1 << _HLL_WBITS
+_HLL_RMAX = _HLL_WBITS + 1      # rho range: 1..21 (21 = all-zero window)
+# alpha_64 * m^2 = 0.709 * 4096 = 2904.064 — kept as an exact rational so
+# the estimate is integer-identical on both engines
+_HLL_ALPHA_NUM = 2904064
+_HLL_ALPHA_DEN = 1000
+
+
+@_q(
+    "events_distinct_hll",
+    f"""WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (SELECT event_type, h % {_HLL_M} AS bucket,
+                 (h // {_HLL_M}) % {_HLL_W} AS w
+          FROM h),
+    regs AS (SELECT event_type, bucket,
+                    MAX(CASE WHEN w = 0 THEN {_HLL_RMAX}
+                             ELSE {_HLL_RMAX} - length(bin(w)) END) AS reg
+             FROM b GROUP BY event_type, bucket),
+    s AS (SELECT event_type,
+                 COUNT(*) AS n_hit,
+                 SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - reg)) AS s_hit
+          FROM regs GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS nd
+           FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+    SELECT s.event_type,
+           CAST(ex.nd AS BIGINT) AS n_distinct_exact,
+           CAST({_HLL_ALPHA_NUM} * (CAST(1 AS BIGINT) << {_HLL_RMAX})
+                // ({_HLL_ALPHA_DEN} *
+                    (s.s_hit + ({_HLL_M} - s.n_hit)
+                               * (CAST(1 AS BIGINT) << {_HLL_RMAX})))
+                AS BIGINT) AS est_distinct,
+           CAST(s.n_hit AS BIGINT) AS n_buckets
+    FROM s JOIN ex ON ex.event_type = s.event_type
+    ORDER BY s.event_type""",
+)
+def events_distinct_hll(spark, sf_dir):
+    """HyperLogLog distinct-count sketch per event type, hand-rolled over
+    the engine's agreed 48-bit md5 hash so Spark and DuckDB compute the
+    SAME registers (the engines' built-in HLLs — approx_count_distinct /
+    approx_distinct — hash differently and can never be oracle-compared;
+    this one can, because every step is integer/string arithmetic on the
+    shared hash). Register layout: low 6 bits pick one of m=64 buckets,
+    the next 20 bits are the observed window w, rho(w) = leading zeros in
+    the 20-bit window + 1 computed EXACTLY as 21 - length(bin(w)) (bin()
+    drops leading zeros identically on both engines; w=0 => rho=21).
+    Estimate = alpha_64 * m^2 / sum(2^-reg) with empty buckets at reg=0,
+    evaluated in scaled-integer form (alpha as the exact rational
+    2904064/1000, the harmonic sum left-shifted by RMAX=21) so there is no
+    float anywhere — both engines floor-divide the same integers.
+
+    Why both KMV and HLL: KMV (events_distinct_kmv) is the order-statistics
+    sketch (exact below K, easy quantile reuse); HLL is the register sketch
+    — 64 bytes per group no matter the cardinality, and the merge is a
+    pairwise register MAX, which at 100 TB is a map-side combinable
+    groupBy(bucket).max(reg): each of 1000 executors reduces its splits to
+    <= 64 rows per group before the shuffle, so the exchange carries
+    O(groups x 64) rows total, independent of row count. The exact
+    distinct count rides along as the verification column (it, not the
+    sketch, is the expensive leg — the point of the operator).
+
+    Reference analog: none (CodeGraphContext counts exactly in Cypher);
+    task addendum's sketch family, register leg."""
+    events = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT)"
+    )
+    b = events.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        ((h / F.lit(_HLL_M)).cast("bigint") % _HLL_W).alias("w"),
+    )
+    regs = b.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(_HLL_RMAX)).otherwise(
+                F.lit(_HLL_RMAX) - F.length(F.expr("bin(w)"))
+            )
+        ).alias("reg")
+    )
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RMAX} - reg)")).alias("s_hit"),
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd")
+    )
+    est = F.expr(
+        f"CAST({_HLL_ALPHA_NUM} * shiftleft(1L, {_HLL_RMAX}) div "
+        f"({_HLL_ALPHA_DEN} * (s_hit + ({_HLL_M} - n_hit) * "
+        f"shiftleft(1L, {_HLL_RMAX}))) AS BIGINT)"
+    )
+    return (
+        s.join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("nd").cast("bigint").alias("n_distinct_exact"),
+            est.alias("est_distinct"),
+            F.col("n_hit").cast("bigint").alias("n_buckets"),
+        )
+        .orderBy("event_type")
+    )

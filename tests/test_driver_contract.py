@@ -995,3 +995,46 @@ def test_dsir_sample_shifts_toward_target(spark):
     j = samp.join(docs, "doc_id")
     samp_en = j.where("lang = 'en'").count() / j.count()
     assert samp_en > raw_en
+
+
+def test_hll_matches_pure_python_registers(spark):
+    """The distributed HLL must agree exactly with a pure-Python register
+    simulation over the same md5-prefix hashes — pinning the bucket split,
+    the bin()-based rho, and the scaled-integer estimate — and the estimate
+    must be a real estimate (within 40% of exact at m=64)."""
+    import hashlib
+
+    from codegraphcontext_spark.queries.driver_queries import (
+        _HLL_ALPHA_DEN,
+        _HLL_ALPHA_NUM,
+        _HLL_M,
+        _HLL_RMAX,
+        _HLL_W,
+        events_distinct_hll,
+    )
+
+    rows = {r.event_type: r for r in events_distinct_hll(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pdf = (
+        ev.where("user_id IS NOT NULL")
+        .select("event_type", "user_id")
+        .toPandas()
+    )
+    for et, grp in pdf.groupby("event_type"):
+        regs: dict[int, int] = {}
+        seen = set()
+        for uid in grp["user_id"]:
+            seen.add(int(uid))
+            h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:12], 16)
+            bucket, w = h % _HLL_M, (h // _HLL_M) % _HLL_W
+            rho = _HLL_RMAX if w == 0 else _HLL_RMAX - len(bin(w)[2:])
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        s_hit = sum(1 << (_HLL_RMAX - r) for r in regs.values())
+        s_all = s_hit + (_HLL_M - len(regs)) * (1 << _HLL_RMAX)
+        est = _HLL_ALPHA_NUM * (1 << _HLL_RMAX) // (_HLL_ALPHA_DEN * s_all)
+        r = rows[et]
+        assert r.n_buckets == len(regs), et
+        assert r.est_distinct == est, et
+        assert r.n_distinct_exact == len(seen), et
+        # accuracy: HLL std error ~ 1.04/sqrt(64) = 13%; allow 40%
+        assert abs(r.est_distinct - r.n_distinct_exact) <= 0.4 * r.n_distinct_exact
