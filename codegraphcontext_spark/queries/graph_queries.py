@@ -6475,3 +6475,72 @@ def kg_triple_pr_by_pred(spark, sf_dir):
         )
         .orderBy(F.asc("pred"))
     )
+
+
+@_q(
+    "kg_graph_butterflies",
+    f"""{_G_CTE},
+    men AS (SELECT DISTINCT subj_id AS d, obj_id AS e
+            FROM edges WHERE pred = 'MENTIONS'),
+    wedge AS (SELECT m1.e AS e1, m2.e AS e2, COUNT(*) AS c
+              FROM men m1 JOIN men m2
+                ON m2.d = m1.d AND m1.e < m2.e
+              GROUP BY m1.e, m2.e),
+    bf AS (SELECT e1, e2, c * (c - 1) // 2 AS b FROM wedge WHERE c >= 2),
+    per AS (SELECT e1 AS node_id, b FROM bf UNION ALL
+            SELECT e2, b FROM bf)
+    SELECT n.name, CAST(SUM(p.b) AS BIGINT) AS n_butterflies
+    FROM per p JOIN nodes n ON n.node_id = p.node_id
+    GROUP BY n.name
+    ORDER BY n_butterflies DESC, name ASC LIMIT 20""",
+)
+def kg_graph_butterflies(spark, sf_dir):
+    """Per-entity butterfly (bipartite 4-cycle) participation over the
+    doc--entity MENTIONS graph — the bipartite analog of
+    kg_graph_triangles: a butterfly is two documents that both mention the
+    same two entities (d1-e1-d2-e2), the smallest unit of bipartite
+    cohesion and the standard density motif for co-mention community
+    strength (Wang et al., butterfly counting in bipartite networks).
+
+    Counting is wedge-based from the DOCUMENT side: each doc emits its
+    C(deg_doc, 2) entity pairs, pairs are counted across docs, and a pair
+    co-mentioned by c docs closes C(c, 2) butterflies. The side choice is
+    the 100 TB decision — per-document entity degree is bounded by the
+    page length and the linker dictionary (dozens), while entity degree is
+    power-law unbounded (a hub entity sits in millions of pages); wedge
+    fanout is therefore sum(deg_doc^2) = bounded-per-row, never
+    sum(deg_entity^2), and the hub side is only ever a GROUP BY key. The
+    pair aggregate is map-side combinable; the per-entity rollup is a
+    second map-side-combinable groupBy; top-k compiles to
+    TakeOrderedAndProject. No driver-side state.
+
+    Reference analog: none (Neo4j has no bipartite motif primitive);
+    graph-analytics addendum alongside kg_graph_triangles/triads/truss."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    men = (
+        edges.where(F.col("pred") == "MENTIONS")
+        .select(F.col("subj_id").alias("d"), F.col("obj_id").alias("e"))
+        .distinct()
+    )
+    m1 = men.select("d", F.col("e").alias("e1"))
+    m2 = men.select("d", F.col("e").alias("e2"))
+    wedge = (
+        m1.join(m2, "d")
+        .where(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .withColumn("b", F.expr("c * (c - 1) div 2"))
+    )
+    per = wedge.select(F.col("e1").alias("node_id"), "b").unionByName(
+        wedge.select(F.col("e2").alias("node_id"), "b")
+    )
+    return (
+        per.groupBy("node_id")
+        .agg(F.sum("b").cast("bigint").alias("n_butterflies"))
+        .join(nodes.select("node_id", "name"), "node_id")
+        .groupBy("name")
+        .agg(F.sum("n_butterflies").cast("bigint").alias("n_butterflies"))
+        .orderBy(F.desc("n_butterflies"), F.asc("name"))
+        .limit(20)
+    )

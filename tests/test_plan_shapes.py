@@ -493,3 +493,13 @@ def test_hard_negatives_window_per_query_and_broadcast_weights(spark):
     # the rank window partitions per query term, never one global sort
     assert "hashpartitioning(query" in p or "hashpartitioning(term" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_butterflies_wedge_doc_keyed_topk(spark):
+    p = _plan(spark, "kg_graph_butterflies")
+    # the wedge self-join shuffles on the bounded-degree DOC side, the pair
+    # aggregate partial-aggregates map-side, and top-k never global-sorts
+    assert "hashpartitioning(d#" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
