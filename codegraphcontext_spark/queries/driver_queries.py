@@ -7498,3 +7498,63 @@ def events_distinct_hll(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram novelty by crawl order (Wimbd-style corpus analysis)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_novelty",
+    f"""{_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    first AS (SELECT MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    nov AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+            FROM first GROUP BY first_doc)
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(v.n_novel, 0) * 1000000 // s.n_shingles AS BIGINT)
+             AS novelty_x1e6
+    FROM sizes s LEFT JOIN nov v ON v.doc_id = s.doc_id
+    ORDER BY s.doc_id""",
+)
+def text_novelty(spark, sf_dir):
+    """Per-document n-gram novelty in crawl order (What's-In-My-Big-Data-
+    style corpus diagnostics): a document's novelty is the fraction of its
+    distinct word-3-gram shingles whose FIRST corpus occurrence (minimum
+    doc_id — the deterministic crawl-order stand-in) is this document.
+    Low-novelty late documents are templated/syndicated content the dedup
+    stack should be catching; the novelty-vs-position curve is the standard
+    "is the crawl saturating?" diagnostic for web-scale pretraining sets.
+
+    Scale shape: credit assignment needs NO doc-x-doc comparison — the
+    per-shingle MIN(doc_id) aggregate alone decides which document owns
+    each shingle, so the plan is two map-side-combinable groupBys (one
+    shingle-keyed, one doc-keyed) plus a doc-keyed join of two per-doc
+    aggregates; nothing quadratic, no inverted-index self-join. At 100 TB
+    the shingle agg is the same shuffle the MinHash signature pass already
+    pays, and the fraction is integer-exact (floor x1e6) on both engines.
+
+    Reference analog: none (corpus-quality addendum alongside
+    text_contamination / text_diversity)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nov = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sizes.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr("coalesce(n_novel, 0L) * 1000000L div n_shingles")
+            .cast("bigint")
+            .alias("novelty_x1e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4195,6 +4195,41 @@ def kg_graph_modularity(spark, sf_dir):
 # query kg_graph_components)
 # ---------------------------------------------------------------------------
 
+def _open_closure(edges: DataFrame) -> DataFrame:
+    """Transitive closure (a, b) of the open-relation entity graph by
+    semi-naive driver-loop iteration: join the running closure onto the
+    once-checkpointed adjacency, union, distinct, stop at fixpoint (the
+    kg_graph_closure shape without the depth cap). Bounded by |dict|^2
+    rows — the open-relation graph is entity-dictionary-sized, never
+    corpus-sized. Shared by kg_graph_scc and kg_graph_bowtie."""
+    adj = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = adj.select(
+        F.col("subj_id").alias("a"), F.col("obj_id").alias("b")
+    ).localCheckpoint(eager=True)
+    n_r = r.count()
+    while True:
+        r_new = (
+            r.join(adj.withColumnRenamed("obj_id", "nxt"), r.b == adj.subj_id)
+            .select("a", F.col("nxt").alias("b"))
+            .unionByName(r)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = r_new.count()
+        r = r_new
+        if n_new == n_r:
+            break
+        n_r = n_new
+    return r
+
 @_q(
     "kg_graph_scc",
     f"""WITH RECURSIVE
@@ -4244,32 +4279,7 @@ def kg_graph_scc(spark, sf_dir):
     Reference analog: none (Neo4j SCC lives in the GDS plugin, outside
     the reference's Cypher surface); natural next to components/truss."""
     nodes, edges = ensure_graph(spark, sf_dir)
-    adj = (
-        edges.where(
-            (~F.col("pred").isin(*_CLOSED_PREDS))
-            & (F.col("subj_id") != F.col("obj_id"))
-        )
-        .select("subj_id", "obj_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    r = adj.select(
-        F.col("subj_id").alias("a"), F.col("obj_id").alias("b")
-    ).localCheckpoint(eager=True)
-    n_r = r.count()
-    while True:
-        r_new = (
-            r.join(adj.withColumnRenamed("obj_id", "nxt"), r.b == adj.subj_id)
-            .select("a", F.col("nxt").alias("b"))
-            .unionByName(r)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_new = r_new.count()
-        r = r_new
-        if n_new == n_r:
-            break
-        n_r = n_new
+    r = _open_closure(edges)
     rev = r.select(F.col("b").alias("a"), F.col("a").alias("b"))
     mut = (
         r.join(rev, ["a", "b"])
@@ -6542,5 +6552,458 @@ def kg_graph_butterflies(spark, sf_dir):
         .groupBy("name")
         .agg(F.sum("n_butterflies").cast("bigint").alias("n_butterflies"))
         .orderBy(F.desc("n_butterflies"), F.asc("name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_graph_brokerage",
+    f"""{_G_CTE},
+    adj AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    und AS (SELECT a, b FROM adj UNION SELECT b, a FROM adj),
+    wed AS (SELECT u1.b AS u, u1.a AS w, u2.b AS v
+            FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b),
+    opn AS (SELECT wd.u, wd.w, wd.v FROM wed wd
+            LEFT JOIN und e ON e.a = wd.u AND e.b = wd.v
+            WHERE e.a IS NULL),
+    sig AS (SELECT u, v, COUNT(*) AS s FROM opn GROUP BY u, v),
+    sc AS (SELECT o.w AS node_id,
+                  SUM(1000000 // s.s) AS br
+           FROM opn o JOIN sig s ON s.u = o.u AND s.v = o.v
+           GROUP BY o.w)
+    SELECT n.name, CAST(sc.br AS BIGINT) AS brokerage_x1e6
+    FROM sc JOIN nodes n ON n.node_id = sc.node_id
+    ORDER BY brokerage_x1e6 DESC, name ASC LIMIT 20""",
+)
+def kg_graph_brokerage(spark, sf_dir):
+    """Local (ego) betweenness — brokerage — over the undirected open-
+    relation entity graph: for every non-adjacent pair (u, v) at distance
+    exactly 2, each of their sigma(u,v) common neighbors w brokers
+    1/sigma of the pair's shortest-path flow; w's brokerage is the sum of
+    its credits (Everett & Borgatti ego betweenness / Burt structural-hole
+    brokerage — the 1-hop-exact slice of Brandes betweenness, and the
+    standard web-KG measure of which entity bridges otherwise-unlinked
+    neighborhoods). Credits are integer-exact (floor 1e6/sigma) so both
+    engines agree bit-for-bit.
+
+    Scale shape: wedge enumeration fans out sum(deg^2) over the OPEN-
+    relation graph, which is entity-dictionary-sized (a closed dictionary,
+    not corpus-sized), so the self-join is bounded regardless of page
+    count; on an open-vocabulary web graph the standard guard is a
+    per-node neighbor cap before the wedge join (the butterflies/df-cap
+    pattern). The direct-edge exclusion is a left-anti hash join, the
+    sigma aggregate and the per-w rollup are both map-side combinable,
+    and top-k compiles to TakeOrderedAndProject.
+
+    Reference analog: none (Neo4j betweenness lives in the GDS plugin,
+    outside the reference's Cypher surface); graph-analytics addendum
+    alongside kg_graph_triangles / kg_graph_butterflies."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+    )
+    und = (
+        adj.unionByName(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w1 = und.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    w2 = und.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wed = w1.join(w2, "w").where(F.col("u") < F.col("v"))
+    opn = wed.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    sig = opn.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
+    sc = (
+        opn.join(sig, ["u", "v"])
+        .groupBy(F.col("w").alias("node_id"))
+        .agg(F.sum(F.expr("1000000 div s")).alias("br"))
+    )
+    return (
+        sc.join(nodes.select("node_id", "name"), "node_id")
+        .select("name", F.col("br").cast("bigint").alias("brokerage_x1e6"))
+        .orderBy(F.desc("brokerage_x1e6"), F.asc("name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "kg_graph_bowtie",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    r AS (SELECT subj_id AS a, obj_id AS b FROM adj
+          UNION
+          SELECT r.a, adj.obj_id FROM r JOIN adj ON adj.subj_id = r.b),
+    mut AS (SELECT x.a AS v, MIN(x.b) AS cyc_min
+            FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+            GROUP BY x.a),
+    lab AS (SELECT n.node_id, n.name,
+                   COALESCE(m.cyc_min, n.node_id) AS scc_id
+            FROM nodes n LEFT JOIN mut m ON m.v = n.node_id
+            WHERE n.node_type = 'Entity'),
+    core AS (SELECT scc_id FROM lab GROUP BY scc_id
+             ORDER BY COUNT(*) DESC, MIN(node_id) ASC LIMIT 1),
+    cm AS (SELECT node_id FROM lab JOIN core USING (scc_id)),
+    cls AS (SELECT l.name,
+                   CASE WHEN l.node_id IN (SELECT node_id FROM cm)
+                          THEN 'CORE'
+                        WHEN EXISTS (SELECT 1 FROM r JOIN cm
+                                       ON cm.node_id = r.b
+                                     WHERE r.a = l.node_id)
+                          THEN 'IN'
+                        WHEN EXISTS (SELECT 1 FROM r JOIN cm
+                                       ON cm.node_id = r.a
+                                     WHERE r.b = l.node_id)
+                          THEN 'OUT'
+                        ELSE 'OTHER' END AS cls
+            FROM lab l)
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           array_to_string(
+             list_slice(list(name ORDER BY name), 1, 8), ',') AS sample
+    FROM cls GROUP BY cls ORDER BY cls ASC""",
+)
+def kg_graph_bowtie(spark, sf_dir):
+    """Bow-tie decomposition of the open-relation entity graph (Broder et
+    al., "Graph structure in the Web" — THE macroscopic web-graph shape):
+    the largest SCC is the CORE; IN is everything that reaches the core
+    without belonging to it; OUT is everything the core reaches; OTHER is
+    the tendrils + disconnected remainder. (IN and OUT are provably
+    disjoint: a node with paths both into and out of the core is mutually
+    reachable with it, hence CORE.) The largest SCC ties break on
+    (size DESC, min node_id ASC) so both engines pick the same core.
+
+    Spark side: one transitive closure (shared _open_closure semi-naive
+    loop, dictionary-bounded), SCC labels as min mutual-reachability id,
+    then two broadcast semi-joins against the core member set classify
+    every node; the class rollup is a 4-group map-side-combinable
+    aggregate. The core set is SCC-sized (model-sized) — broadcasting it
+    is the point: classification never shuffles the node table.
+
+    Reference analog: none (web-graph analytics addendum alongside
+    kg_graph_scc / kg_graph_components)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    r = _open_closure(edges)
+    rev = r.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mut = (
+        r.join(rev, ["a", "b"])
+        .groupBy(F.col("a").alias("v"))
+        .agg(F.min("b").alias("cyc_min"))
+    )
+    lab = (
+        nodes.where(F.col("node_type") == "Entity")
+        .join(mut, nodes.node_id == mut.v, "left")
+        .select(
+            "node_id",
+            "name",
+            F.coalesce("cyc_min", "node_id").alias("scc_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    core_id = (
+        lab.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("node_id").alias("mn"))
+        .orderBy(F.desc("n"), F.asc("mn"))
+        .limit(1)
+        .collect()[0]["scc_id"]
+    )
+    cm = lab.where(F.col("scc_id") == core_id).select("node_id")
+    reaches_core = (
+        r.join(F.broadcast(cm.withColumnRenamed("node_id", "b")), "b")
+        .select(F.col("a").alias("node_id"))
+        .distinct()
+        .withColumn("_in", F.lit(True))
+    )
+    from_core = (
+        r.join(F.broadcast(cm.withColumnRenamed("node_id", "a")), "a")
+        .select(F.col("b").alias("node_id"))
+        .distinct()
+        .withColumn("_out", F.lit(True))
+    )
+    cls = (
+        lab.join(reaches_core, "node_id", "left")
+        .join(from_core, "node_id", "left")
+        .select(
+            "name",
+            F.when(F.col("scc_id") == core_id, "CORE")
+            .when(F.col("_in"), "IN")
+            .when(F.col("_out"), "OUT")
+            .otherwise("OTHER")
+            .alias("cls"),
+        )
+    )
+    return (
+        cls.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("name")), 1, 8), ","
+            ).alias("sample"),
+        )
+        .orderBy(F.asc("cls"))
+    )
+
+
+@_q(
+    "kg_graph_neighborhood",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    r AS (SELECT subj_id AS a, obj_id AS b, 1 AS d FROM adj
+          UNION ALL
+          SELECT r.a, adj.obj_id, r.d + 1
+          FROM r JOIN adj ON adj.subj_id = r.b WHERE r.d < 4),
+    md AS (SELECT a, b, MIN(d) AS d FROM r WHERE a <> b GROUP BY a, b),
+    ex AS (SELECT d AS hop, COUNT(*) AS n_new FROM md GROUP BY d),
+    hops AS (SELECT unnest(generate_series(1, 4)) AS hop)
+    SELECT CAST(h.hop AS BIGINT) AS hop,
+           CAST(COALESCE(e.n_new, 0) AS BIGINT) AS n_new_pairs,
+           CAST(SUM(COALESCE(e.n_new, 0))
+                  OVER (ORDER BY h.hop) AS BIGINT) AS n_pairs_cum,
+           CAST(SUM(COALESCE(e.n_new, 0)) OVER (ORDER BY h.hop) * 1000000
+                  // (SUM(COALESCE(e.n_new, 0)) OVER ()) AS BIGINT)
+             AS frac_x1e6
+    FROM hops h LEFT JOIN ex e ON e.hop = h.hop
+    ORDER BY hop""",
+)
+def kg_graph_neighborhood(spark, sf_dir):
+    """Neighborhood function N(h) of the open-relation entity graph for
+    h = 1..4 (ANF / HyperBall: Palmer et al., Boldi-Vigna) — the number of
+    ordered node pairs within h hops, new pairs per hop, and the cumulative
+    fraction of all <=4-hop-reachable pairs. The smallest h with frac >=
+    0.9 is the (truncated) effective diameter — the single number that
+    tells you whether the extracted KG is a small world or a chain of
+    islands, and the standard health check after an extraction-rule change.
+
+    Spark side: exact BFS by semi-naive frontier expansion — each hop
+    joins ONLY the fresh frontier onto the checkpointed adjacency and
+    anti-joins the seen set, so a pair is expanded exactly once (never the
+    full closure re-join); hop counts are map-side-combinable aggregates
+    and the 4-row hop frame pays one single-partition window (bounded by
+    construction). Exact distinct pairs are the TEST-scale choice: the
+    open-relation graph is entity-dictionary-sized, so |pairs| <= |dict|^2
+    is small. At open-vocabulary web scale the same loop swaps the exact
+    seen-set for the deterministic integer-HLL registers this repo already
+    ships (events_distinct_hll) — one 2^p-register sketch per node,
+    merged per hop: that is literally HyperBall, and the loop shape
+    (frontier join + per-node merge) is unchanged.
+
+    Reference analog: none (web-graph analytics addendum alongside
+    kg_graph_bowtie / kg_graph_closeness)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    adj = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = adj.localCheckpoint(eager=True)
+    frontier = seen
+    rows = seen.withColumn("d", F.lit(1))
+    for d in (2, 3, 4):
+        nxt = (
+            frontier.join(
+                adj.select(F.col("a").alias("b"), F.col("b").alias("nxt")),
+                "b",
+            )
+            .select("a", F.col("nxt").alias("b"))
+            .distinct()
+        )
+        fresh = nxt.join(seen, ["a", "b"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        rows = rows.unionByName(fresh.withColumn("d", F.lit(d)))
+        seen = seen.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    ex = (
+        rows.where(F.col("a") != F.col("b"))
+        .groupBy(F.col("d").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    hops = spark.range(1, 5).select(F.col("id").alias("hop"))
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("hop").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    filled = hops.join(ex, "hop", "left").select(
+        "hop", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    return filled.select(
+        F.col("hop").cast("bigint").alias("hop"),
+        F.col("n_new").cast("bigint").alias("n_new_pairs"),
+        F.sum("n_new").over(w_cum).cast("bigint").alias("n_pairs_cum"),
+        F.expr(
+            "CAST(sum(n_new) OVER (ORDER BY hop ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) * 1000000 div sum(n_new) OVER "
+            "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS BIGINT)"
+        ).alias("frac_x1e6"),
+    ).orderBy("hop")
+
+
+# regex shared verbatim by both engines (Java-regex ∩ RE2: no lookaround, no
+# backrefs); [^"]* cannot cross the closing quote and [^<]* cannot cross the
+# anchor's closing tag, so multi-anchor lines split correctly on both sides.
+_ANCHOR_RE = r'href="https?://([^/"]+)[^"]*">([^<]*)</a>'
+
+# RFC 3629 UTF-8 validity as a regex over hex(html) (uppercase hex pairs,
+# overlong/surrogate/out-of-range forms all rejected) — DuckDB 1.0 has no
+# lenient blob->string decode (CAST yields the \xNN-escaped literal form and
+# decode() throws on invalid bytes), so the oracle gates decode() behind this
+# exact validity test; verified byte-for-byte against Python's strict UTF-8
+# decoder over the full corpus incl. the non-UTF8 edge page.
+_UTF8_HEX_RE = (
+    "^([0-7][0-9A-F]"
+    "|C[2-9A-F][89AB][0-9A-F]"
+    "|D[0-9A-F][89AB][0-9A-F]"
+    "|E0[AB][0-9A-F][89AB][0-9A-F]"
+    "|E[1-9A-C][89AB][0-9A-F][89AB][0-9A-F]"
+    "|ED[89][0-9A-F][89AB][0-9A-F]"
+    "|E[EF][89AB][0-9A-F][89AB][0-9A-F]"
+    "|F0[9AB][0-9A-F]([89AB][0-9A-F]){2}"
+    "|F[1-3]([89AB][0-9A-F]){3}"
+    "|F48[0-9A-F]([89AB][0-9A-F]){2}"
+    ")*$"
+)
+
+
+@_q(
+    "kg_anchor_texts",
+    f"""WITH pages AS (SELECT * FROM
+           read_parquet('{_ORACLE_CORPUS}/pages.parquet/*.parquet')),
+    ok AS (SELECT url, warc_ts, html FROM pages
+           WHERE regexp_matches(hex(html), '{_UTF8_HEX_RE}')),
+    latest AS (SELECT url, decode(html) AS h
+               FROM (SELECT url, html,
+                            ROW_NUMBER() OVER (PARTITION BY url
+                              ORDER BY epoch_us(warc_ts) DESC,
+                                       md5(hex(html)) DESC) AS rn
+                     FROM ok) WHERE rn = 1),
+    pair AS (SELECT url,
+                    unnest(regexp_extract_all(h, '{_ANCHOR_RE}', 1)) AS domain,
+                    unnest(regexp_extract_all(h, '{_ANCHOR_RE}', 2)) AS anchor
+             FROM latest),
+    norm AS (SELECT url, domain, lower(trim(anchor)) AS anchor FROM pair
+             WHERE trim(anchor) <> ''),
+    per AS (SELECT domain, anchor, COUNT(*) AS n_occ
+            FROM norm GROUP BY domain, anchor),
+    agg AS (SELECT domain, COUNT(DISTINCT url) AS n_pages,
+                   COUNT(*) AS n_anchors
+            FROM norm GROUP BY domain),
+    top AS (SELECT domain, anchor, n_occ,
+                   ROW_NUMBER() OVER (PARTITION BY domain
+                     ORDER BY n_occ DESC, anchor ASC) AS rk
+            FROM per)
+    SELECT a.domain,
+           CAST(a.n_pages AS BIGINT) AS n_pages,
+           CAST(a.n_anchors AS BIGINT) AS n_anchors,
+           t.anchor AS top_anchor,
+           CAST(t.n_occ AS BIGINT) AS top_anchor_occ
+    FROM agg a JOIN top t ON t.domain = a.domain AND t.rk = 1
+    ORDER BY n_anchors DESC, a.domain ASC LIMIT 20""",
+)
+def kg_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation per target domain — the classic web-graph
+    naming signal (how the REST of the web refers to a site; anchor text
+    was early search's strongest relevance feature and is the standard
+    alias-mining source for web-KG entity naming). For each outlink target
+    domain: how many distinct pages link to it, total anchor occurrences,
+    and the dominant anchor text ((count DESC, text ASC) tie-break, so
+    both engines elect the same string).
+
+    UTF-8 contract: pages whose html is not valid UTF-8 contribute ZERO
+    anchors by definition on both engines (Spark try_validate_utf8 -> NULL;
+    the oracle gates decode() behind the exact RFC 3629 validity regex
+    _UTF8_HEX_RE over hex(html)) — never engine-lenient repair on one side
+    and a crash or escaped-literal text on the other. Snapshot contract: anchors count once per
+    url via the pipeline's latest-wins rule (warc_ts DESC, md5(hex(html)) DESC).
+
+    Scale shape: extraction is two scan-fused regexp_extract_all passes +
+    one bounded zip-explode (anchors per page are page-length-capped);
+    both rollups are map-side combinable keyed on the domain; the
+    dominant-anchor window partitions per domain over its own (domain,
+    anchor) aggregate — never a global sort; top-k compiles to
+    TakeOrderedAndProject. The latest-snapshot window partitions per url
+    (bounded by snapshots-per-url, ~2).
+
+    Reference analog: import_extractor.py's module-level import map —
+    re-expressed for the web: LINKS_TO edges carry the domain, anchors
+    carry the NAME the linker used."""
+    from pyspark.sql import Window
+
+    pages = spark.read.parquet(
+        os.path.join(graph_dir(sf_dir), "corpus", "pages.parquet")
+    )
+    w_latest = Window.partitionBy("url").orderBy(
+        F.desc(F.unix_micros(F.col("warc_ts").cast("timestamp"))),
+        F.desc(F.md5(F.hex("html"))),
+    )
+    latest = (
+        pages.withColumn("rn", F.row_number().over(w_latest))
+        .where(F.col("rn") == 1)
+        .select(
+            "url",
+            F.expr("try_validate_utf8(cast(html as string))").alias("h"),
+        )
+        .where(F.col("h").isNotNull())
+    )
+    pat = F.lit(_ANCHOR_RE)
+    norm = (
+        latest.select(
+            "url",
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all("h", pat, F.lit(1)).alias("domain"),
+                    F.regexp_extract_all("h", pat, F.lit(2)).alias("anchor"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "url",
+            F.col("z.domain").alias("domain"),
+            F.lower(F.trim(F.col("z.anchor"))).alias("anchor"),
+        )
+        .where(F.trim(F.col("z.anchor")) != "")
+    )
+    per = norm.groupBy("domain", "anchor").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    agg = norm.groupBy("domain").agg(
+        F.countDistinct("url").alias("n_pages"),
+        F.count(F.lit(1)).alias("n_anchors"),
+    )
+    w_top = Window.partitionBy("domain").orderBy(
+        F.desc("n_occ"), F.asc("anchor")
+    )
+    top = per.withColumn("rk", F.row_number().over(w_top)).where(
+        F.col("rk") == 1
+    )
+    return (
+        agg.join(top, "domain")
+        .select(
+            "domain",
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+            F.col("n_anchors").cast("bigint").alias("n_anchors"),
+            F.col("anchor").alias("top_anchor"),
+            F.col("n_occ").cast("bigint").alias("top_anchor_occ"),
+        )
+        .orderBy(F.desc("n_anchors"), F.asc("domain"))
         .limit(20)
     )

@@ -503,3 +503,42 @@ def test_butterflies_wedge_doc_keyed_topk(spark):
     assert p.count("HashAggregate") >= 2, p
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_brokerage_wedge_anti_join_topk(spark):
+    p = _plan(spark, "kg_graph_brokerage")
+    # the sigma and per-w rollups partial-aggregate and top-k never
+    # global-sorts (the direct-edge anti-join sits upstream of the
+    # checkpointed open-wedge frame, outside this plan)
+    assert p.count("HashAggregate") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_bowtie_core_probes_broadcast(spark):
+    p = _plan(spark, "kg_graph_bowtie")
+    # the SCC-sized core member set is broadcast into both reachability
+    # probes; classification never shuffles on a Cartesian
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_novelty_two_groupbys_no_self_join(spark):
+    p = _plan(spark, "text_novelty")
+    # credit assignment is per-shingle MIN + two per-doc aggregates — the
+    # plan must contain a shingle-keyed exchange but NO inverted-index
+    # self-join (no doc-x-doc comparison anywhere)
+    assert "hashpartitioning(shingle" in p, p
+    assert p.count("HashAggregate") >= 4, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p or "doc_id" in p
+
+
+def test_anchor_texts_windows_partitioned_topk(spark):
+    p = _plan(spark, "kg_anchor_texts")
+    # the latest-snapshot window partitions per url, the dominant-anchor
+    # window per domain — never a global sort; top-k compiles to top-k
+    assert "hashpartitioning(url" in p, p
+    assert "hashpartitioning(domain" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
