@@ -7558,3 +7558,92 @@ def text_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index materialization (the write path the search family implies)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "search_postings",
+    f"""{_TOKS_CTE},
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE length(term) >= 3 GROUP BY doc_id, term),
+    stats AS (SELECT term, COUNT(*) AS df, SUM(tf) AS cf FROM tf
+              GROUP BY term),
+    top AS (SELECT term, doc_id, tf,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                     ORDER BY tf DESC, doc_id ASC) AS rk
+            FROM tf),
+    heads AS (SELECT term,
+                     string_agg(doc_id || ':' || tf, ','
+                                ORDER BY rk) AS postings_head
+              FROM top WHERE rk <= 3 GROUP BY term)
+    SELECT s.term,
+           CAST(s.df AS BIGINT) AS df,
+           CAST(s.cf AS BIGINT) AS cf,
+           h.postings_head
+    FROM stats s JOIN heads h ON h.term = s.term
+    ORDER BY df DESC, s.term ASC LIMIT 50""",
+)
+def search_postings(spark, sf_dir):
+    """Inverted-index materialization — the WRITE path of the search stack
+    (reference graph_builder.py:81-85 builds a Lucene index at ingest;
+    kg_search_scored/_tfidf re-derive postings per query, which is the
+    right TEST shape but not what a production search tier does). Per term
+    (length >= 3 — the analyzer's min-gram rule): document frequency,
+    corpus frequency, and the head of its posting list ((tf DESC, doc_id
+    ASC) — impact order, the layout that lets a top-k query stop early).
+    The gate view is the df-ranked top slice; the production write is the
+    same frame, complete, written `bucketBy(term).sortBy(term, tf)` into
+    the warehouse so every search query becomes an exchange-free bucket
+    probe (the warehouse.py bucketed-join contract).
+
+    Scale shape: ONE token explode feeding one map-side-combinable
+    (doc, term) count; df/cf roll up from the tf table (never re-touching
+    text); the posting-head window partitions per term over its own
+    posting list — hub terms rank within their partition, never a global
+    sort; final top-k compiles to TakeOrderedAndProject.
+
+    Reference analog: graph_builder.py:81-85 (CREATE FULLTEXT INDEX)."""
+    tf = (
+        _tokens(_t(spark, sf_dir, "documents"))
+        .where(F.length("term") >= 3)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    heads = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return (
+        stats.join(heads, "term")
+        .select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("cf").cast("bigint").alias("cf"),
+            "postings_head",
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )

@@ -542,3 +542,13 @@ def test_anchor_texts_windows_partitioned_topk(spark):
     assert "hashpartitioning(domain" in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_postings_per_term_window_topk(spark):
+    p = _plan(spark, "search_postings")
+    # the posting-head window ranks per term over its own posting list
+    # (hub terms never force a global sort); final top-k is top-k
+    assert "hashpartitioning(term" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p
