@@ -7647,3 +7647,133 @@ def search_postings(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training on the corpus word-type table)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the 3-round BPE loop. Words are rendered
+    as guard-wrapped symbol strings (' a  b  c ': every symbol wrapped in
+    single spaces, so adjacent symbols meet on a DOUBLE space) — on that
+    representation SQL replace(' x  y ', ' xy ') is EXACTLY BPE's
+    leftmost-non-overlapping greedy merge, and a symbol that is a suffix or
+    prefix of another can never false-match across a boundary."""
+    word = (
+        "SELECT term AS word, COUNT(*) AS c FROM toks "
+        "WHERE regexp_matches(term, '^[a-z]{2,}$') GROUP BY term"
+    )
+    parts = [
+        f"{_TOKS_CTE}, w0 AS (SELECT word, c, "
+        "' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS r "
+        f"FROM ({word}))"
+    ]
+    for k in range(1, _BPE_ROUNDS + 1):
+        prev = k - 1
+        parts.append(
+            f"sy{k} AS (SELECT c, string_split(trim(r), '  ') AS s FROM w{prev}), "
+            f"pc{k} AS (SELECT s[i] AS s1, s[i+1] AS s2, SUM(c) AS cnt "
+            f"FROM sy{k}, LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g "
+            f"GROUP BY s[i], s[i+1]), "
+            f"b{k} AS (SELECT s1, s2, cnt FROM pc{k} "
+            f"ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1), "
+            f"w{k} AS (SELECT word, c, "
+            f"replace(r, ' ' || b.s1 || '  ' || b.s2 || ' ', "
+            f"' ' || b.s1 || b.s2 || ' ') AS r FROM w{prev} CROSS JOIN b{k} b)"
+        )
+        parts.append(
+            f"o{k} AS (SELECT {k} AS rank, s1 AS left_sym, s2 AS right_sym, "
+            f"s1 || s2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM o{k}" for k in range(1, _BPE_ROUNDS + 1))
+    return (
+        ", ".join(parts)
+        + f" SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, merged, "
+        f"pair_count FROM ({union}) ORDER BY rank"
+    )
+
+
+@_q("text_bpe_merges", _bpe_oracle_sql())
+def text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training — the first {n} merge rules induced from the
+    corpus (Sennrich et al. 2016, the algorithm behind GPT/Llama
+    tokenizers; `text_token_bpe` APPLIES a fixed rule set, this op LEARNS
+    the rules): per round, the most frequent adjacent symbol pair across
+    the weighted word-type table merges into one symbol, ties broken
+    (count DESC, pair ASC) so every engine, run, and parallelism elects
+    the same merge.
+
+    The trick that keeps both engines bit-identical: words are rendered as
+    guard-wrapped symbol strings (' a  b  c ' — each symbol wrapped in
+    single spaces, adjacent symbols meeting on a double space), on which
+    plain string replace(' x  y ' -> ' xy ') IS the leftmost-
+    non-overlapping greedy merge BPE specifies ('aaaa' under (a,a) becomes
+    [aa, aa], and a symbol that is a suffix of another can never
+    false-match across a boundary). No UDF anywhere — merge application
+    is one codegen replace per round.
+
+    Scale shape: the ONLY corpus-sized pass is the initial word-type
+    count (one map-side-combinable groupBy — the same shuffle every
+    tokenizer trainer pays once); all {n} rounds run over the word-TYPE
+    table, which is vocabulary-bounded regardless of corpus size. Pair
+    explode fans out |word| symbols per type; the argmax is a 1-row
+    model-sized collect per round (the MLlib centroids-on-driver shape),
+    and the learned rule re-enters the plan as a string literal.
+
+    Reference analog: none (LLM-data-pipeline addendum: the tokenizer-
+    training step between curation and packing)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        _tokens(docs)
+        .where(F.col("term").rlike("^[a-z]{2,}$"))
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "r",
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split("word", ""), "  "),
+                F.lit(" "),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                "c", F.split(F.trim(F.col("r")), "  ").alias("s")
+            )
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1), "
+                        "slice(s, 2, size(s) - 1), "
+                        "(a, b) -> struct(a as s1, b as s2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((k, best["s1"], best["s2"], best["s1"] + best["s2"], int(best["cnt"])))
+        words = words.withColumn(
+            "r",
+            F.expr(
+                f"replace(r, ' {best['s1']}  {best['s2']} ', "
+                f"' {best['s1']}{best['s2']} ')"
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "rank bigint, left_sym string, right_sym string, merged string, pair_count bigint"
+    ).orderBy("rank")

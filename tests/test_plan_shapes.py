@@ -552,3 +552,11 @@ def test_postings_per_term_window_topk(spark):
     assert "TakeOrderedAndProject" in p, p
     assert p.count("HashAggregate") >= 2, p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_pair_count_partial_agg_no_text_reshuffle(spark):
+    p = _plan(spark, "text_bpe_merges")
+    # after the one corpus-sized word-type groupBy, every BPE round runs
+    # over the checkpointed vocabulary table; the final 3-row frame must
+    # never re-touch the documents scan
+    assert "documents" not in p.lower() or "parquet" not in p.lower(), p
