@@ -7699,7 +7699,7 @@ def _bpe_oracle_sql() -> str:
 
 @_q("text_bpe_merges", _bpe_oracle_sql())
 def text_bpe_merges(spark, sf_dir):
-    """BPE tokenizer training — the first {n} merge rules induced from the
+    """BPE tokenizer training — the first _BPE_ROUNDS=3 merge rules induced from the
     corpus (Sennrich et al. 2016, the algorithm behind GPT/Llama
     tokenizers; `text_token_bpe` APPLIES a fixed rule set, this op LEARNS
     the rules): per round, the most frequent adjacent symbol pair across
@@ -7718,7 +7718,7 @@ def text_bpe_merges(spark, sf_dir):
 
     Scale shape: the ONLY corpus-sized pass is the initial word-type
     count (one map-side-combinable groupBy — the same shuffle every
-    tokenizer trainer pays once); all {n} rounds run over the word-TYPE
+    tokenizer trainer pays once); all 3 rounds run over the word-TYPE
     table, which is vocabulary-bounded regardless of corpus size. Pair
     explode fans out |word| symbols per type; the argmax is a 1-row
     model-sized collect per round (the MLlib centroids-on-driver shape),
@@ -7777,3 +7777,82 @@ def text_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         out, "rank bigint, left_sym string, right_sym string, merged string, pair_count bigint"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (near-dup contamination across train/val/test)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "curate_leakage",
+    f"""WITH cc AS (SELECT * FROM ({ORACLE_SQL["dedup_cc_clusters"]}) t),
+    sp AS (SELECT doc_id,
+                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                         THEN 'train'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+                         THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+    mem AS (SELECT cc.cluster_id, cc.doc_id, sp.split
+            FROM cc JOIN sp ON sp.doc_id = cc.doc_id),
+    big AS (SELECT cluster_id FROM mem GROUP BY cluster_id
+            HAVING COUNT(*) >= 2),
+    per AS (SELECT m.cluster_id,
+                   array_to_string(list_sort(list(DISTINCT m.split)), ',')
+                     AS split_set,
+                   COUNT(*) AS n_docs
+            FROM mem m JOIN big USING (cluster_id)
+            GROUP BY m.cluster_id)
+    SELECT split_set,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM per GROUP BY split_set ORDER BY split_set ASC""",
+)
+def curate_leakage(spark, sf_dir):
+    """Split-leakage audit: do near-duplicate clusters straddle the
+    train/val/test boundary? A hash split assigns DOCUMENTS independently,
+    so two near-copies of the same page routinely land in different splits
+    — the eval set then contains soft copies of training data and the
+    benchmark number is contaminated (the Lee et al. 2022 dedup paper's
+    core finding; the fix is assigning SPLITS AT CLUSTER GRAIN). For every
+    near-dup cluster (>= 2 members, from the oracle-checked MinHash-LSH +
+    connected-components stack), report its sorted distinct-split
+    signature: any multi-split row ('test,train', 'train,val', ...) is
+    leaked eval data, quantified in clusters and documents.
+
+    Scale shape: composes two already-bounded plans — the LSH/CC cluster
+    assignment (bucket-capped, never all-pairs) and the shuffle-free hash
+    split — with one cluster-keyed semi-join (>= 2 members) and two
+    map-side-combinable rollups; split sets are <= 3 elements by
+    construction. Nothing new touches text.
+
+    Reference analog: none (curation-audit addendum alongside
+    curate_split / dedup_cc_clusters; the audit that motivates
+    cluster-grain splitting in curate.py's chain)."""
+    cc = dedup_cc_clusters(spark, sf_dir)
+    sp = curate_split(spark, sf_dir)
+    mem = cc.join(sp, "doc_id")
+    big = (
+        mem.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("cluster_id")
+    )
+    per = (
+        mem.join(big, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("split")), ","
+            ).alias("split_set"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        per.groupBy("split_set")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.asc("split_set"))
+    )

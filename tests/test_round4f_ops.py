@@ -99,3 +99,17 @@ def test_brokerage_scores_positive_and_capped_by_pairs(spark):
     scores = [r["brokerage_x1e6"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_leakage_audit_finds_multi_split_clusters(spark):
+    rows = _queries()["curate_leakage"](spark, SF_DIR).collect()
+    assert rows, "no near-dup clusters at all?"
+    for r in rows:
+        splits = r["split_set"].split(",")
+        assert splits == sorted(splits)
+        assert set(splits) <= {"train", "val", "test"}
+        # every audited cluster has >= 2 members
+        assert r["n_docs"] >= 2 * r["n_clusters"] or len(splits) > 1
+    # the synthetic corpus plants near-dup families across hash splits —
+    # if NO multi-split row exists the audit lost its reason to exist
+    assert any("," in r["split_set"] for r in rows)
