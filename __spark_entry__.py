@@ -54,6 +54,9 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "text_zipf",
+    "curate_calibration",
+    "embed_quantize",
     "kg_search_fuzzy",
     "kg_incremental_pred_counts",
     "kg_graph_fuzzy_names",

@@ -5815,10 +5815,10 @@ def events_quantile_sample(spark, sf_dir):
 
 _CLF_D = 256  # hashed-feature buckets; the weight table is <= _CLF_D rows
 
-
-@_q(
-    "curate_clf_score",
-    f"""{_TOKS_CTE},
+# Shared oracle prefix for the hashed quality classifier: weak labels ->
+# bucket weights -> per-doc scores. curate_clf_score appends the score
+# projection; curate_calibration appends the decile-bucketed audit.
+_CLF_SC_CTE = f"""{_TOKS_CTE},
     m AS (SELECT doc_id, COUNT(*) AS n_tokens,
                  SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
                    AS stops,
@@ -5856,7 +5856,12 @@ _CLF_D = 256  # hashed-feature buckets; the weight table is <= _CLF_D rows
                        // (SUM(c) + 2) AS BIGINT) AS w
            FROM cnt JOIN lab USING (doc_id) GROUP BY b),
     sc AS (SELECT doc_id, SUM(c * w) AS swc, SUM(c) AS n
-           FROM cnt JOIN wt USING (b) GROUP BY doc_id)
+           FROM cnt JOIN wt USING (b) GROUP BY doc_id)"""
+
+
+@_q(
+    "curate_clf_score",
+    f"""{_CLF_SC_CTE}
     SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
            CAST(swc // n AS BIGINT) AS clf_score_x1e6,
            CAST(CASE WHEN swc // n >= 500000 THEN 1 ELSE 0 END AS BIGINT)
@@ -5886,6 +5891,21 @@ def curate_clf_score(spark, sf_dir):
 
     Reference analog: none (query addendum — training-data curation
     family; pairs with curate_train_labels / curate_documents)."""
+    sc = _clf_doc_scores(spark, sf_dir)
+    return sc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(swc DIV n AS BIGINT)").alias("clf_score_x1e6"),
+        F.expr(
+            "CAST(CASE WHEN swc DIV n >= 500000 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    ).orderBy(F.desc("clf_score_x1e6"), F.asc("doc_id"))
+
+
+def _clf_doc_scores(spark, sf_dir):
+    """(doc_id, swc, n, label): hashed-classifier train+infer core shared by
+    curate_clf_score (score projection) and curate_calibration (decile
+    audit) — one definition, so the two queries can never drift."""
     docs = _t(spark, sf_dir, "documents")
     toks = _tokens(docs)
     m = toks.groupBy("doc_id").agg(
@@ -5960,14 +5980,7 @@ def curate_clf_score(spark, sf_dir):
             F.sum("c").alias("n"),
         )
     )
-    return sc.select(
-        "doc_id",
-        F.col("n").cast("bigint").alias("n_tokens"),
-        F.expr("CAST(swc DIV n AS BIGINT)").alias("clf_score_x1e6"),
-        F.expr(
-            "CAST(CASE WHEN swc DIV n >= 500000 THEN 1 ELSE 0 END AS BIGINT)"
-        ).alias("keep"),
-    ).orderBy(F.desc("clf_score_x1e6"), F.asc("doc_id"))
+    return sc.join(lab, "doc_id")
 
 
 _BLOOM_M = 4096  # bits
@@ -7856,3 +7869,171 @@ def curate_leakage(spark, sf_dir):
         )
         .orderBy(F.asc("split_set"))
     )
+
+
+_ZIPF_K = 50  # rank-frequency rows in the audit (head of the distribution)
+
+
+@_q(
+    "text_zipf",
+    f"""{_TOKS_CTE},
+    tf AS (SELECT term, COUNT(*) AS freq FROM toks
+           WHERE term <> '' GROUP BY term),
+    tot AS (SELECT SUM(freq) AS total FROM tf),
+    top AS (SELECT term, freq FROM tf
+            ORDER BY freq DESC, term ASC LIMIT {_ZIPF_K}),
+    rk AS (SELECT term, freq,
+                  ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank,
+                  SUM(freq) OVER (ORDER BY freq DESC, term ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cumf,
+                  MAX(freq) OVER () AS f1
+           FROM top)
+    SELECT CAST(rank AS BIGINT) AS rank, term, CAST(freq AS BIGINT) AS freq,
+           CAST(cumf * 1000000 // total AS BIGINT) AS cum_ppm,
+           CAST(freq * rank * 1000000 // f1 AS BIGINT) AS zipf_ppm
+    FROM rk, tot ORDER BY rank""",
+)
+def text_zipf(spark, sf_dir):
+    """Rank-frequency (Zipf) audit of the corpus head: top-K terms with
+    cumulative token coverage (ppm) and the Zipf product freq*rank/f1
+    (~1e6 under an ideal s=1 Zipf law). The standard corpus-health gauge
+    for web-crawl curation (a boilerplate-dominated or deduplication-starved
+    crawl shows a too-flat head / too-high cum coverage); integer-only
+    output, no logs, so both engines hash identically.
+
+    100 TB shape: one map-side-combinable term count (the only full-corpus
+    pass), then TakeOrderedAndProject keeps K rows; the window functions run
+    on the K-row frame (single task, K=50) and the corpus-total scalar joins
+    back as a broadcast single row. No full sort of the term dictionary.
+
+    Reference analog: none (text-analysis addendum; pairs with
+    text_stats / text_diversity)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = tf.agg(F.sum("freq").cast("bigint").alias("total"))
+    top = tf.orderBy(F.desc("freq"), F.asc("term")).limit(_ZIPF_K)
+    w_rank = Window.orderBy(F.desc("freq"), F.asc("term"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()  # K-row frame: full-frame max is cheap
+    r = (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cumf", F.sum("freq").over(w_cum))
+        .withColumn("f1", F.max("freq").over(w_all))
+    )
+    return r.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "term",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.expr("CAST(cumf * 1000000 DIV total AS BIGINT)").alias("cum_ppm"),
+        F.expr("CAST(freq * rank * 1000000 DIV f1 AS BIGINT)").alias(
+            "zipf_ppm"
+        ),
+    ).orderBy(F.asc("rank"))
+
+
+@_q(
+    "curate_calibration",
+    f"""{_CLF_SC_CTE},
+    j AS (SELECT sc.doc_id, swc // n AS s, label
+          FROM sc JOIN lab USING (doc_id)),
+    cal AS (SELECT LEAST(s // 100000, 9) AS decile,
+                   COUNT(*) AS n_docs, SUM(label) AS n_pos, SUM(s) AS ss
+            FROM j GROUP BY 1)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_ppm,
+           CAST(ss // n_docs AS BIGINT) AS mean_score_x1e6
+    FROM cal ORDER BY decile""",
+)
+def curate_calibration(spark, sf_dir):
+    """Calibration curve of the hashed quality classifier: bucket documents
+    by predicted-score decile and report the observed weak-label positive
+    rate per bucket — the reliability diagram that decides whether the
+    keep-threshold (500000) is trustworthy before a 100 TB filter run.
+    Shares the classifier core (_clf_doc_scores / _CLF_SC_CTE) with
+    curate_clf_score, so the audited model IS the deployed model.
+
+    100 TB shape: everything after the shared classifier core is one
+    map-side-combinable aggregate down to <= 10 decile rows; no new
+    full-corpus pass beyond the core's token count.
+
+    Reference analog: none (curation-audit addendum; pairs with
+    curate_clf_score / curate_train_labels)."""
+    j = _clf_doc_scores(spark, sf_dir).select(
+        F.expr("CAST(swc DIV n AS BIGINT)").alias("s"), "label"
+    )
+    cal = j.groupBy(
+        F.expr("CAST(LEAST(s DIV 100000, 9) AS BIGINT)").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        F.sum("s").alias("ss"),
+    )
+    return cal.select(
+        "decile",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.expr("CAST(n_pos * 1000000 DIV n_docs AS BIGINT)").alias(
+            "pos_rate_ppm"
+        ),
+        F.expr("CAST(ss DIV n_docs AS BIGINT)").alias("mean_score_x1e6"),
+    ).orderBy(F.asc("decile"))
+
+
+@_q(
+    "embed_quantize",
+    f"""{_EMB_CTE},
+    st AS (SELECT i, MIN(CAST(x AS DOUBLE)) AS vmin,
+                  MAX(CAST(x AS DOUBLE)) AS vmax
+           FROM e GROUP BY i),
+    q0 AS (SELECT i, CAST(x AS DOUBLE) AS x0 FROM e WHERE vec_id = 0)
+    SELECT CAST(st.i AS BIGINT) AS dim,
+           CAST(ROUND(vmin * 1e6) AS BIGINT) AS min_x1e6,
+           CAST(ROUND(vmax * 1e6) AS BIGINT) AS max_x1e6,
+           CAST(ROUND((vmax - vmin) / 255 * 1e9) AS BIGINT) AS scale_x1e9,
+           CAST(CASE WHEN vmax = vmin THEN 0
+                ELSE ROUND((x0 - vmin) * 255 / (vmax - vmin))
+                END AS BIGINT) AS q0_code
+    FROM st JOIN q0 ON q0.i = st.i ORDER BY dim""",
+)
+def embed_quantize(spark, sf_dir):
+    """Per-dimension int8 affine quantization calibration (the
+    scalar-quantization companion to embed_pq): per dim the corpus min/max,
+    the derived affine scale, and vector 0's quantized code as the
+    round-trip probe. This is the calibration pass a 10^9-vector store runs
+    before switching its ANN shortlist to 1-byte-per-dim codes (4x smaller
+    than PQ's subspace centroids to train, exact to audit).
+
+    100 TB shape: per-dim min/max is ONE map-side-combinable aggregate over
+    the exploded (dim, value) stream — partial min/max per task, D=64 rows
+    out; the probe vector joins back as a broadcast D-row side. No shuffle
+    of raw vectors, no driver-side data beyond the D-row result.
+
+    Reference analog: none (embedding addendum; pairs with embed_pq /
+    embed_pq_rerank)."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    st = ex.groupBy("i").agg(
+        F.min("x").cast("double").alias("vmin"),
+        F.max("x").cast("double").alias("vmax"),
+    )
+    q0 = ex.where(F.col("vec_id") == 0).select(
+        "i", F.col("x").cast("double").alias("x0")
+    )
+    j = st.join(F.broadcast(q0), "i")
+    return j.select(
+        (F.col("i") + 1).cast("bigint").alias("dim"),
+        F.expr("CAST(ROUND(vmin * 1e6) AS BIGINT)").alias("min_x1e6"),
+        F.expr("CAST(ROUND(vmax * 1e6) AS BIGINT)").alias("max_x1e6"),
+        F.expr("CAST(ROUND((vmax - vmin) / 255 * 1e9) AS BIGINT)").alias(
+            "scale_x1e9"
+        ),
+        F.expr(
+            "CAST(CASE WHEN vmax = vmin THEN 0"
+            " ELSE ROUND((x0 - vmin) * 255 / (vmax - vmin)) END AS BIGINT)"
+        ).alias("q0_code"),
+    ).orderBy(F.asc("dim"))

@@ -1,0 +1,63 @@
+"""Semantic pins for the round-4h operator wave: Zipf rank-frequency audit,
+classifier calibration curve, and int8 affine quantization calibration.
+The oracle gate pins exact values at sf0.01; these pin the INVARIANTS
+(monotone coverage, decile partition completeness, code-range safety)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_zipf_head_is_monotone_and_bounded(spark):
+    """Ranks are 1..K dense; freq non-increasing; cumulative coverage is
+    strictly increasing and <= 1e6; the rank-1 Zipf product is exactly 1e6
+    (freq*1/f1 with f1 = max freq = rank-1 freq)."""
+    rows = (
+        _queries()["text_zipf"](spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    )
+    assert rows, "empty zipf head"
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    cums = [r.cum_ppm for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert cums[-1] <= 1_000_000
+    assert rows[0].zipf_ppm == 1_000_000
+
+
+def test_calibration_partitions_the_corpus_and_rates_bounded(spark):
+    """Decile rows partition the scored docs (sum n_docs == clf_score rows),
+    pos counts never exceed bucket sizes, and rates live in [0, 1e6]."""
+    q = _queries()
+    cal = q["curate_calibration"](spark, SF_DIR).collect()
+    n_scored = q["curate_clf_score"](spark, SF_DIR).count()
+    assert sum(r.n_docs for r in cal) == n_scored
+    for r in cal:
+        assert 0 <= r.decile <= 9
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0 <= r.pos_rate_ppm <= 1_000_000
+        assert r.pos_rate_ppm == r.n_pos * 1_000_000 // r.n_docs
+
+
+def test_quantize_codes_and_scales_are_in_range(spark):
+    """One row per dimension; min <= max; the probe vector's code is a
+    valid int8 bucket (0..255); scale is non-negative."""
+    rows = _queries()["embed_quantize"](spark, SF_DIR).collect()
+    dims = sorted(r.dim for r in rows)
+    assert dims == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.min_x1e6 <= r.max_x1e6
+        assert r.scale_x1e9 >= 0
+        assert 0 <= r.q0_code <= 255
