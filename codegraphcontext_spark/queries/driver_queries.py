@@ -3666,6 +3666,91 @@ def sample_mixture(spark, sf_dir):
     )
 
 
+@_q(
+    "sample_temperature",
+    """WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                  GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1000000))
+                      AS BIGINT) AS wgt
+          FROM n),
+    s AS (SELECT SUM(wgt) AS sw, SUM(n_docs) AS tot FROM w),
+    r AS (SELECT w.source, w.n_docs, w.wgt,
+                 CAST(w.wgt * 1000000 // s.sw AS BIGINT) AS share_ppm,
+                 LEAST(4096, ((s.tot // 2) * w.wgt // s.sw) * 4096
+                             // w.n_docs) AS rate_x4096
+          FROM w CROSS JOIN s),
+    kept AS (SELECT d.source, COUNT(*) AS n_kept
+             FROM documents d JOIN r USING (source)
+             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 3))
+                        AS INTEGER) < r.rate_x4096
+             GROUP BY d.source)
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.share_ppm AS BIGINT) AS share_ppm,
+           CAST(r.rate_x4096 AS BIGINT) AS rate_x4096,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN kept USING (source)
+    ORDER BY source""",
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling at T=2 (mT5 / multilingual-LM
+    source mixing, Xue 2021): source s gets sampling share proportional to
+    n_s^(1/T) = sqrt(n_s), the middle ground between natural proportions
+    (T=1, head crawls dominate) and the uniform balancing of sample_mixture
+    (T->inf analog). The total kept budget is half the corpus; per-source
+    keep-rate = budget * share / n_s, decided by the same deterministic
+    md5-nibble rule (third trio) in 1/4096 granularity — reproducible under
+    any partitioning. Weights are floor(sqrt(n*1e6)) integers: IEEE sqrt is
+    correctly rounded in both engines, so weights, shares, and rates are
+    bit-identical with no float-summation-order exposure.
+
+    Scale shape: identical to sample_mixture — one map-side-combinable
+    per-source count, a |sources|-row rate table broadcast into the probe,
+    keep predicate fused into the scan. No window, no driver state.
+
+    Reference analog: none (curation addendum; pairs with sample_mixture /
+    sample_stratified / curate.py's balance stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)"
+        ).alias("wgt"),
+    )
+    s = w.agg(F.sum("wgt").alias("sw"), F.sum("n_docs").alias("tot"))
+    r = w.crossJoin(s).select(
+        "source",
+        "n_docs",
+        F.expr("CAST(wgt * 1000000 DIV sw AS BIGINT)").alias("share_ppm"),
+        F.expr(
+            "LEAST(4096, ((tot DIV 2) * wgt DIV sw) * 4096 DIV n_docs)"
+        ).alias("rate_x4096"),
+    )
+    h3 = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 3), 16, 10) "
+        "AS BIGINT)"
+    )
+    kept = (
+        docs.join(r.select("source", "rate_x4096"), "source")
+        .where(h3 < F.col("rate_x4096"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("share_ppm").cast("bigint").alias("share_ppm"),
+            F.col("rate_x4096").cast("bigint").alias("rate_x4096"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # =============================================================================
 # K-means clustering over embeddings (exact-integer Lloyd iterations)
 # =============================================================================

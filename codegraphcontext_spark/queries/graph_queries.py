@@ -7007,3 +7007,107 @@ def kg_anchor_texts(spark, sf_dir):
         .orderBy(F.desc("n_anchors"), F.asc("domain"))
         .limit(20)
     )
+
+
+_RC_KS = (1, 2, 4, 8, 16, 32)  # degree thresholds in the rich-club sweep
+
+
+@_q(
+    "kg_graph_richclub",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    inc AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT v, COUNT(*) AS deg FROM inc GROUP BY v),
+    ks AS (SELECT UNNEST(ARRAY{list(_RC_KS)}) AS k),
+    nk AS (SELECT ks.k, COUNT(*) AS n_rich
+           FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k),
+    dm AS (SELECT LEAST(da.deg, db.deg) AS dmin
+           FROM und
+           JOIN deg da ON da.v = und.a
+           JOIN deg db ON db.v = und.b),
+    ek AS (SELECT ks.k, COUNT(*) AS n_edges
+           FROM dm JOIN ks ON dm.dmin > ks.k GROUP BY ks.k)
+    SELECT CAST(nk.k AS BIGINT) AS k,
+           CAST(nk.n_rich AS BIGINT) AS n_rich,
+           CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(2 * COALESCE(ek.n_edges, 0) * 1000000
+                // (nk.n_rich * (nk.n_rich - 1)) AS BIGINT) AS phi_ppm
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_rich >= 2 ORDER BY k""",
+)
+def kg_graph_richclub(spark, sf_dir):
+    """Rich-club coefficient sweep phi(k) over the open relation graph
+    (Zhou & Mondragon 2004; Colizza 2006): for each degree threshold k, the
+    realized fraction of possible edges among nodes of degree > k. A high
+    phi at large k means hub entities preferentially interlink — the
+    structural signal that decides whether hub-to-hub edges deserve their
+    own skew strategy (salting / broadcast tiers) in the pipeline's joins.
+
+    Scale shape: the threshold sweep never rescans the graph — both legs
+    reduce to HISTOGRAMS first (node-degree histogram; per-edge
+    min-endpoint-degree histogram via two node-keyed joins), and the k
+    sweep is a broadcast cross-join over those dictionary-sized histograms.
+    One edge-list pass + two histogram aggregates total, any number of
+    thresholds.
+
+    Reference analog: none (graph-analytics addendum alongside
+    kg_graph_assortativity / kg_graph_kcore)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree AND the dmin joins
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    hist_n = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("cn"))
+    nk = (
+        hist_n.crossJoin(F.broadcast(ks))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cn").alias("n_rich"))
+    )
+    da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da")
+    db = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db")
+    hist_e = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(F.least("da", "db").alias("dmin"))
+        .groupBy("dmin")
+        .agg(F.count(F.lit(1)).alias("ce"))
+    )
+    ek = (
+        hist_e.crossJoin(F.broadcast(ks))
+        .where(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("ce").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .where(F.col("n_rich") >= 2)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.col("n_rich").cast("bigint").alias("n_rich"),
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.expr(
+                "CAST(2 * COALESCE(n_edges, 0) * 1000000"
+                " DIV (n_rich * (n_rich - 1)) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy(F.asc("k"))
+    )

@@ -61,3 +61,36 @@ def test_quantize_codes_and_scales_are_in_range(spark):
         assert r.min_x1e6 <= r.max_x1e6
         assert r.scale_x1e9 >= 0
         assert 0 <= r.q0_code <= 255
+
+
+def test_richclub_is_bounded_and_shrinks_with_k(spark):
+    """phi is a fraction of possible edges (<= 1e6 ppm); the rich set and
+    its internal edges can only shrink as the threshold k rises."""
+    rows = (
+        _queries()["kg_graph_richclub"](spark, SF_DIR)
+        .orderBy("k")
+        .collect()
+    )
+    assert rows, "empty rich-club sweep"
+    for r in rows:
+        assert 0 <= r.phi_ppm <= 1_000_000
+        assert r.n_edges <= r.n_rich * (r.n_rich - 1) // 2
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_rich <= a.n_rich
+        assert b.n_edges <= a.n_edges
+
+
+def test_temperature_shares_compress_natural_proportions(spark):
+    """T=2 shares preserve the source-size ORDER but compress the ratios:
+    for n_a >= n_b, share_a >= share_b yet share_a*n_b <= share_b*n_a
+    (sqrt flattening); shares sum to <= 1e6 (floor division)."""
+    rows = _queries()["sample_temperature"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    for a in rows:
+        assert 0 <= a.rate_x4096 <= 4096
+        assert a.n_kept <= a.n_docs
+        for b in rows:
+            if a.n_docs >= b.n_docs:
+                assert a.share_ppm >= b.share_ppm - 1  # floor slack
+                assert a.share_ppm * b.n_docs <= (b.share_ppm + 1) * a.n_docs
