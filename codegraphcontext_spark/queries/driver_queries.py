@@ -8122,3 +8122,177 @@ def embed_quantize(spark, sf_dir):
             " ELSE ROUND((x0 - vmin) * 255 / (vmax - vmin)) END AS BIGINT)"
         ).alias("q0_code"),
     ).orderBy(F.asc("dim"))
+
+
+@_q(
+    "events_scd2",
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                   FROM events
+                   WHERE user_id IS NOT NULL AND user_id < 20),
+    mk AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                            OR LAG(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS version
+            FROM mk),
+    iv AS (SELECT user_id, version, MIN(event_type) AS state,
+                  MIN(us) AS valid_from_us, COUNT(*) AS n_events
+           FROM isl GROUP BY user_id, version)
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(COALESCE(LEAD(valid_from_us)
+                           OVER (PARTITION BY user_id ORDER BY version),
+                         -1) AS BIGINT) AS valid_to_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM iv ORDER BY user_id, version""",
+)
+def events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from the event stream
+    (Kimball SCD2): per user, collapse consecutive runs of the same
+    event_type into versioned validity intervals [valid_from, valid_to)
+    (-1 = still current) via gaps-and-islands — the change-data-capture
+    shape every warehouse dimension load needs. Demo slice pins users
+    0..19 so the result is fixture-sized; production drops the filter.
+
+    100 TB shape: both windows partition BY USER over that user's own
+    rows (no global window); the island groupBy is map-side combinable on
+    (user, version); the final LEAD runs over the interval table, which is
+    |state changes| << |events|. One shuffle on user_id total — the
+    stream's native partitioning.
+
+    Reference analog: none (events addendum; the batch twin of the CDC
+    deltas runner.run_incremental emits — pairs with events_sessions)."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL AND user_id < 20")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("event_type").over(w)
+    mk = ev.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    isl = mk.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = isl.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
+        F.coalesce(F.lead("valid_from_us").over(w2), F.lit(-1))
+        .cast("bigint")
+        .alias("valid_to_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy(F.asc("user_id"), F.asc("version"))
+
+
+@_q(
+    "embed_drift",
+    """WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings),
+    q AS (SELECT vec_id, label, i,
+                 CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+          FROM e),
+    g AS (SELECT label, vec_id % 2 AS parity, i,
+                 SUM(xq) AS sxq, COUNT(*) AS n
+          FROM q GROUP BY label, parity, i),
+    c AS (SELECT label, parity, i,
+                 CAST(FLOOR(CAST(sxq AS DOUBLE) / n) AS BIGINT) AS cq,
+                 n
+          FROM g),
+    d AS (SELECT a.label,
+                 SUM((a.cq - b.cq) * (a.cq - b.cq)) AS l2sq,
+                 MIN(a.n) AS n_even, MIN(b.n) AS n_odd
+          FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+          WHERE a.parity = 0 AND b.parity = 1
+          GROUP BY a.label)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n_even AS BIGINT) AS n_even,
+           CAST(n_odd AS BIGINT) AS n_odd,
+           CAST(l2sq AS BIGINT) AS drift_l2sq_x1e12
+    FROM d ORDER BY label""",
+)
+def embed_drift(spark, sf_dir):
+    """Embedding-distribution drift check between two ingestion batches
+    (even vs odd vec_ids stand in for batch t vs t+1): per label, the
+    squared L2 distance between the batches' centroids in quantized
+    integer space — the monitoring gauge that catches encoder or corpus
+    drift before an index rebuild ships. Components quantize to
+    round(x*1e6) int64 BEFORE summation (the embed_kmeans trick), so sums
+    are exact integers under any partitioning; the per-dim mean divides
+    as FLOOR(double) on both engines (exact while |sum| < 2^53) and the
+    distance is pure integer arithmetic.
+
+    100 TB shape: ONE map-side-combinable groupBy over the exploded
+    (label, parity, dim) stream — 2*L*D rows out; the centroid join and
+    distance aggregate run on that model-sized table. No raw-vector
+    shuffle, nothing on the driver.
+
+    Reference analog: none (embedding addendum; pairs with embed_kmeans /
+    kg_pred_drift / events_drift)."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("parity"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "label",
+        "parity",
+        "i",
+        F.expr(
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("xq"),
+    )
+    g = q.groupBy("label", "parity", "i").agg(
+        F.sum("xq").alias("sxq"), F.count(F.lit(1)).alias("n")
+    )
+    c = g.select(
+        "label",
+        "parity",
+        "i",
+        F.expr("CAST(FLOOR(CAST(sxq AS DOUBLE) / n) AS BIGINT)").alias("cq"),
+        "n",
+    )
+    a = c.where(F.col("parity") == 0).select(
+        "label", "i", F.col("cq").alias("ca"), F.col("n").alias("n_even")
+    )
+    b = c.where(F.col("parity") == 1).select(
+        "label", "i", F.col("cq").alias("cb"), F.col("n").alias("n_odd")
+    )
+    d = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .alias("l2sq"),
+            F.min("n_even").alias("n_even"),
+            F.min("n_odd").alias("n_odd"),
+        )
+    )
+    return d.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n_even").cast("bigint").alias("n_even"),
+        F.col("n_odd").cast("bigint").alias("n_odd"),
+        F.col("l2sq").cast("bigint").alias("drift_l2sq_x1e12"),
+    ).orderBy(F.asc("label"))

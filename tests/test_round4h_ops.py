@@ -94,3 +94,49 @@ def test_temperature_shares_compress_natural_proportions(spark):
             if a.n_docs >= b.n_docs:
                 assert a.share_ppm >= b.share_ppm - 1  # floor slack
                 assert a.share_ppm * b.n_docs <= (b.share_ppm + 1) * a.n_docs
+
+
+def test_scd2_intervals_chain_and_partition_events(spark):
+    """Per user: versions are dense from 1; each interval's valid_to equals
+    the next interval's valid_from (-1 only on the last); interval event
+    counts sum to the user's filtered event count."""
+    import collections
+
+    rows = _queries()["events_scd2"](spark, SF_DIR).collect()
+    assert rows
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    ev = (
+        spark.read.parquet(SF_DIR + "/events.parquet")
+        .where("user_id IS NOT NULL AND user_id < 20")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n_ev = {r.user_id: r["count"] for r in ev}
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.valid_from_us < a.valid_to_us
+        assert ivs[-1].valid_to_us == -1
+        assert sum(r.n_events for r in ivs) == n_ev[uid]
+
+
+def test_embed_drift_counts_partition_labels(spark):
+    """Per label: the even/odd batch sizes sum to the label's vector count
+    and the squared centroid distance is non-negative."""
+    rows = _queries()["embed_drift"](spark, SF_DIR).collect()
+    assert rows
+    lab = {
+        r.label: r["count"]
+        for r in spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .groupBy("label")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        assert r.n_even + r.n_odd == lab[r.label]
+        assert r.drift_l2sq_x1e12 >= 0
