@@ -2288,9 +2288,10 @@ _FUZZY_GRAMS_SQL = (
 )
 
 
-@_q(
-    "kg_search_fuzzy",
-    f"""{_TOKS_CTE},
+# Shared oracle prefix for fuzzy term search: vocab -> needle scoring ->
+# per-needle ranking. kg_search_fuzzy appends the top-k projection;
+# search_fuzzy_eval appends the MRR/rank audit against the truth map.
+_FUZZY_RANKED_CTE = f"""{_TOKS_CTE},
     vocab AS (
       SELECT term, COUNT(DISTINCT doc_id) AS n_docs FROM toks
       WHERE term <> '' GROUP BY term),
@@ -2310,7 +2311,12 @@ _FUZZY_GRAMS_SQL = (
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY needle
                ORDER BY jaccard_x1e6 DESC, n_docs DESC, term ASC) AS rnk
-      FROM scored WHERE jaccard_x1e6 >= {_FUZZY_MIN_J})
+      FROM scored WHERE jaccard_x1e6 >= {_FUZZY_MIN_J})"""
+
+
+@_q(
+    "kg_search_fuzzy",
+    f"""{_FUZZY_RANKED_CTE}
     SELECT needle, term, n_docs, jaccard_x1e6, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= {_FUZZY_TOPK}
     ORDER BY needle ASC, rnk ASC""",
@@ -8296,3 +8302,175 @@ def embed_drift(spark, sf_dir):
         F.col("n_odd").cast("bigint").alias("n_odd"),
         F.col("l2sq").cast("bigint").alias("drift_l2sq_x1e12"),
     ).orderBy(F.asc("label"))
+
+
+# Each needle's intended vocabulary term — the relevance judgment for the
+# fuzzy-search quality eval (one-character corruptions of real terms).
+_FUZZY_TRUTH = (
+    ("fliter", "filter"),
+    ("streem", "stream"),
+    ("windw", "window"),
+    ("qery", "query"),
+)
+_FUZZY_TRUTH_SQL = ", ".join(f"('{n}', '{t}')" for n, t in _FUZZY_TRUTH)
+
+
+@_q(
+    "search_fuzzy_eval",
+    f"""{_FUZZY_RANKED_CTE},
+    topk AS (SELECT * FROM ranked WHERE rnk <= {_FUZZY_TOPK}),
+    truth AS (SELECT * FROM (VALUES {_FUZZY_TRUTH_SQL})
+              AS t(needle, truth)),
+    hit AS (SELECT t.needle, t.truth, MIN(k.rnk) AS rank_truth
+            FROM truth t LEFT JOIN topk k
+              ON k.needle = t.needle AND k.term = t.truth
+            GROUP BY t.needle, t.truth),
+    best AS (SELECT needle, term AS best_term FROM topk WHERE rnk = 1)
+    SELECT h.needle, h.truth, b.best_term,
+           CAST(COALESCE(h.rank_truth, -1) AS BIGINT) AS rank_truth,
+           CAST(CASE WHEN h.rank_truth IS NULL THEN 0
+                ELSE 1000000 // h.rank_truth END AS BIGINT) AS rr_x1e6
+    FROM hit h JOIN best b ON b.needle = h.needle
+    ORDER BY h.needle""",
+)
+def search_fuzzy_eval(spark, sf_dir):
+    """Retrieval-quality eval of the fuzzy search (the audit a search
+    stack runs before shipping a ranker change): each needle is a known
+    one-character corruption of a vocabulary term; report where the true
+    term lands in the fuzzy ranking (reciprocal rank x1e6, -1 = missed
+    the top-k) plus the actual top hit. MRR over the needle set is the
+    headline retrieval metric (Voorhees 1999); keeping per-needle rows
+    makes regressions attributable to a query, not just a mean.
+
+    Scale shape: composes kg_search_fuzzy's plan (one vocab aggregate +
+    broadcast needle scoring) with a |needles|-row truth table join —
+    the eval adds nothing corpus-sized.
+
+    Reference analog: the reference trusts Lucene's fuzzy scoring
+    untested (graph_builder.py:81-85); this measures ours."""
+    tk = kg_search_fuzzy(spark, sf_dir).select("needle", "term", "rnk")
+    truth = spark.createDataFrame(
+        list(_FUZZY_TRUTH), "needle string, truth string"
+    )
+    t, k = truth.alias("t"), tk.alias("k")
+    hit = (
+        t.join(
+            F.broadcast(k),
+            (F.col("k.needle") == F.col("t.needle"))
+            & (F.col("k.term") == F.col("t.truth")),
+            "left",
+        )
+        .groupBy(
+            F.col("t.needle").alias("needle"),
+            F.col("t.truth").alias("truth"),
+        )
+        .agg(F.min("k.rnk").alias("rank_truth"))
+    )
+    best = tk.where(F.col("rnk") == 1).select(
+        "needle", F.col("term").alias("best_term")
+    )
+    return (
+        hit.join(F.broadcast(best), "needle")
+        .select(
+            "needle",
+            "truth",
+            "best_term",
+            F.coalesce("rank_truth", F.lit(-1))
+            .cast("bigint")
+            .alias("rank_truth"),
+            F.expr(
+                "CAST(CASE WHEN rank_truth IS NULL THEN 0"
+                " ELSE 1000000 DIV rank_truth END AS BIGINT)"
+            ).alias("rr_x1e6"),
+        )
+        .orderBy(F.asc("needle"))
+    )
+
+
+@_q(
+    "events_abtest",
+    """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+                         MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS conv
+                  FROM events WHERE user_id IS NOT NULL
+                  GROUP BY user_id),
+    t AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                 SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_a,
+                 SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
+          FROM u)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+                       OR n_a + n_b - conv_a - conv_b = 0 THEN 0
+                ELSE ROUND(CAST(n_a + n_b AS DOUBLE)
+                     * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                        - CAST(n_a - conv_a AS DOUBLE)
+                          * CAST(conv_b AS DOUBLE))
+                     * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                        - CAST(n_a - conv_a AS DOUBLE)
+                          * CAST(conv_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        * CAST(conv_a + conv_b AS DOUBLE)
+                        * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE))
+                     * 1000000) END AS BIGINT) AS chi2_x1e6
+    FROM t""",
+)
+def events_abtest(spark, sf_dir):
+    """A/B conversion test over the event stream: users hash-split into
+    two arms (user_id parity — in production the experiment's assignment
+    hash), conversion = any 'purchase' event; reports per-arm rates and
+    the 2x2 chi-square statistic (the experimentation-platform readout;
+    chi2 >= 3.84 is p < .05 at 1 dof). Counts are exact integers; the
+    chi-square evaluates one fixed double expression over those exact
+    counts — no float accumulation order, identical on both engines, and
+    the double form never overflows at 10^9-user scale where the pure
+    int64 formula would.
+
+    Scale shape: one map-side-combinable groupBy(user_id) (the stream's
+    native key), then a single 4-counter rollup to ONE row. Nothing else.
+
+    Reference analog: none (events addendum; pairs with events_drift /
+    events_retention)."""
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    t = u.agg(
+        F.sum((F.col("arm") == 0).cast("int")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("int")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    return t.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.expr("CAST(conv_a * 1000000 DIV n_a AS BIGINT)").alias(
+            "rate_a_ppm"
+        ),
+        F.expr("CAST(conv_b * 1000000 DIV n_b AS BIGINT)").alias(
+            "rate_b_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0"
+            " OR n_a + n_b - conv_a - conv_b = 0 THEN 0"
+            " ELSE ROUND(CAST(n_a + n_b AS DOUBLE)"
+            " * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)"
+            "    - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))"
+            " * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)"
+            "    - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+            "    * CAST(conv_a + conv_b AS DOUBLE)"
+            "    * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE))"
+            " * 1000000) END AS BIGINT)"
+        ).alias("chi2_x1e6"),
+    )

@@ -140,3 +140,33 @@ def test_embed_drift_counts_partition_labels(spark):
     for r in rows:
         assert r.n_even + r.n_odd == lab[r.label]
         assert r.drift_l2sq_x1e12 >= 0
+
+
+def test_fuzzy_eval_recovers_all_corruptions(spark):
+    """Every one-character corruption must place its true term at rank 1
+    on this corpus (the typo-recall property kg_search_fuzzy was built
+    for), with rr = 1e6 and best_term == truth."""
+    rows = _queries()["search_fuzzy_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.rank_truth == 1, (r.needle, r.rank_truth, r.best_term)
+        assert r.rr_x1e6 == 1_000_000
+        assert r.best_term == r.truth
+
+
+def test_abtest_counts_are_consistent(spark):
+    """One summary row; arms partition the user set; conversions bounded
+    by arm sizes; rates are exact integer rationals; chi2 non-negative."""
+    r = _queries()["events_abtest"](spark, SF_DIR).collect()[0]
+    n_users = (
+        spark.read.parquet(SF_DIR + "/events.parquet")
+        .where("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert r.rate_a_ppm == r.conv_a * 1_000_000 // r.n_a
+    assert r.rate_b_ppm == r.conv_b * 1_000_000 // r.n_b
+    assert r.chi2_x1e6 >= 0
