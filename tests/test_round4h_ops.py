@@ -170,3 +170,16 @@ def test_abtest_counts_are_consistent(spark):
     assert r.rate_a_ppm == r.conv_a * 1_000_000 // r.n_a
     assert r.rate_b_ppm == r.conv_b * 1_000_000 // r.n_b
     assert r.chi2_x1e6 >= 0
+
+
+def test_readme_query_count_matches_registry():
+    """The README's headline '**N driver queries' must equal
+    len(queries()) — the count-drift guard VERDICT r03 asked for."""
+    import re
+
+    import __spark_entry__ as e
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"\*\*(\d+) driver queries", text)
+    assert m, "README headline count not found"
+    assert int(m.group(1)) == len(e.queries())
