@@ -560,3 +560,39 @@ def test_bpe_pair_count_partial_agg_no_text_reshuffle(spark):
     # over the checkpointed vocabulary table; the final 3-row frame must
     # never re-touch the documents scan
     assert "documents" not in p.lower() or "parquet" not in p.lower(), p
+
+
+def test_scd2_shuffles_only_on_user(spark):
+    """SCD2's two windows and the island groupBy must all reuse ONE
+    user_id hash partitioning (hashpartitioning(user_id) satisfies the
+    (user_id, version) aggregate and the LEAD window); the only other
+    exchange is the final presentation-sort rangepartitioning over the
+    already-collapsed interval table."""
+    p = _plan(spark, "events_scd2")
+    assert p.count("hashpartitioning(") == 1, p
+    assert p.count("rangepartitioning(") <= 1, p
+
+
+def test_embed_quantize_minmax_is_partial_agg(spark):
+    """Per-dim min/max must map-side combine (partial_min/partial_max
+    before the exchange) and the probe side must broadcast."""
+    p = _plan(spark, "embed_quantize")
+    assert "partial_min" in p and "partial_max" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_richclub_sweep_joins_histograms_not_edges(spark):
+    """The k-sweep must run as broadcast nested loops over the HISTOGRAM
+    tables; the edge list is never cartesian-joined with the thresholds."""
+    p = _plan(spark, "kg_graph_richclub")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_abtest_is_two_aggregates_no_join(spark):
+    """A/B readout = groupBy(user) + one global rollup: no join anywhere,
+    both aggregates map-side combine."""
+    p = _plan(spark, "events_abtest")
+    assert "Join" not in p, p
+    assert "partial_max" in p or "partial_sum" in p, p
