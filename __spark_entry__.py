@@ -54,6 +54,8 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "curate_budget_select",
+    "events_forecast_eval",
     "search_fuzzy_eval",
     "events_abtest",
     "events_scd2",

@@ -8474,3 +8474,225 @@ def events_abtest(spark, sf_dir):
             " * 1000000) END AS BIGINT)"
         ).alias("chi2_x1e6"),
     )
+
+
+@_q(
+    "curate_budget_select",
+    f"""{_TOKS_CTE},
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
+                   AS stops,
+                 SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$')
+                     THEN 1 ELSE 0 END) AS alpha
+          FROM toks GROUP BY doc_id),
+    q AS (SELECT doc_id, n_tokens,
+                 CAST(LEAST(n_tokens, 200) * 2 + alpha * 300 // n_tokens
+                      + CASE WHEN stops * 100 // n_tokens BETWEEN 2 AND 40
+                             THEN 300 ELSE 0 END AS BIGINT) AS qual
+          FROM m),
+    b AS (SELECT SUM(n_tokens) // 4 AS budget FROM q),
+    hist AS (SELECT qual, COUNT(*) AS n_docs, SUM(n_tokens) AS toks_b
+             FROM q GROUP BY qual),
+    cum AS (SELECT *, SUM(toks_b) OVER (ORDER BY qual DESC
+                                        ROWS UNBOUNDED PRECEDING) AS cum_tok
+            FROM hist),
+    st AS (SELECT cum.*, cum_tok - toks_b AS cum_before, b.budget
+           FROM cum CROSS JOIN b),
+    part AS (SELECT q.qual, q.doc_id, q.n_tokens, st.cum_before, st.budget,
+                    SUM(q.n_tokens) OVER (PARTITION BY q.qual
+                      ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id
+                      ROWS UNBOUNDED PRECEDING) AS rs
+             FROM q JOIN st ON st.qual = q.qual
+             WHERE st.cum_before < st.budget AND st.budget < st.cum_tok),
+    pk AS (SELECT qual, COUNT(*) AS n_kept_p, SUM(n_tokens) AS tok_kept_p
+           FROM part WHERE cum_before + rs <= budget GROUP BY qual)
+    SELECT CAST(st.qual AS BIGINT) AS qual,
+           CAST(st.n_docs AS BIGINT) AS n_docs,
+           CAST(st.toks_b AS BIGINT) AS toks_b,
+           CAST(CASE WHEN st.cum_tok <= st.budget THEN st.n_docs
+                     WHEN st.cum_before >= st.budget THEN 0
+                     ELSE COALESCE(pk.n_kept_p, 0) END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN st.cum_tok <= st.budget THEN st.toks_b
+                     WHEN st.cum_before >= st.budget THEN 0
+                     ELSE COALESCE(pk.tok_kept_p, 0) END AS BIGINT)
+             AS tok_kept,
+           CASE WHEN st.cum_tok <= st.budget THEN 'full'
+                WHEN st.cum_before >= st.budget THEN 'dropped'
+                ELSE 'partial' END AS status
+    FROM st LEFT JOIN pk ON pk.qual = st.qual
+    ORDER BY qual DESC""",
+)
+def curate_budget_select(spark, sf_dir):
+    """Data selection under a token budget (the decision a curation run
+    actually ships: keep the highest-quality documents until the training
+    budget — here 25% of corpus tokens — is spent). The 100 TB-correct
+    shape is threshold-from-histogram, NOT a global sort: aggregate a
+    per-quality-score histogram, find the boundary score on the (tiny)
+    cumulative histogram, keep whole buckets above it, and order only the
+    ONE boundary bucket internally (deterministic md5-hash order) to fill
+    the remainder exactly. Reports per-bucket keep counts + status.
+
+    100 TB shape: one map-side-combinable doc-stats pass, one histogram
+    aggregate (|distinct scores| rows, bounded by the integer score
+    range), a window over the HISTOGRAM, and a per-bucket window over the
+    boundary bucket only — the corpus is never globally sorted; every
+    non-boundary doc is kept/dropped by a broadcast threshold compare.
+
+    Reference analog: none (curation addendum; the budgeted variant of
+    curate.py's quality stage — pairs with curate_pack_tokens)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+    )
+    q = m.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens "
+            "+ CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40 "
+            "THEN 300 ELSE 0 END AS BIGINT)"
+        ).alias("qual"),
+    ).localCheckpoint(eager=True)  # feeds budget, histogram, AND boundary
+    b = q.agg(F.expr("CAST(SUM(n_tokens) DIV 4 AS BIGINT)").alias("budget"))
+    hist = q.groupBy("qual").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("toks_b")
+    )
+    w_cum = Window.orderBy(F.desc("qual")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    st = (
+        hist.withColumn("cum_tok", F.sum("toks_b").over(w_cum))
+        .withColumn("cum_before", F.col("cum_tok") - F.col("toks_b"))
+        .crossJoin(F.broadcast(b))
+    ).localCheckpoint(eager=True)  # histogram-sized; feeds boundary + final
+    bound = st.where(
+        (F.col("cum_before") < F.col("budget"))
+        & (F.col("budget") < F.col("cum_tok"))
+    ).select("qual", "cum_before", "budget")
+    w_rs = (
+        Window.partitionBy("qual")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pk = (
+        q.join(F.broadcast(bound), "qual")
+        .withColumn("rs", F.sum("n_tokens").over(w_rs))
+        .where(F.col("cum_before") + F.col("rs") <= F.col("budget"))
+        .groupBy("qual")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_p"),
+            F.sum("n_tokens").alias("tok_kept_p"),
+        )
+    )
+    return (
+        st.join(pk, "qual", "left")
+        .select(
+            F.col("qual").cast("bigint").alias("qual"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("toks_b").cast("bigint").alias("toks_b"),
+            F.expr(
+                "CAST(CASE WHEN cum_tok <= budget THEN n_docs"
+                " WHEN cum_before >= budget THEN 0"
+                " ELSE COALESCE(n_kept_p, 0) END AS BIGINT)"
+            ).alias("n_kept"),
+            F.expr(
+                "CAST(CASE WHEN cum_tok <= budget THEN toks_b"
+                " WHEN cum_before >= budget THEN 0"
+                " ELSE COALESCE(tok_kept_p, 0) END AS BIGINT)"
+            ).alias("tok_kept"),
+            F.expr(
+                "CASE WHEN cum_tok <= budget THEN 'full'"
+                " WHEN cum_before >= budget THEN 'dropped'"
+                " ELSE 'partial' END"
+            ).alias("status"),
+        )
+        .orderBy(F.desc("qual"))
+    )
+
+
+@_q(
+    "events_forecast_eval",
+    """WITH d AS (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day_n,
+                         COUNT(*) AS n
+                  FROM events GROUP BY event_type, day_n),
+    j AS (SELECT a.event_type, a.day_n, a.n AS actual, f.n AS fcst
+          FROM d a JOIN d f ON f.event_type = a.event_type
+                           AND f.day_n = a.day_n - 7)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(actual) AS BIGINT) AS sum_actual,
+           CAST(SUM(ABS(actual - fcst)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(ABS(actual - fcst)) * 1000000 // COUNT(*) AS BIGINT)
+             AS mae_x1e6,
+           CAST(SUM(ABS(actual - fcst)) * 1000000 // SUM(actual) AS BIGINT)
+             AS wape_ppm
+    FROM j GROUP BY event_type ORDER BY event_type""",
+)
+def events_forecast_eval(spark, sf_dir):
+    """Seasonal-naive forecast baseline + error readout over the daily
+    event series (forecast(day) = actual(day-7), the standard floor any
+    real forecasting model must beat; Hyndman & Athanasopoulos 2018):
+    per event type, MAE and WAPE in exact integer ppm. The volume-anomaly
+    monitor's forward-looking sibling — a capacity planner runs exactly
+    this to decide whether last week predicts next week.
+
+    100 TB shape: ONE map-side-combinable (type, day) count is the only
+    event-scale pass; the self-join and error rollup run on the
+    days x types table (thousands of rows at any corpus size). Integer
+    day numbers (epoch_us DIV 86400e6) make the 7-day lag an exact
+    equi-join — no calendar arithmetic, no rows-based lag misalignment
+    on gap days.
+
+    Reference analog: none (events addendum; pairs with events_anomaly /
+    events_drift)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+                " AS BIGINT)"
+            ).alias("day_n"),
+        )
+        .groupBy("event_type", "day_n")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, f = d.alias("a"), d.alias("f")
+    j = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day_n") == F.col("a.day_n") - 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("actual"),
+        F.col("f.n").alias("fcst"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("actual").alias("sum_actual"),
+            F.sum(F.abs(F.col("actual") - F.col("fcst"))).alias(
+                "sum_abs_err"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("sum_actual").cast("bigint").alias("sum_actual"),
+            F.col("sum_abs_err").cast("bigint").alias("sum_abs_err"),
+            F.expr(
+                "CAST(sum_abs_err * 1000000 DIV n_days AS BIGINT)"
+            ).alias("mae_x1e6"),
+            F.expr(
+                "CAST(sum_abs_err * 1000000 DIV sum_actual AS BIGINT)"
+            ).alias("wape_ppm"),
+        )
+        .orderBy(F.asc("event_type"))
+    )

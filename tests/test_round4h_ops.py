@@ -183,3 +183,44 @@ def test_readme_query_count_matches_registry():
     m = re.search(r"\*\*(\d+) driver queries", text)
     assert m, "README headline count not found"
     assert int(m.group(1)) == len(e.queries())
+
+
+def test_budget_select_is_threshold_shaped_and_exact(spark):
+    """Statuses must be a quality threshold (every full bucket outranks
+    every partial, which outranks every dropped), with at most ONE partial
+    bucket; kept tokens never exceed the 25% budget and the boundary
+    bucket fills it greedily (no kept-count exceeding bucket size)."""
+    rows = _queries()["curate_budget_select"](spark, SF_DIR).collect()
+    assert rows
+    full = [r.qual for r in rows if r.status == "full"]
+    part = [r.qual for r in rows if r.status == "partial"]
+    drop = [r.qual for r in rows if r.status == "dropped"]
+    assert len(part) <= 1
+    if full and part:
+        assert min(full) > part[0]
+    if part and drop:
+        assert part[0] > max(drop)
+    if full and drop:
+        assert min(full) > max(drop)
+    total = sum(r.toks_b for r in rows)
+    budget = total // 4
+    kept = sum(r.tok_kept for r in rows)
+    assert kept <= budget
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.tok_kept <= r.toks_b
+        if r.status == "full":
+            assert r.n_kept == r.n_docs and r.tok_kept == r.toks_b
+        if r.status == "dropped":
+            assert r.n_kept == 0 and r.tok_kept == 0
+
+
+def test_forecast_eval_metrics_are_exact_rationals(spark):
+    """Per type: WAPE and MAE must be the exact integer rationals of the
+    reported sums; eval days exist only where a 7-day-back day exists."""
+    rows = _queries()["events_forecast_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        assert r.mae_x1e6 == r.sum_abs_err * 1_000_000 // r.n_days
+        assert r.wape_ppm == r.sum_abs_err * 1_000_000 // r.sum_actual
