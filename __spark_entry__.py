@@ -54,6 +54,8 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "dedup_cluster_stats",
+    "events_lag_features",
     "curate_budget_select",
     "events_forecast_eval",
     "search_fuzzy_eval",

@@ -8696,3 +8696,114 @@ def events_forecast_eval(spark, sf_dir):
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@_q(
+    "dedup_cluster_stats",
+    f"""WITH cc AS (SELECT * FROM ({ORACLE_SQL["dedup_cc_clusters"]}) t),
+    sz AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_dups_removed
+    FROM sz GROUP BY sz ORDER BY cluster_size""",
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size histogram: how many clusters of each size the
+    LSH+CC pass produced and how many documents canonical-selection will
+    drop per size (size-1 clusters = uniques, the long tail; big clusters
+    = boilerplate families). This one table IS the dedup run's report
+    card — the dup rate a curation write-up quotes is
+    sum(n_dups_removed)/sum(n_docs), and a fattening tail between crawls
+    is the earliest signal the near-dup threshold needs retuning.
+
+    100 TB shape: composes the bucket-capped cluster map (already bounded
+    upstream) with two map-side-combinable aggregates — cluster sizes,
+    then the size histogram (<= max-cluster-size rows). Nothing new rides
+    a shuffle but (cluster_id) and (size) keys.
+
+    Reference analog: none (dedup-audit addendum; pairs with
+    dedup_cc_clusters / curate_canonical / curate_leakage)."""
+    cc = dedup_cc_clusters(spark, sf_dir)
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sz.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("n_dups_removed"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_dups_removed").cast("bigint").alias("n_dups_removed"),
+        )
+        .orderBy(F.asc("cluster_size"))
+    )
+
+
+@_q(
+    "events_lag_features",
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events
+                   WHERE user_id IS NOT NULL AND user_id < 10),
+    f AS (SELECT event_id, user_id,
+                 us - LAG(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS gap_us,
+                 SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS roll3_cents,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS n_roll
+          FROM ev)
+    SELECT event_id, user_id,
+           CAST(COALESCE(gap_us, -1) AS BIGINT) AS gap_us,
+           CAST(roll3_cents AS BIGINT) AS roll3_cents,
+           CAST(n_roll AS BIGINT) AS n_roll
+    FROM f ORDER BY user_id, event_id""",
+)
+def events_lag_features(spark, sf_dir):
+    """Per-event lag/rolling feature export (the feature-engineering pass
+    a behavioral model trains on: time since the user's previous event,
+    rolling 3-event spend). Values quantize to exact integer cents BEFORE
+    the window sum — a double rolling sum would hit DuckDB's segment-tree
+    vs Spark's sequential-frame summation order and diverge in the last
+    ulp; integer sums are order-free. Demo slice pins users 0..9 so the
+    feature table is fixture-sized; production drops the filter and
+    writes the full table.
+
+    100 TB shape: one window family partitioned BY USER over the user's
+    own rows — a single user_id shuffle (the stream's native key), no
+    global window, rolling frame is O(1) per row.
+
+    Reference analog: none (events addendum; the feature-export sibling
+    of events_sessions / events_markov_transitions)."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL AND user_id < 10")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("us") - F.lag("us").over(w), F.lit(-1))
+            .cast("bigint")
+            .alias("gap_us"),
+            F.sum("cents").over(w3).cast("bigint").alias("roll3_cents"),
+            F.count(F.lit(1)).over(w3).cast("bigint").alias("n_roll"),
+        )
+        .orderBy(F.asc("user_id"), F.asc("event_id"))
+    )

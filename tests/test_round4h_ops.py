@@ -224,3 +224,37 @@ def test_forecast_eval_metrics_are_exact_rationals(spark):
         assert r.n_days >= 1
         assert r.mae_x1e6 == r.sum_abs_err * 1_000_000 // r.n_days
         assert r.wape_ppm == r.sum_abs_err * 1_000_000 // r.sum_actual
+
+
+def test_cluster_stats_partition_the_corpus(spark):
+    """Histogram must cover every document exactly once: sum(n_docs) ==
+    corpus size; per row n_docs == size * n_clusters and
+    n_dups_removed == (size-1) * n_clusters."""
+    rows = _queries()["dedup_cluster_stats"](spark, SF_DIR).collect()
+    assert rows
+    n_corpus = spark.read.parquet(SF_DIR + "/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_dups_removed == (r.cluster_size - 1) * r.n_clusters
+
+
+def test_lag_features_are_per_user_consistent(spark):
+    """Exactly one gap_us = -1 (the first event) per user; gaps are
+    non-negative otherwise; the rolling window never exceeds 3 rows and
+    n_roll ramps 1,2,3 at each user's start."""
+    import collections
+
+    rows = _queries()["events_lag_features"](spark, SF_DIR).collect()
+    assert rows
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.event_id)
+        firsts = [r for r in rs if r.gap_us == -1]
+        assert len(firsts) == 1
+        for r in rs:
+            assert r.gap_us >= -1
+            assert 1 <= r.n_roll <= 3
+        assert [r.n_roll for r in rs[:3]] == list(range(1, 1 + min(3, len(rs))))
