@@ -8807,3 +8807,78 @@ def events_lag_features(spark, sf_dir):
         )
         .orderBy(F.asc("user_id"), F.asc("event_id"))
     )
+
+
+@_q(
+    "embed_binary_hamming",
+    """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings),
+    bits AS (SELECT vec_id,
+                    SUM(CASE WHEN i <= 32 AND x > 0
+                        THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                        ELSE 0 END) AS w0,
+                    SUM(CASE WHEN i > 32 AND x > 0
+                        THEN CAST(1 AS BIGINT) << CAST(i - 33 AS INT)
+                        ELSE 0 END) AS w1
+             FROM e GROUP BY vec_id),
+    q AS (SELECT w0 AS q0, w1 AS q1 FROM bits WHERE vec_id = 0),
+    d AS (SELECT b.vec_id,
+                 bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1))
+                   AS hamming
+          FROM bits b CROSS JOIN q WHERE b.vec_id <> 0)
+    SELECT vec_id, CAST(hamming AS BIGINT) AS hamming
+    FROM d ORDER BY hamming ASC, vec_id ASC LIMIT 10""",
+)
+def embed_binary_hamming(spark, sf_dir):
+    """Binary-embedding retrieval (sign-bit binarization + XOR-popcount
+    Hamming top-k — the 32x-compression trick behind binary passage
+    retrieval, Yamada 2021): each 64-dim vector packs into two 32-bit
+    sign words; the query's nearest neighbors rank by Hamming distance.
+    Pure integer arithmetic end-to-end — bit packing, XOR, popcount —
+    so both engines agree bit-for-bit.
+
+    100 TB shape: packing is one map-side-combinable aggregate over the
+    exploded stream (16 bytes out per vector — the index that FITS IN RAM
+    when float vectors don't); scoring is a narrow scan of the packed
+    table against two broadcast query words with TakeOrderedAndProject
+    for the top-k. At 10^9 vectors this is the first-stage filter whose
+    shortlist embed_pq_rerank-style exact refinement then reorders.
+
+    Reference analog: none (embedding addendum; completes the
+    compression ladder: float32 -> PQ codes (embed_pq) -> int8
+    (embed_quantize) -> sign bits)."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+    bits = ex.groupBy("vec_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN i0 < 32 AND x > 0"
+                " THEN CAST(1 AS BIGINT) << CAST(i0 AS INT) ELSE 0 END"
+            )
+        ).alias("w0"),
+        F.sum(
+            F.expr(
+                "CASE WHEN i0 >= 32 AND x > 0"
+                " THEN CAST(1 AS BIGINT) << CAST(i0 - 32 AS INT)"
+                " ELSE 0 END"
+            )
+        ).alias("w1"),
+    )
+    q = bits.where(F.col("vec_id") == 0).select(
+        F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    d = (
+        bits.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.expr("w0 ^ q0"))
+                + F.bit_count(F.expr("w1 ^ q1"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    return d.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(10)

@@ -41,6 +41,7 @@ def main() -> int:
         "embed_pq",
         "embed_pq_rerank",
         "embed_ivfpq",
+        "embed_binary_hamming",
     ):
         rows, dt = run(name)
         got = [r["vec_id"] for r in rows]

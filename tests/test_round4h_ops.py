@@ -258,3 +258,14 @@ def test_lag_features_are_per_user_consistent(spark):
             assert r.gap_us >= -1
             assert 1 <= r.n_roll <= 3
         assert [r.n_roll for r in rs[:3]] == list(range(1, 1 + min(3, len(rs))))
+
+
+def test_binary_hamming_topk_is_sorted_and_bounded(spark):
+    """Top-k by sign-bit Hamming distance: 10 rows, ascending distances
+    in [0, 64], query vector excluded."""
+    rows = _queries()["embed_binary_hamming"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    hs = [r.hamming for r in rows]
+    assert hs == sorted(hs)
+    assert all(0 <= h <= 64 for h in hs)
+    assert all(r.vec_id != 0 for r in rows)
