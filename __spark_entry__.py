@@ -54,6 +54,7 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "embed_binary_rerank",
     "embed_binary_hamming",
     "dedup_cluster_stats",
     "events_lag_features",

@@ -8882,3 +8882,114 @@ def embed_binary_hamming(spark, sf_dir):
         )
     )
     return d.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(10)
+
+
+_BH_SHORTLIST = 50  # Hamming-stage candidates fed to the exact refine
+
+
+@_q(
+    "embed_binary_rerank",
+    f"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+    bits AS (SELECT vec_id,
+                    SUM(CASE WHEN i <= 32 AND x > 0
+                        THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                        ELSE 0 END) AS w0,
+                    SUM(CASE WHEN i > 32 AND x > 0
+                        THEN CAST(1 AS BIGINT) << CAST(i - 33 AS INT)
+                        ELSE 0 END) AS w1
+             FROM e GROUP BY vec_id),
+    qb AS (SELECT w0 AS q0, w1 AS q1 FROM bits WHERE vec_id = 0),
+    short AS (SELECT b.vec_id,
+                     bit_count(xor(b.w0, qb.q0))
+                       + bit_count(xor(b.w1, qb.q1)) AS hamming
+              FROM bits b CROSS JOIN qb WHERE b.vec_id <> 0
+              ORDER BY hamming ASC, vec_id ASC LIMIT {_BH_SHORTLIST}),
+    dots AS (SELECT s.vec_id, s.hamming,
+                    SUM(CAST(a.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot,
+                    SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)))
+                      AS na,
+                    SQRT(SUM(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)))
+                      AS nc
+             FROM short s
+             JOIN e c ON c.vec_id = s.vec_id
+             JOIN e a ON a.i = c.i AND a.vec_id = 0
+             GROUP BY s.vec_id, s.hamming)
+    SELECT vec_id, CAST(hamming AS BIGINT) AS hamming,
+           CAST(ROUND(dot / (na * nc) * 1e6) AS BIGINT) AS cos_x1e6
+    FROM dots ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 10""",
+)
+def embed_binary_rerank(spark, sf_dir):
+    """Two-stage binary retrieval (Yamada 2021's deployed shape): the
+    sign-bit Hamming stage shortlists {_BH_SHORTLIST} candidates from the
+    16-byte/vector packed index, then ONLY the shortlist's full float
+    vectors are read for an exact cosine re-rank. The Hamming stage's
+    recall ceiling becomes the pipeline's recall; the refine stage fixes
+    the ordering — same division of labor as embed_pq_rerank, with a 4x
+    smaller first-stage index.
+
+    100 TB shape: stage 1 scans only the packed words (corpus-sized but
+    16 bytes/row, broadcast query); stage 2's expensive full-vector read
+    touches a CONSTANT {_BH_SHORTLIST} rows regardless of corpus size —
+    the semi-join prunes the float column at the scan. Numeric parity:
+    exact cosine on the shortlist reuses the Arrow-batched numpy path;
+    the oracle's double math is order-identical because the per-vector
+    dot is a single 64-element sum both engines evaluate in index order.
+
+    Reference analog: none (embedding addendum; pairs with
+    embed_binary_hamming / embed_pq_rerank)."""
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+    bits = ex.groupBy("vec_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN i0 < 32 AND x > 0"
+                " THEN CAST(1 AS BIGINT) << CAST(i0 AS INT) ELSE 0 END"
+            )
+        ).alias("w0"),
+        F.sum(
+            F.expr(
+                "CASE WHEN i0 >= 32 AND x > 0"
+                " THEN CAST(1 AS BIGINT) << CAST(i0 - 32 AS INT)"
+                " ELSE 0 END"
+            )
+        ).alias("w1"),
+    )
+    qb = bits.where(F.col("vec_id") == 0).select(
+        F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    short = (
+        bits.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qb))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.expr("w0 ^ q0"))
+                + F.bit_count(F.expr("w1 ^ q1"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BH_SHORTLIST)
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        emb.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(qv))
+    )
+    cos = _dot_udf("embedding", "q_emb") / (
+        _norm_udf("embedding") * _norm_udf("q_emb")
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "hamming",
+            F.round(cos * 1e6).cast("bigint").alias("cos_x1e6"),
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+        .limit(10)
+    )

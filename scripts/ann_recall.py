@@ -42,6 +42,7 @@ def main() -> int:
         "embed_pq_rerank",
         "embed_ivfpq",
         "embed_binary_hamming",
+        "embed_binary_rerank",
     ):
         rows, dt = run(name)
         got = [r["vec_id"] for r in rows]

@@ -269,3 +269,15 @@ def test_binary_hamming_topk_is_sorted_and_bounded(spark):
     assert hs == sorted(hs)
     assert all(0 <= h <= 64 for h in hs)
     assert all(r.vec_id != 0 for r in rows)
+
+
+def test_binary_rerank_orders_by_exact_cosine(spark):
+    """Two-stage retrieval: 10 rows, descending exact cosine, every row a
+    member of the Hamming shortlist (hamming in [0, 64]), query excluded."""
+    rows = _queries()["embed_binary_rerank"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    cs = [r.cos_x1e6 for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    for r in rows:
+        assert 0 <= r.hamming <= 64
+        assert r.vec_id != 0
