@@ -54,6 +54,8 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "text_langid_eval",
+    "events_bot_flag",
     "embed_binary_rerank",
     "embed_binary_hamming",
     "dedup_cluster_stats",

@@ -8993,3 +8993,165 @@ def embed_binary_rerank(spark, sf_dir):
         .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@_q(
+    "text_langid_eval",
+    f"""{_TOKS_CTE},
+    v AS (SELECT doc_id,
+                 SUM(CASE WHEN term IN ('the', 'a', 'of')
+                     THEN 1 ELSE 0 END) AS en_hits,
+                 SUM(CASE WHEN term IN ('der', 'die', 'und')
+                     THEN 1 ELSE 0 END) AS de_hits,
+                 SUM(CASE WHEN term IN ('le', 'la', 'et')
+                     THEN 1 ELSE 0 END) AS fr_hits
+          FROM toks GROUP BY doc_id),
+    p AS (SELECT doc_id,
+                 CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                           AND en_hits > 0 THEN 'en'
+                      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                      WHEN fr_hits > 0 THEN 'fr'
+                      ELSE 'unknown' END AS lang_pred
+          FROM v),
+    cm AS (SELECT d.lang AS lang_true, p.lang_pred, COUNT(*) AS n
+           FROM p JOIN documents d ON d.doc_id = p.doc_id
+           GROUP BY d.lang, p.lang_pred),
+    tot AS (SELECT lang_true, SUM(n) AS n_true FROM cm GROUP BY lang_true)
+    SELECT cm.lang_true, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+           CAST(cm.n * 1000000 // tot.n_true AS BIGINT) AS row_ppm,
+           CAST(CASE WHEN cm.lang_true = cm.lang_pred
+                THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+    FROM cm JOIN tot ON tot.lang_true = cm.lang_true
+    ORDER BY cm.lang_true, cm.lang_pred""",
+)
+def text_langid_eval(spark, sf_dir):
+    """Confusion matrix of the language-ID heuristic against the corpus's
+    true lang labels (the eval every pipeline runs before trusting a
+    langid gate: per (true, predicted) cell count + row-normalized rate).
+    Per-language recall is the diagonal's row_ppm; off-diagonal mass says
+    WHICH confusion dominates — the same measure-your-operator discipline
+    as search_fuzzy_eval / curate_calibration / kg_linking_tier_accuracy.
+
+    100 TB shape: the langid pass is the same one map-side-combinable
+    stopword-vote aggregate text_langid ships; the confusion rollup joins
+    doc-grain predictions to doc-grain labels on doc_id (the table's
+    native key) and collapses to |langs|^2 cells immediately.
+
+    Reference analog: none (text-analysis addendum; eval family)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(F.col("term").isin("the", "a", "of").cast("int")).alias(
+            "en_hits"
+        ),
+        F.sum(F.col("term").isin("der", "die", "und").cast("int")).alias(
+            "de_hits"
+        ),
+        F.sum(F.col("term").isin("le", "la", "et").cast("int")).alias(
+            "fr_hits"
+        ),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when(
+            (F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0),
+            "de",
+        )
+        .when(F.col("fr_hits") > 0, "fr")
+        .otherwise("unknown")
+    )
+    p = hits.select("doc_id", pred.alias("lang_pred"))
+    cm = (
+        p.join(docs.select("doc_id", F.col("lang").alias("lang_true")),
+               "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(F.broadcast(tot), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(n * 1000000 DIV n_true AS BIGINT)").alias(
+                "row_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is_correct"),
+        )
+        .orderBy(F.asc("lang_true"), F.asc("lang_pred"))
+    )
+
+
+@_q(
+    "events_bot_flag",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us
+                   FROM events WHERE user_id IS NOT NULL),
+    m AS (SELECT user_id, us // 60000000 AS minute_n, COUNT(*) AS n
+          FROM ev GROUP BY user_id, minute_n),
+    u AS (SELECT user_id,
+                 SUM(n) AS n_events,
+                 COUNT(*) AS n_active_min,
+                 MAX(n) AS peak_per_min
+          FROM m GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_active_min AS BIGINT) AS n_active_min,
+           CAST(peak_per_min AS BIGINT) AS peak_per_min,
+           CAST(n_events * 1000 // n_active_min AS BIGINT)
+             AS rate_x1000,
+           CAST(CASE WHEN peak_per_min >= 5
+                       OR n_events * 1000 // n_active_min >= 3000
+                THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+    FROM u ORDER BY user_id""",
+)
+def events_bot_flag(spark, sf_dir):
+    """Rate-based bot/crawler detection over the event stream (the traffic
+    hygiene gate a webtext pipeline runs before treating behavior as
+    human signal): per user, events per active minute and the peak
+    single-minute burst; flag when either exceeds threshold. Exact
+    integer minute bucketing + rational rates — no float, no RNG.
+
+    100 TB shape: one map-side-combinable (user, minute) count, one
+    (user) rollup — two shuffles on the stream's native key family, both
+    combiner-friendly; the flag predicate is a scan-fused projection.
+
+    Reference analog: none (events addendum; pairs with events_anomaly /
+    events_abtest — bots are the classic A/B contamination source)."""
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000"
+            " AS BIGINT)"
+        ).alias("minute_n"),
+    )
+    m = ev.groupBy("user_id", "minute_n").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = m.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_min"),
+        F.max("n").alias("peak_per_min"),
+    )
+    return u.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_active_min").cast("bigint").alias("n_active_min"),
+        F.col("peak_per_min").cast("bigint").alias("peak_per_min"),
+        F.expr(
+            "CAST(n_events * 1000 DIV n_active_min AS BIGINT)"
+        ).alias("rate_x1000"),
+        F.expr(
+            "CAST(CASE WHEN peak_per_min >= 5"
+            " OR n_events * 1000 DIV n_active_min >= 3000"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_bot"),
+    ).orderBy(F.asc("user_id"))

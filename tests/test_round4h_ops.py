@@ -281,3 +281,41 @@ def test_binary_rerank_orders_by_exact_cosine(spark):
     for r in rows:
         assert 0 <= r.hamming <= 64
         assert r.vec_id != 0
+
+
+def test_langid_eval_rows_partition_each_language(spark):
+    """Per true language: cell counts sum to the language's doc count and
+    row_ppm rates are the exact rationals; diagonal cells carry
+    is_correct = 1, off-diagonal 0."""
+    import collections
+
+    rows = _queries()["text_langid_eval"](spark, SF_DIR).collect()
+    assert rows
+    lang_n = {
+        r.lang: r["count"]
+        for r in spark.read.parquet(SF_DIR + "/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    by_true = collections.defaultdict(list)
+    for r in rows:
+        by_true[r.lang_true].append(r)
+        assert r.is_correct == (1 if r.lang_true == r.lang_pred else 0)
+    for lang, cells in by_true.items():
+        n_true = sum(c.n for c in cells)
+        assert n_true == lang_n[lang]
+        for c in cells:
+            assert c.row_ppm == c.n * 1_000_000 // n_true
+
+
+def test_bot_flag_rates_and_thresholds_are_exact(spark):
+    """Per user: rate is the exact integer rational; the flag fires iff
+    either threshold condition holds; peak never exceeds total."""
+    rows = _queries()["events_bot_flag"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.peak_per_min <= r.n_events
+        assert r.rate_x1000 == r.n_events * 1000 // r.n_active_min
+        want = 1 if (r.peak_per_min >= 5 or r.rate_x1000 >= 3000) else 0
+        assert r.is_bot == want
