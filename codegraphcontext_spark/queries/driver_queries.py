@@ -9155,3 +9155,57 @@ def events_bot_flag(spark, sf_dir):
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_bot"),
     ).orderBy(F.asc("user_id"))
+
+
+@_q(
+    "embed_ann_eval",
+    f"""WITH truth AS (SELECT vec_id FROM ({ORACLE_SQL["embed_topk_cosine"]}) t),
+    la AS (SELECT vec_id FROM ({ORACLE_SQL["embed_ann_lsh_wide"]}) t),
+    lb AS (SELECT vec_id FROM ({ORACLE_SQL["embed_binary_hamming"]}) t),
+    ra AS (SELECT 'lsh_wide' AS variant, COUNT(*) AS n_hit FROM la
+           WHERE vec_id IN (SELECT vec_id FROM truth)),
+    rb AS (SELECT 'binary_hamming' AS variant, COUNT(*) AS n_hit FROM lb
+           WHERE vec_id IN (SELECT vec_id FROM truth))
+    SELECT variant, CAST(10 AS BIGINT) AS k,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit * 1000000 // 10 AS BIGINT) AS recall_ppm
+    FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
+    ORDER BY variant""",
+)
+def embed_ann_eval(spark, sf_dir):
+    """In-engine ANN recall eval: recall@10 of the LSH-multiprobe and
+    binary-Hamming variants against the exact cosine top-10, as a QUERY —
+    so ANN quality is oracle-gated every round, not just reported by
+    scripts/ann_recall.py. Both approximate legs and the truth leg are
+    the SAME registered queries the engine ships (composed, not
+    re-implemented), so the evaluated index is the deployed index.
+
+    100 TB shape: composes three already-bounded plans (each ends in a
+    10-row top-k) with two 10x10 semi-joins and single-row counts — the
+    eval itself adds nothing corpus-sized.
+
+    Reference analog: none (embedding-eval addendum; the query-surface
+    twin of scripts/ann_recall.py, eval family)."""
+    truth = embed_topk_cosine(spark, sf_dir).select("vec_id")
+    legs = (
+        ("binary_hamming", embed_binary_hamming),
+        ("lsh_wide", embed_ann_lsh_wide),
+    )
+    out = None
+    for name, fn in legs:
+        hit = (
+            fn(spark, sf_dir)
+            .select("vec_id")
+            .join(F.broadcast(truth), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .select(
+                F.lit(name).alias("variant"),
+                F.lit(10).cast("bigint").alias("k"),
+                F.col("n_hit").cast("bigint").alias("n_hit"),
+                F.expr("CAST(n_hit * 1000000 DIV 10 AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy(F.asc("variant"))

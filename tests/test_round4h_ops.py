@@ -319,3 +319,13 @@ def test_bot_flag_rates_and_thresholds_are_exact(spark):
         assert r.rate_x1000 == r.n_events * 1000 // r.n_active_min
         want = 1 if (r.peak_per_min >= 5 or r.rate_x1000 >= 3000) else 0
         assert r.is_bot == want
+
+
+def test_ann_eval_recalls_are_exact_and_bounded(spark):
+    """One row per evaluated variant; hits bounded by k; recall is the
+    exact rational of the reported hit count."""
+    rows = _queries()["embed_ann_eval"](spark, SF_DIR).collect()
+    assert {r.variant for r in rows} == {"binary_hamming", "lsh_wide"}
+    for r in rows:
+        assert 0 <= r.n_hit <= r.k == 10
+        assert r.recall_ppm == r.n_hit * 1_000_000 // 10
