@@ -8590,7 +8590,10 @@ def curate_budget_select(spark, sf_dir):
         )
     )
     return (
-        st.join(pk, "qual", "left")
+        # pk is <= 1 row by construction (exactly one boundary bucket can
+        # straddle the budget) — broadcast beats a sort-merge of two
+        # histogram-sized sides
+        st.join(F.broadcast(pk), "qual", "left")
         .select(
             F.col("qual").cast("bigint").alias("qual"),
             F.col("n_docs").cast("bigint").alias("n_docs"),

@@ -596,3 +596,31 @@ def test_abtest_is_two_aggregates_no_join(spark):
     p = _plan(spark, "events_abtest")
     assert "Join" not in p, p
     assert "partial_max" in p or "partial_sum" in p, p
+
+
+def test_binary_hamming_is_topk_over_broadcast_probe(spark):
+    """The packed-word scan must end in TakeOrderedAndProject against a
+    broadcast 1-row query side — no cartesian, no sort-merge."""
+    p = _plan(spark, "embed_binary_hamming")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_budget_select_never_globally_sorts_the_corpus(spark):
+    """Threshold-from-histogram: the only doc-grain ordering is the
+    boundary-bucket window (hash-partitioned by qual after a broadcast
+    semi-restriction); thresholds reach docs via broadcast joins and the
+    single rangepartitioning is the histogram-sized presentation sort."""
+    p = _plan(spark, "curate_budget_select")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("rangepartitioning(") <= 1, p
+
+
+def test_lag_features_shuffle_once_on_user(spark):
+    """The whole lag/rolling family must reuse ONE user_id hash
+    partitioning; the only other exchange is the presentation sort."""
+    p = _plan(spark, "events_lag_features")
+    assert p.count("hashpartitioning(") == 1, p
+    assert p.count("rangepartitioning(") <= 1, p
