@@ -54,6 +54,7 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "mm_caption_pairs",
     "embed_ann_eval",
     "text_langid_eval",
     "events_bot_flag",

@@ -9212,3 +9212,74 @@ def embed_ann_eval(spark, sf_dir):
         )
         out = hit if out is None else out.unionByName(hit)
     return out.orderBy(F.asc("variant"))
+
+
+@_q(
+    "mm_caption_pairs",
+    """WITH m AS (SELECT doc_id,
+                         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                         CAST(octet_length(encode(text)) % 640 AS INT)
+                           AS fake_width,
+                         CAST((octet_length(encode(text)) * 7) % 480 AS INT)
+                           AS fake_height
+                  FROM documents WHERE text IS NOT NULL)
+    SELECT m.doc_id,
+           substr(d.text, 1, 80) AS caption,
+           CAST(m.n_bytes AS BIGINT) AS n_bytes,
+           CAST(m.fake_width AS BIGINT) AS width,
+           CAST(m.fake_height AS BIGINT) AS height,
+           CAST(m.fake_width * 1000 // m.fake_height AS BIGINT)
+             AS aspect_x1000
+    FROM m JOIN documents d ON d.doc_id = m.doc_id
+    WHERE m.fake_width >= 64 AND m.fake_height >= 64
+      AND m.fake_width * 1000 // m.fake_height BETWEEN 333 AND 3000
+    ORDER BY m.doc_id""",
+)
+def mm_caption_pairs(spark, sf_dir):
+    """Caption-training pair export (the LAION-style media/text join: for
+    every media blob that survives the size and aspect-ratio gates, emit
+    (caption, media metadata) — the table a contrastive captioner trains
+    on). Composes the multimodal decode stage's typed metadata with the
+    document text on the table's native doc_id key; the gates (min 64 px
+    per side, aspect in [1:3, 3:1]) mirror the standard web-scale
+    image-text filters. The decoder is the documented stub seam
+    (functions/multimodal.py) — the join/filter/export plumbing is the
+    real, tested Spark shape.
+
+    100 TB shape: decode metadata is a narrow per-row projection
+    (mapInPandas, Arrow-batched); the pair join is doc_id-to-doc_id —
+    both sides already hash-partitioned by the table's key, so AQE plans
+    it exchange-light; the gates are scan-fused predicates. Caption
+    truncation is substring, not tokenization — no UDF in the export.
+
+    Reference analog: none (multimodal addendum; pairs with
+    mm_decode_meta / mm_resize_meta)."""
+    from ..functions.multimodal import decode_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    m = decode_stage(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+    ).select("doc_id", "n_bytes", "fake_width", "fake_height")
+    j = m.join(docs.select("doc_id", "text"), "doc_id")
+    return (
+        j.where(
+            (F.col("fake_width") >= 64)
+            & (F.col("fake_height") >= 64)
+            & F.expr(
+                "fake_width * 1000 DIV fake_height BETWEEN 333 AND 3000"
+            )
+        )
+        .select(
+            "doc_id",
+            F.substring("text", 1, 80).alias("caption"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            F.col("fake_width").cast("bigint").alias("width"),
+            F.col("fake_height").cast("bigint").alias("height"),
+            F.expr(
+                "CAST(fake_width * 1000 DIV fake_height AS BIGINT)"
+            ).alias("aspect_x1000"),
+        )
+        .orderBy(F.asc("doc_id"))
+    )

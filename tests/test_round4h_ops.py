@@ -329,3 +329,20 @@ def test_ann_eval_recalls_are_exact_and_bounded(spark):
     for r in rows:
         assert 0 <= r.n_hit <= r.k == 10
         assert r.recall_ppm == r.n_hit * 1_000_000 // 10
+
+
+def test_caption_pairs_respect_gates_and_captions(spark):
+    """Every exported pair passes the size/aspect gates; the caption is a
+    non-empty <=80-char prefix of the source document."""
+    rows = _queries()["mm_caption_pairs"](spark, SF_DIR).collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(SF_DIR + "/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.width >= 64 and r.height >= 64
+        assert 333 <= r.aspect_x1000 <= 3000
+        assert r.aspect_x1000 == r.width * 1000 // r.height
+        assert 0 < len(r.caption) <= 80
+        assert texts[r.doc_id].startswith(r.caption)
