@@ -9283,3 +9283,69 @@ def mm_caption_pairs(spark, sf_dir):
         )
         .orderBy(F.asc("doc_id"))
     )
+
+
+@_q(
+    "events_rate_ci",
+    """WITH d AS (SELECT event_type,
+                         COUNT(*) AS n,
+                         COUNT(DISTINCT epoch_us(ts) // 86400000000)
+                           AS days
+                  FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(days AS BIGINT) AS days,
+           CAST(n * 1000000 // days AS BIGINT) AS rate_x1e6,
+           CAST(GREATEST(n * 1000000 // days
+                         - 196 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1e12))
+                                      AS BIGINT) // (100 * days),
+                         0) AS BIGINT) AS lo_x1e6,
+           CAST(n * 1000000 // days
+                + 196 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1e12))
+                             AS BIGINT) // (100 * days)
+             AS BIGINT) AS hi_x1e6
+    FROM d ORDER BY event_type""",
+)
+def events_rate_ci(spark, sf_dir):
+    """Per-type daily event-rate with a 95% Poisson confidence band
+    (rate ± 1.96·sqrt(n)/days — the capacity-planning and alerting
+    readout that says whether yesterday's dip is noise or a real drop;
+    pairs with events_anomaly and events_forecast_eval). Integer-exact
+    cross-engine: sqrt(n)·1e6 computes as FLOOR(SQRT(n·1e12)) (IEEE sqrt
+    is correctly rounded in both engines, n·1e12 < 2^53 exact), and the
+    1.96 multiplier is the 196/100 rational — no float accumulation.
+
+    100 TB shape: one map-side-combinable per-type aggregate (COUNT +
+    COUNT DISTINCT day, which expands to the standard partial/merge
+    pair over (type, day)); the band math is a |types|-row projection.
+
+    Reference analog: none (events addendum; monitoring family)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+                " AS BIGINT)"
+            ).alias("day_n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("day_n").alias("days"),
+        )
+    )
+    delta = (
+        "196 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1e12)) AS BIGINT)"
+        " DIV (100 * days)"
+    )
+    return d.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("days").cast("bigint").alias("days"),
+        F.expr("CAST(n * 1000000 DIV days AS BIGINT)").alias("rate_x1e6"),
+        F.expr(
+            f"CAST(GREATEST(n * 1000000 DIV days - {delta}, 0) AS BIGINT)"
+        ).alias("lo_x1e6"),
+        F.expr(
+            f"CAST(n * 1000000 DIV days + {delta} AS BIGINT)"
+        ).alias("hi_x1e6"),
+    ).orderBy(F.asc("event_type"))

@@ -7111,3 +7111,57 @@ def kg_graph_richclub(spark, sf_dir):
         )
         .orderBy(F.asc("k"))
     )
+
+
+_HE_DIMS = 8  # feature-hash embedding width (16 nibbles of md5 -> 8 dims)
+
+
+@_q(
+    "kg_entity_hash_embed",
+    f"""{_G_CTE},
+    ent AS (SELECT node_id, name FROM nodes WHERE node_type = 'Entity'),
+    dims AS (SELECT UNNEST(range(0, {_HE_DIMS})) AS d),
+    v AS (SELECT e.node_id, e.name, dims.d,
+                 ('0x' || substr(md5(e.name), 1 + dims.d * 2, 2))::BIGINT
+                   - 128 AS x_x128
+          FROM ent e CROSS JOIN dims)
+    SELECT node_id, name, CAST(d AS BIGINT) AS dim,
+           CAST(x_x128 AS BIGINT) AS x_x128
+    FROM v ORDER BY node_id, dim""",
+)
+def kg_entity_hash_embed(spark, sf_dir):
+    """Deterministic feature-hash embedding initialization for KGE
+    training (the init-vector table that pairs with kg_kge_train_pairs /
+    kg_kge_hard_negatives): each entity's name hashes to {_HE_DIMS}
+    signed-byte components (md5 nibble pairs, centered at 0) — the
+    hash-init trick that makes embedding training reproducible across
+    runs, engines, and cluster sizes, with no RNG state to checkpoint.
+    A trainer reads this table as epoch-0 weights; identical names get
+    identical vectors on every rerun, so resumed or re-sharded training
+    starts from the same point.
+
+    100 TB shape: one narrow projection over the dictionary-sized Entity
+    slice cross-joined with a {_HE_DIMS}-row broadcast dim table — no
+    shuffle of anything corpus-sized, no driver state; md5 is computed
+    once per (entity, dim) pair at scan speed, JVM-side.
+
+    Reference analog: none (KG-ML addendum; completes the KGE export
+    trio: train pairs + filtered negatives + init vectors)."""
+    nodes, _ = ensure_graph(spark, sf_dir)
+    ent = nodes.where(F.col("node_type") == "Entity").select(
+        "node_id", "name"
+    )
+    dims = spark.createDataFrame([(d,) for d in range(_HE_DIMS)], "d int")
+    return (
+        ent.crossJoin(F.broadcast(dims))
+        .select(
+            "node_id",
+            "name",
+            F.col("d").cast("bigint").alias("dim"),
+            F.expr(
+                "CAST(conv(substr(md5(name), 1 + d * 2, 2), 16, 10)"
+                " AS BIGINT) - 128"
+            ).alias("x_x128"),
+        )
+        .orderBy(F.asc("node_id"), F.asc("dim"))
+    )
