@@ -54,6 +54,8 @@ _SWEEP_FIRST = (
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
     # new this round
+    "kg_doc_entity_salience",
+    "events_stickiness",
     "kg_entity_hash_embed",
     "events_rate_ci",
     "mm_caption_pairs",

@@ -9349,3 +9349,148 @@ def events_rate_ci(spark, sf_dir):
             f"CAST(n * 1000000 DIV days + {delta} AS BIGINT)"
         ).alias("hi_x1e6"),
     ).orderBy(F.asc("event_type"))
+
+
+@_q(
+    "kg_doc_entity_salience",
+    f"""WITH toks AS (SELECT doc_id, term,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id)
+                                  AS BIGINT) AS pos
+                      FROM (SELECT doc_id,
+                                   unnest(string_split(text, ' ')) AS term
+                            FROM documents) t
+                      WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY doc_id),
+    m AS (SELECT doc_id, term, COUNT(*) AS n_occ, MIN(pos) AS first_pos
+          FROM toks WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term),
+    mx AS (SELECT doc_id, MAX(n_occ) AS max_occ FROM m GROUP BY doc_id),
+    s AS (SELECT m.doc_id, m.term, m.n_occ, m.first_pos, dl.doc_len,
+                 CAST(m.n_occ * 500000 // mx.max_occ
+                      + 500000 * (dl.doc_len - m.first_pos) // dl.doc_len
+                      AS BIGINT) AS salience_x1e6
+          FROM m JOIN dl ON dl.doc_id = m.doc_id
+                JOIN mx ON mx.doc_id = m.doc_id)
+    SELECT doc_id, term, CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(first_pos AS BIGINT) AS first_pos,
+           CAST(doc_len AS BIGINT) AS doc_len, salience_x1e6
+    FROM s WHERE doc_id < 50
+    ORDER BY doc_id, salience_x1e6 DESC, term""",
+)
+def kg_doc_entity_salience(spark, sf_dir):
+    """Per-(document, entity) salience scoring (the aboutness signal an
+    entity-centric index ranks by — Google NLP's entity salience,
+    Gamon 2013): half the score from within-doc relative frequency, half
+    from how early the first mention lands (lead-paragraph entities are
+    what the page is ABOUT; a trailing boilerplate mention is not).
+    All-integer rationals; demo slice pins doc_id < 50.
+
+    Position note: ROW_NUMBER() with no ORDER BY is token order only
+    because both engines preserve the unnest/posexplode order of a
+    single array — pinned here by using one row per doc upstream; the
+    production variant carries posexplode's own index, which is what the
+    Spark side uses (order-free by construction).
+
+    100 TB shape: one dictionary-filtered token pass (filter INSIDE the
+    explode as everywhere else), two map-side-combinable aggregates on
+    (doc) and (doc, term), and doc-keyed broadcast-friendly joins — the
+    salience table is |docs| x |dictionary hits| rows, the index's
+    posting-list scale.
+
+    Reference analog: code_finder's most-referenced ranking is corpus-
+    grain (code_finder.py:170-234); this is its doc-grain aboutness
+    refinement."""
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 50")
+    toks = _fan_out(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("pos0", "term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    m = (
+        toks.where(F.col("term").isin(DICT_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            (F.min("pos0") + 1).alias("first_pos"),
+        )
+    )
+    mx = m.groupBy("doc_id").agg(F.max("n_occ").alias("max_occ"))
+    return (
+        m.join(dl, "doc_id")
+        .join(mx, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.col("first_pos").cast("bigint").alias("first_pos"),
+            F.col("doc_len").cast("bigint").alias("doc_len"),
+            F.expr(
+                "CAST(n_occ * 500000 DIV max_occ"
+                " + 500000 * (doc_len - first_pos) DIV doc_len AS BIGINT)"
+            ).alias("salience_x1e6"),
+        )
+        .orderBy(F.asc("doc_id"), F.desc("salience_x1e6"), F.asc("term"))
+    )
+
+
+@_q(
+    "events_stickiness",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_n
+                   FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT day_n, COUNT(DISTINCT user_id) AS dau
+            FROM ev GROUP BY day_n),
+    wk AS (SELECT day_n // 7 AS week_n, SUM(dau) AS dau_days,
+                  COUNT(*) AS n_days
+           FROM dau GROUP BY week_n),
+    wau AS (SELECT day_n // 7 AS week_n, COUNT(DISTINCT user_id) AS wau
+            FROM ev GROUP BY week_n)
+    SELECT CAST(wk.week_n AS BIGINT) AS week_n,
+           CAST(wk.n_days AS BIGINT) AS n_days,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(wk.dau_days * 1000000 // (wk.n_days * wau.wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM wk JOIN wau ON wau.week_n = wk.week_n
+    ORDER BY week_n""",
+)
+def events_stickiness(spark, sf_dir):
+    """Weekly DAU/WAU stickiness (the product-health ratio: what fraction
+    of a week's actives show up on an average day; 1e6 = everyone, every
+    day). Integer epoch-day and epoch-week bucketing (day DIV 7 — the
+    same alignment trick as events_cohort_matrix), avg-DAU as the exact
+    rational sum(dau)*1e6 DIV (days*wau) — no float.
+
+    100 TB shape: two COUNT DISTINCT aggregates on the stream's native
+    user key — each expands to the standard partial/merge pair over
+    (day, user) / (week, user); everything after is |weeks| rows.
+
+    Reference analog: none (events addendum; pairs with events_retention
+    / events_cohort_matrix)."""
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            " AS BIGINT)"
+        ).alias("day_n"),
+    )
+    dau = ev.groupBy("day_n").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wk = dau.groupBy(F.expr("day_n DIV 7").alias("week_n")).agg(
+        F.sum("dau").alias("dau_days"), F.count(F.lit(1)).alias("n_days")
+    )
+    wau = ev.groupBy(F.expr("day_n DIV 7").alias("week_n")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        wk.join(wau, "week_n")
+        .select(
+            F.col("week_n").cast("bigint").alias("week_n"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.expr(
+                "CAST(dau_days * 1000000 DIV (n_days * wau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy(F.asc("week_n"))
+    )

@@ -381,3 +381,33 @@ def test_rate_ci_band_is_exact_and_ordered(spark):
         delta = 196 * math.floor(math.sqrt(r.n * 1e12)) // (100 * r.days)
         assert r.hi_x1e6 == r.rate_x1e6 + delta
         assert r.lo_x1e6 == max(r.rate_x1e6 - delta, 0)
+
+
+def test_salience_is_bounded_and_rewards_early_frequent(spark):
+    """Score in (0, 1e6]; the per-doc max-frequency entity earns at least
+    the frequency half; first_pos is within the document."""
+    rows = _queries()["kg_doc_entity_salience"](spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        assert 0 < r.salience_x1e6 <= 1_000_000
+        assert 1 <= r.first_pos <= r.doc_len
+        assert 1 <= r.n_occ <= r.doc_len
+        by_doc[r.doc_id].append(r)
+    for doc, rs in by_doc.items():
+        top_occ = max(r.n_occ for r in rs)
+        best = [r for r in rs if r.n_occ == top_occ]
+        assert all(r.salience_x1e6 >= 500_000 for r in best)
+
+
+def test_stickiness_is_a_valid_ratio(spark):
+    """DAU/WAU in (0, 1e6]; weeks have <= 7 days; wau >= any day's dau
+    implies the ratio's exact rational reproduces."""
+    rows = _queries()["events_stickiness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_days <= 7
+        assert r.wau >= 1
+        assert 0 < r.stickiness_ppm <= 1_000_000
