@@ -7165,3 +7165,239 @@ def kg_entity_hash_embed(spark, sf_dir):
         )
         .orderBy(F.asc("node_id"), F.asc("dim"))
     )
+
+
+@_q(
+    "kg_rule_mining",
+    f"""{_G_CTE},
+    f AS (SELECT DISTINCT subj_id AS x, pred, obj_id AS y
+          FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    bn AS (SELECT pred, COUNT(*) AS n_body FROM f GROUP BY pred),
+    same AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                    COUNT(*) AS n_support
+             FROM f b JOIN f h ON h.x = b.x AND h.y = b.y
+             WHERE b.pred <> h.pred
+             GROUP BY b.pred, h.pred),
+    inv AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                   COUNT(*) AS n_support
+            FROM f b JOIN f h ON h.x = b.y AND h.y = b.x
+            GROUP BY b.pred, h.pred),
+    rules AS (SELECT 'same' AS direction, * FROM same
+              UNION ALL SELECT 'inv', * FROM inv)
+    SELECT r.direction, r.body_pred, r.head_pred,
+           CAST(bn.n_body AS BIGINT) AS n_body,
+           CAST(r.n_support AS BIGINT) AS n_support,
+           CAST(r.n_support * 1000 // bn.n_body AS BIGINT) AS conf_x1000
+    FROM rules r JOIN bn ON bn.pred = r.body_pred
+    WHERE r.n_support >= 2
+    ORDER BY conf_x1000 DESC, n_support DESC,
+             direction ASC, body_pred ASC, head_pred ASC
+    LIMIT 30""",
+)
+def kg_rule_mining(spark, sf_dir):
+    """AMIE-style single-atom horn-rule mining over the open relation
+    graph (Galarraga et al., WWW 2013): for every ordered predicate pair,
+    score the same-direction rule body(x,y) => head(x,y) and the inverse
+    rule body(x,y) => head(y,x) by support (entity pairs satisfying body
+    AND head) and standard confidence (support / body size, x1000
+    integer). Inverse rules with body_pred = head_pred detect SYMMETRIC
+    predicates (PARTNER_OF); cross-pred inverse rules detect inverse pairs
+    (ACQUIRED vs its passive) — the schema knowledge a KG completer uses
+    to densify the graph without new extraction, and the audit that
+    catches an extractor emitting both directions of a one-way relation.
+
+    100 TB shape: the fact table is projected to distinct (x, pred, y)
+    once and checkpointed; both rule legs are ONE self-join keyed on the
+    entity-pair hash (x,y) — the natural shuffle key, skew-bounded because
+    a PAIR is far finer than a hub entity — and the output is
+    dictionary-sized (P^2 pred pairs). Body sizes ride a P-row broadcast.
+    No driver-side state beyond the final top-30.
+
+    Reference analog: none (KG-completion addendum alongside
+    kg_graph_link_predict — that one predicts edges from graph proximity,
+    this one mines the logical rules that IMPLY them)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    f = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.col("subj_id").alias("x"), "pred", F.col("obj_id").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds body counts + both join legs
+    )
+    bn = f.groupBy("pred").agg(F.count(F.lit(1)).alias("n_body"))
+    b = f.select(F.col("pred").alias("body_pred"), "x", "y")
+    h_same = f.select(F.col("pred").alias("head_pred"), "x", "y")
+    same = (
+        b.join(h_same, ["x", "y"])
+        .where(F.col("body_pred") != F.col("head_pred"))
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+        .withColumn("direction", F.lit("same"))
+    )
+    h_inv = f.select(
+        F.col("pred").alias("head_pred"),
+        F.col("y").alias("x"),
+        F.col("x").alias("y"),
+    )
+    inv = (
+        b.join(h_inv, ["x", "y"])
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+        .withColumn("direction", F.lit("inv"))
+    )
+    return (
+        same.unionByName(inv)
+        .join(F.broadcast(bn.withColumnRenamed("pred", "body_pred")), "body_pred")
+        .where(F.col("n_support") >= 2)
+        .select(
+            "direction",
+            "body_pred",
+            "head_pred",
+            F.col("n_body").cast("bigint").alias("n_body"),
+            F.col("n_support").cast("bigint").alias("n_support"),
+            F.expr("CAST(n_support * 1000 DIV n_body AS BIGINT)").alias(
+                "conf_x1000"
+            ),
+        )
+        .orderBy(
+            F.desc("conf_x1000"),
+            F.desc("n_support"),
+            F.asc("direction"),
+            F.asc("body_pred"),
+            F.asc("head_pred"),
+        )
+        .limit(30)
+    )
+
+
+_PATH_Z_CAP = 32  # per-(z, pred) fan-in/out bound in the path-rule body join
+
+
+@_q(
+    "kg_path_rules",
+    f"""{_G_CTE},
+    f AS (SELECT DISTINCT subj_id AS x, pred, obj_id AS y
+          FROM edges
+          WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    fin AS (SELECT * FROM (
+              SELECT x, pred, y,
+                     ROW_NUMBER() OVER (PARTITION BY y, pred ORDER BY x)
+                       AS rn
+              FROM f) WHERE rn <= {_PATH_Z_CAP}),
+    fout AS (SELECT * FROM (
+               SELECT x, pred, y,
+                      ROW_NUMBER() OVER (PARTITION BY x, pred ORDER BY y)
+                        AS rn
+               FROM f) WHERE rn <= {_PATH_Z_CAP}),
+    body AS (SELECT DISTINCT a.pred AS p1, b.pred AS p2, a.x AS x, b.y AS y
+             FROM fin a JOIN fout b ON b.x = a.y
+             WHERE a.x <> b.y),
+    bn AS (SELECT p1, p2, COUNT(*) AS n_body FROM body GROUP BY p1, p2),
+    sup AS (SELECT body.p1, body.p2, f.pred AS head_pred,
+                   COUNT(*) AS n_support
+            FROM body JOIN f ON f.x = body.x AND f.y = body.y
+            GROUP BY body.p1, body.p2, f.pred)
+    SELECT sup.p1 AS body_pred1, sup.p2 AS body_pred2, sup.head_pred,
+           CAST(bn.n_body AS BIGINT) AS n_body,
+           CAST(sup.n_support AS BIGINT) AS n_support,
+           CAST(sup.n_support * 1000 // bn.n_body AS BIGINT) AS conf_x1000
+    FROM sup JOIN bn ON bn.p1 = sup.p1 AND bn.p2 = sup.p2
+    WHERE sup.n_support >= 2
+    ORDER BY conf_x1000 DESC, n_support DESC,
+             body_pred1 ASC, body_pred2 ASC, head_pred ASC
+    LIMIT 30""",
+)
+def kg_path_rules(spark, sf_dir):
+    """Composition-rule mining: score every 2-hop rule
+    p1(x,z) AND p2(z,y) => head(x,y) by support and standard confidence
+    (AMIE's path rules, the pattern behind transitive and compositional
+    predicates: FOUNDED(x,z) AND LOCATED_IN(z,y) => BORN_IN-in-y-ish
+    signals). The body is the distinct (p1, p2, x, y) projection of the
+    2-hop join; confidence = heads observed / body pairs, x1000 integer.
+
+    100 TB shape: the 2-hop join is keyed on the shared entity z — the
+    classic hub-skew join — so BOTH legs are capped at {_PATH_Z_CAP}
+    edges per (z, pred) slot (deterministic rank by the far endpoint,
+    identical in the DuckDB twin, same discipline as the LSH bucket cap):
+    worst-case fan-out per z is {_PATH_Z_CAP}^2 regardless of hub size,
+    and the cap is PART OF the rule semantics both engines check, not a
+    hidden sample. The head join is keyed on the entity pair, and the
+    final table is P^2-per-head-sized. No driver state.
+
+    Reference analog: none (KG-completion addendum; the 2-hop companion
+    of kg_rule_mining's single-atom rules — kg_metapath_census counts
+    typed paths, this one closes them against observed head edges)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    from pyspark.sql import Window
+
+    f = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.col("subj_id").alias("x"), "pred", F.col("obj_id").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds both capped legs + head join
+    )
+    fin = (
+        f.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("y", "pred").orderBy(F.asc("x"))
+            ),
+        )
+        .where(F.col("rn") <= _PATH_Z_CAP)
+        .select(F.col("pred").alias("p1"), "x", F.col("y").alias("z"))
+    )
+    fout = (
+        f.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("x", "pred").orderBy(F.asc("y"))
+            ),
+        )
+        .where(F.col("rn") <= _PATH_Z_CAP)
+        .select(F.col("pred").alias("p2"), F.col("x").alias("z"), "y")
+    )
+    body = (
+        fin.join(fout, "z")
+        .where(F.col("x") != F.col("y"))
+        .select("p1", "p2", "x", "y")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds body counts + head join
+    )
+    bn = body.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_body"))
+    sup = (
+        body.join(f.withColumnRenamed("pred", "head_pred"), ["x", "y"])
+        .groupBy("p1", "p2", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+    )
+    return (
+        sup.join(F.broadcast(bn), ["p1", "p2"])
+        .where(F.col("n_support") >= 2)
+        .select(
+            F.col("p1").alias("body_pred1"),
+            F.col("p2").alias("body_pred2"),
+            "head_pred",
+            F.col("n_body").cast("bigint").alias("n_body"),
+            F.col("n_support").cast("bigint").alias("n_support"),
+            F.expr("CAST(n_support * 1000 DIV n_body AS BIGINT)").alias(
+                "conf_x1000"
+            ),
+        )
+        .orderBy(
+            F.desc("conf_x1000"),
+            F.desc("n_support"),
+            F.asc("body_pred1"),
+            F.asc("body_pred2"),
+            F.asc("head_pred"),
+        )
+        .limit(30)
+    )

@@ -624,3 +624,27 @@ def test_lag_features_shuffle_once_on_user(spark):
     p = _plan(spark, "events_lag_features")
     assert p.count("hashpartitioning(") == 1, p
     assert p.count("rangepartitioning(") <= 1, p
+
+
+def test_rule_mining_body_counts_ride_broadcast(spark):
+    """Both rule legs self-join the checkpointed fact table on the entity
+    pair; the P-row body-size table must join back by BROADCAST, and the
+    final top-30 must compile to TakeOrderedAndProject, not a global sort."""
+    p = _plan(spark, "kg_rule_mining")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_path_rules_joins_broadcast_and_topk(spark):
+    """The capped 2-hop body is materialized behind a checkpoint (the
+    per-(z, pred) row_number caps run eagerly there; their SEMANTICS are
+    pinned by the DuckDB twin, which applies the same caps); the visible
+    tail must be broadcast joins of the body against the P-row size table
+    and the fact table, ending in TakeOrderedAndProject — never a
+    sort-merge or cartesian over the pair table."""
+    p = _plan(spark, "kg_path_rules")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
