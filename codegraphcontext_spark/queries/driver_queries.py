@@ -9494,3 +9494,384 @@ def events_stickiness(spark, sf_dir):
         )
         .orderBy(F.asc("week_n"))
     )
+
+
+_ATTR_LOOKBACK_US = 7 * 86_400_000_000  # first-touch lookback window (7 days)
+
+
+@_q(
+    "events_attribution",
+    f"""WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events WHERE user_id IS NOT NULL),
+    att AS (
+      SELECT event_type, us, event_id,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_ch,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                           AND 1 PRECEDING)
+               AS first_ch
+      FROM ev),
+    conv AS (SELECT last_ch, first_ch FROM att
+             WHERE event_type = 'purchase'),
+    credit AS (
+      SELECT last_ch AS channel, 1 AS lt, 0 AS ft FROM conv
+      WHERE last_ch IS NOT NULL
+      UNION ALL
+      SELECT first_ch, 0, 1 FROM conv WHERE first_ch IS NOT NULL)
+    SELECT channel,
+           CAST(SUM(lt) AS BIGINT) AS n_last_touch,
+           CAST(SUM(ft) AS BIGINT) AS n_first_touch
+    FROM credit GROUP BY channel ORDER BY channel""",
+)
+def events_attribution(spark, sf_dir):
+    """Conversion attribution over the event stream: every purchase is
+    credited to (a) the user's immediately-preceding non-purchase event
+    (last-touch) and (b) the user's FIRST non-purchase event inside the
+    7-day lookback window (first-touch) — the two standard marketing
+    attribution models, computed exactly from the ordered per-user
+    timeline, reported as per-channel conversion counts. The gap between
+    the two columns is the classic upper-funnel-vs-closer signal.
+
+    100 TB shape: the attribution windows (a rows-frame and a
+    microsecond range-frame) share ONE user_id exchange; credits then
+    unpivot into (channel, lt, ft) rows and collapse through a single
+    map-side-combinable groupBy — no join anywhere (the naive
+    two-aggregate full-outer join would sort-merge two channel tables),
+    and everything past the window is channel-cardinality rows.
+
+    Reference analog: none (events addendum; pairs with events_funnel /
+    events_abtest on the conversion-analysis side)."""
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+    )
+    from pyspark.sql import Window
+
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    att = ev.select(
+        "event_type",
+        F.last(nonp, ignorenulls=True).over(w_rows).alias("last_ch"),
+        F.first(nonp, ignorenulls=True).over(w_range).alias("first_ch"),
+    )
+    conv = att.where(F.col("event_type") == "purchase")
+    # both credits emit from ONE pass over the window output (an explode of
+    # a 2-element struct array) — a union of two selects would duplicate
+    # the whole window subtree and shuffle events on user_id twice
+    credit = (
+        conv.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("last_ch").alias("channel"),
+                        F.lit(1).alias("lt"),
+                        F.lit(0).alias("ft"),
+                    ),
+                    F.struct(
+                        F.col("first_ch").alias("channel"),
+                        F.lit(0).alias("lt"),
+                        F.lit(1).alias("ft"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .where(F.col("channel").isNotNull())
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.sum("lt").cast("bigint").alias("n_last_touch"),
+            F.sum("ft").cast("bigint").alias("n_first_touch"),
+        )
+        .orderBy("channel")
+    )
+
+
+@_q(
+    "events_power_curve",
+    """WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_ev
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    ranked AS (
+      SELECT n_ev,
+             NTILE(10) OVER (ORDER BY n_ev DESC, user_id ASC) AS decile
+      FROM per_user),
+    dec AS (SELECT decile, COUNT(*) AS n_users, SUM(n_ev) AS n_events
+            FROM ranked GROUP BY decile),
+    tot AS (SELECT SUM(n_events) AS total FROM dec)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(SUM(n_events) OVER (ORDER BY decile) * 1000000
+                // tot.total AS BIGINT) AS cum_share_ppm
+    FROM dec, tot ORDER BY decile""",
+)
+def events_power_curve(spark, sf_dir):
+    """Activity concentration (Lorenz curve by user decile): users ranked
+    by event count, bucketed into deciles, with each decile's exact
+    cumulative share of all events (ppm). The curve is the standard
+    whale-analysis readout — cum_share_ppm of decile 1 answers "what
+    fraction of traffic do the top 10% of users generate", and its shape
+    is the skew evidence that justifies salting hot user keys in every
+    user-partitioned job downstream.
+
+    100 TB shape: the per-user rollup is a map-side-combinable groupBy on
+    the stream's native key; what remains is |users| rows, and the NTILE
+    ranking over that reduced table is the only global sort — decile and
+    cumulative tables are 10 rows, joined to the 1-row total by
+    broadcast. Ties break on user_id so both engines bucket identically.
+
+    Reference analog: none (events addendum; the user-grain counterpart
+    of events_top_users' raw top-k)."""
+    from pyspark.sql import Window
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    ranked = per_user.select(
+        "n_ev",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("n_ev"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n_ev").alias("n_events")
+    )
+    tot = dec.agg(F.sum("n_events").alias("total"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(sum(n_events) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * 1000000 DIV total AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+@_q(
+    "events_rfm",
+    """WITH ev AS (
+      SELECT user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_n
+      FROM events WHERE user_id IS NOT NULL),
+    anchor AS (SELECT MAX(day_n) AS d_max FROM ev),
+    per_user AS (
+      SELECT user_id,
+             (SELECT d_max FROM anchor) - MAX(day_n) AS recency_d,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN value ELSE 0 END) * 100) AS BIGINT)
+               AS monetary_x100
+      FROM ev GROUP BY user_id),
+    scored AS (
+      SELECT NTILE(5) OVER (ORDER BY recency_d ASC, user_id ASC) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+             NTILE(5) OVER (ORDER BY monetary_x100 DESC, user_id ASC) AS m,
+             monetary_x100
+      FROM per_user)
+    SELECT CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+           CAST(m AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_x100) AS BIGINT) AS monetary_x100
+    FROM scored GROUP BY r, f, m
+    ORDER BY r_score, f_score, m_score""",
+)
+def events_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary): each user
+    scored 1-5 by quintile on days-since-last-event, event count, and
+    purchase value; reported as the segment-grid cell counts with total
+    monetary per cell. The (1,1,1) cell is the champions segment, (5,x,x)
+    the churned — the standard user-base health grid, computed with
+    deterministic quintiles (ties break on user_id, identically in both
+    engines).
+
+    100 TB shape: one map-side-combinable groupBy(user) collapses the
+    stream to |users| rows; the recency anchor is a 1-row broadcast; the
+    three NTILE rankings run over the reduced user table (at true scale,
+    quantile-bucket by pre-computed boundaries instead of a global sort
+    — the 125-cell output is the same); the final rollup is
+    125-row-bounded.
+
+    Reference analog: none (events addendum; the segmentation layer over
+    events_retention / events_stickiness's health metrics)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_n"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("day_n").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(F.lit(0))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("monetary_x100"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("d_max"))
+    scored = per_user.crossJoin(F.broadcast(anchor)).select(
+        (F.col("d_max") - F.col("last_day")).alias("recency_d"),
+        "frequency",
+        "monetary_x100",
+        "user_id",
+    ).select(
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_d"), F.asc("user_id")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_x100"), F.asc("user_id")))
+        .alias("m"),
+        "monetary_x100",
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_x100").alias("mon"),
+        )
+        .select(
+            F.col("r").cast("bigint").alias("r_score"),
+            F.col("f").cast("bigint").alias("f_score"),
+            F.col("m").cast("bigint").alias("m_score"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("mon").cast("bigint").alias("monetary_x100"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@_q(
+    "events_interarrival",
+    """WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events WHERE user_id IS NOT NULL),
+    gaps AS (
+      SELECT event_type,
+             us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS gap_us
+      FROM ev),
+    g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, event_type) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1
+                         THEN gap_us END) // 1000000 AS BIGINT) AS p50_s,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 9 // 10 + 1
+                         THEN gap_us END) // 1000000 AS BIGINT) AS p90_s,
+           CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_s
+    FROM ranked GROUP BY event_type ORDER BY event_type""",
+)
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival cadence per event type: the gap between a user's
+    consecutive events of the same type, summarized as EXACT p50/p90/max
+    seconds (rank-statistic selection over integer microsecond gaps — not
+    percentile_approx, so both engines agree bit-for-bit). The cadence
+    table is the empirical base for session-timeout choices
+    (events_sessions' gap parameter), bot-rate thresholds
+    (events_bot_flag), and watermark widths in the streaming twins.
+
+    100 TB shape: the LAG runs on the (user_id, event_type) partition —
+    one shuffle on the stream's native key; the percentile selection
+    re-keys the GAP rows by event_type (a handful of partitions but
+    nothing driver-sized; at true scale swap the exact rank-select for a
+    fixed-width gap histogram, same 5-column output). Output is
+    |event_types| rows.
+
+    Reference analog: none (events addendum; the cadence profile feeding
+    events_sessions / events_bot_flag parameter choices)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+    )
+    w_lag = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    g = (
+        ev.select(
+            "event_type",
+            (F.col("us") - F.lag("us").over(w_lag)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "gap_us", "event_type"
+    )
+    w_n = Window.partitionBy("event_type")
+    ranked = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            F.expr(
+                "CAST(MAX(CASE WHEN rn = (n - 1) DIV 2 + 1"
+                " THEN gap_us END) DIV 1000000 AS BIGINT)"
+            ).alias("p50_s"),
+            F.expr(
+                "CAST(MAX(CASE WHEN rn = (n - 1) * 9 DIV 10 + 1"
+                " THEN gap_us END) DIV 1000000 AS BIGINT)"
+            ).alias("p90_s"),
+            F.expr(
+                "CAST(MAX(gap_us) DIV 1000000 AS BIGINT)"
+            ).alias("max_s"),
+        )
+        .orderBy("event_type")
+    )

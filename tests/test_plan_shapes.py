@@ -648,3 +648,40 @@ def test_path_rules_joins_broadcast_and_topk(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_attribution_no_join_single_user_exchange_for_windows(spark):
+    """Both attribution windows ride the user_id partitioning and the
+    credit rollup is one groupBy: no join operator of any kind, and at
+    most two hash exchanges (window key + channel rollup)."""
+    p = _plan(spark, "events_attribution")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(") <= 2, p
+
+
+def test_power_curve_ranks_reduced_user_table(spark):
+    """The decile ranking must run over the groupBy(user) rollup (partial
+    aggregation present), with the 1-row total joined by broadcast —
+    never a sort-merge join."""
+    p = _plan(spark, "events_power_curve")
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_rfm_anchor_is_broadcast_over_user_rollup(spark):
+    """RFM scores rank the |users|-row rollup; the recency anchor is a
+    1-row broadcast; no sort-merge join anywhere."""
+    p = _plan(spark, "events_rfm")
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_interarrival_two_keyed_exchanges_only(spark):
+    """Gap extraction shuffles once on (user, type), rank-select once on
+    type; the presentation sort is the only range exchange."""
+    p = _plan(spark, "events_interarrival")
+    assert p.count("hashpartitioning(") == 2, p
+    assert p.count("rangepartitioning(") <= 1, p
+    assert "Join" not in p, p
