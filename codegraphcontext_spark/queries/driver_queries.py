@@ -9875,3 +9875,282 @@ def events_interarrival(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_DEDUP_SWEEP_TS = (500_000, 600_000, 700_000, 800_000, 900_000)
+
+
+@_q(
+    "curate_dedup_sweep",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sim AS (
+      SELECT p.doc_b,
+             MAX(p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared))
+               AS max_sim
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.n_shared >= 2 GROUP BY p.doc_b),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ts AS (SELECT UNNEST(ARRAY{list(_DEDUP_SWEEP_TS)}) AS t)
+    SELECT CAST(ts.t AS BIGINT) AS threshold_x1e6,
+           CAST(COUNT(sim.doc_b) AS BIGINT) AS n_removed,
+           CAST(nd.n_docs - COUNT(sim.doc_b) AS BIGINT) AS n_kept,
+           CAST((nd.n_docs - COUNT(sim.doc_b)) * 1000000 // nd.n_docs
+                AS BIGINT) AS kept_ppm
+    FROM ts CROSS JOIN nd
+    LEFT JOIN sim ON sim.max_sim >= ts.t
+    GROUP BY ts.t, nd.n_docs ORDER BY threshold_x1e6""",
+)
+def curate_dedup_sweep(spark, sf_dir):
+    """Near-dup threshold sweep: for each candidate Jaccard cutoff, how
+    many documents the keep-earliest policy would remove (a doc is
+    removed when ANY earlier doc overlaps it at >= t) and the corpus
+    fraction retained. This is the knob-setting table a curator reads
+    BEFORE running curate_canonical — the retained-fraction elbow picks
+    the production threshold, instead of inheriting 0.8 from a paper.
+
+    100 TB shape: the expensive legs are the capped shingle scan and the
+    DF-capped pair join (shared discipline with dedup_shingle_pairs);
+    everything after collapses to a per-doc MAX (map-side combinable,
+    |dup-candidate docs| rows), and the sweep is a broadcast
+    nested-loop of the 5-row threshold table against that reduced
+    per-doc table — one pair computation serves every threshold, the
+    corpus is never rescanned per t.
+
+    Reference analog: none (curation addendum; the sweep companion of
+    dedup_cluster_stats' fixed-threshold census)."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = (
+        _shingle_pairs_from(_shingles(docs))
+        .groupBy("doc_b")
+        .agg(F.max("jaccard_x1e6").alias("max_sim"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ts = spark.createDataFrame(
+        [(t,) for t in _DEDUP_SWEEP_TS], "t bigint"
+    )
+    return (
+        F.broadcast(ts)
+        .crossJoin(F.broadcast(nd))
+        .join(sim, sim["max_sim"] >= ts["t"], "left")
+        .groupBy("t", "n_docs")
+        .agg(F.count("doc_b").alias("n_removed"))
+        .select(
+            F.col("t").cast("bigint").alias("threshold_x1e6"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            (F.col("n_docs") - F.col("n_removed"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                "CAST((n_docs - n_removed) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+        .orderBy("threshold_x1e6")
+    )
+
+
+@_q(
+    "er_pair_features",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared) AS j_x1e6
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.n_shared >= 2)
+    SELECT jp.doc_a, jp.doc_b,
+           CAST(jp.n_shared AS BIGINT) AS n_shared,
+           CAST(jp.j_x1e6 AS BIGINT) AS jaccard_x1e6,
+           CAST(CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS BIGINT)
+             AS same_lang,
+           CAST(CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS BIGINT)
+             AS same_source,
+           CAST(LEAST(da.n_chars, db.n_chars) * 1000
+                // GREATEST(da.n_chars, db.n_chars) AS BIGINT)
+             AS len_ratio_x1000
+    FROM jp
+    JOIN documents da ON da.doc_id = jp.doc_a
+    JOIN documents db ON db.doc_id = jp.doc_b
+    ORDER BY jaccard_x1e6 DESC, doc_a ASC, doc_b ASC LIMIT 50""",
+)
+def er_pair_features(spark, sf_dir):
+    """Entity-resolution training-pair export: every blocked candidate
+    pair with the feature vector a pairwise match classifier consumes —
+    shingle overlap, Jaccard, language agreement, source agreement, and
+    length ratio (Fellegi-Sunter comparison vector, computed at corpus
+    scale). The strongest pairs surface first, so the table doubles as a
+    labeling worklist: annotate the head, train on the features.
+
+    100 TB shape: candidate generation is the DF-capped inverted-index
+    join (bounded fan-out per shingle, shared with dedup_shingle_pairs);
+    the metadata joins key on doc_id with no forced broadcast (the
+    documents dim is corpus-sized — AQE picks the strategy), and the
+    top-50 compiles to TakeOrderedAndProject, never a global sort.
+
+    Reference analog: none (ER addendum; the feature-export step between
+    er_blocking_quality's audit and a learned matcher)."""
+    docs = _t(spark, sf_dir, "documents")
+    jp = _shingle_pairs_from(_shingles(docs))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("chars_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("chars_b"),
+    )
+    return (
+        jp.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("jaccard_x1e6").cast("bigint").alias("jaccard_x1e6"),
+            F.when(F.col("lang_a") == F.col("lang_b"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("same_lang"),
+            F.when(F.col("source_a") == F.col("source_b"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("same_source"),
+            F.expr(
+                "CAST(LEAST(chars_a, chars_b) * 1000"
+                " DIV GREATEST(chars_a, chars_b) AS BIGINT)"
+            ).alias("len_ratio_x1000"),
+        )
+        .orderBy(
+            F.desc("jaccard_x1e6"), F.asc("doc_a"), F.asc("doc_b")
+        )
+        .limit(50)
+    )
+
+
+_COV_DIM = 64  # embedding width (pinned by the testdata schema)
+
+
+@_q(
+    "embed_covariance",
+    f"""WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM q),
+    dims AS (SELECT UNNEST(range(1, {_COV_DIM} + 1)) AS d),
+    marg AS (SELECT dims.d, SUM(q.v[dims.d]) AS s
+             FROM q CROSS JOIN dims GROUP BY dims.d),
+    prs AS (SELECT a.d AS i, b.d AS j FROM dims a
+            JOIN dims b ON b.d >= a.d),
+    sxy AS (SELECT prs.i, prs.j, SUM(q.v[prs.i] * q.v[prs.j]) AS sxy
+            FROM q CROSS JOIN prs GROUP BY prs.i, prs.j)
+    SELECT CAST(sxy.i - 1 AS BIGINT) AS i, CAST(sxy.j - 1 AS BIGINT) AS j,
+           CAST(n.n AS BIGINT) AS n,
+           CAST((n.n * sxy.sxy - mi.s * mj.s) // (n.n * n.n) AS BIGINT)
+             AS cov_x1e6
+    FROM sxy
+    JOIN marg mi ON mi.d = sxy.i
+    JOIN marg mj ON mj.d = sxy.j
+    CROSS JOIN n
+    ORDER BY i, j""",
+)
+def embed_covariance(spark, sf_dir):
+    """Exact embedding covariance matrix (upper triangle): the input to
+    whitening / PCA / ZCA preprocessing and the drift baseline
+    embed_drift compares against. Components quantize to x1000 integers
+    ONCE (the embed_kmeans discipline), so every moment is an exact
+    int64 sum and both engines produce bit-identical covariances
+    regardless of partition count or summation order; cov_x1e6 is the
+    covariance in (x1000-unit)^2, i.e. 1e-6 of the float covariance.
+
+    100 TB shape: one Arrow-batched pass over the vectors — each batch
+    collapses to its partial Gram matrix (dim x dim ints via one BLAS
+    outer product), its marginal sums, and a count, so the shuffle
+    carries n_batches * O(dim^2) rows, never the corpus; the merge is a
+    map-side-combinable groupBy(i, j) and the final join glues the
+    dim-row marginals back by broadcast. At 1e9+ rows switch the moment
+    accumulation to centered/128-bit to keep n*sxy inside int64 — the
+    shape is unchanged.
+
+    Reference analog: none (embedding addendum; the moment-matrix
+    counterpart of embed_norms, feeding whitening and drift)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _fan_out(_t(spark, sf_dir, "embeddings")).select("embedding")
+
+    def _gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.rint(
+                np.stack(pdf["embedding"].to_numpy()) * 1000.0
+            ).astype(np.int64)
+            g = x.T @ x
+            iu, ju = np.triu_indices(x.shape[1])
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(x.shape[1]), [-1]]),
+                    "j": np.concatenate(
+                        [ju, np.full(x.shape[1], -1), [-1]]
+                    ),
+                    "v": np.concatenate([g[iu, ju], s, [x.shape[0]]]),
+                }
+            )
+
+    parts = emb.mapInPandas(_gram, "i int, j int, v long")
+    # the merged moment table is O(dim^2) rows and feeds FOUR consumers
+    # (pairs, two marginals, count) — checkpoint it so the corpus Gram
+    # pass runs once, not once per consumer
+    tot = (
+        parts.groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    n = (
+        tot.where((F.col("i") == -1) & (F.col("j") == -1))
+        .select(F.col("v").alias("n"))
+    )
+    marg = tot.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("v").alias("s")
+    )
+    prs = tot.where(F.col("j") >= 0).select("i", "j", F.col("v").alias("sxy"))
+    mi = marg.select(F.col("d").alias("i"), F.col("s").alias("si"))
+    mj = marg.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    return (
+        prs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST((n * sxy - si * sj) DIV (n * n) AS BIGINT)"
+            ).alias("cov_x1e6"),
+        )
+        .orderBy("i", "j")
+    )

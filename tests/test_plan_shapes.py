@@ -685,3 +685,36 @@ def test_interarrival_two_keyed_exchanges_only(spark):
     assert p.count("hashpartitioning(") == 2, p
     assert p.count("rangepartitioning(") <= 1, p
     assert "Join" not in p, p
+
+
+def test_dedup_sweep_thresholds_join_reduced_doc_table(spark):
+    """One pair computation serves all 5 thresholds: the sweep is a
+    broadcast nested-loop against the per-doc MAX table — the corpus
+    shingle scan must appear ONCE (one fan-out repartition), not once
+    per threshold."""
+    p = _plan(spark, "curate_dedup_sweep")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("Scan parquet") <= 3, p  # docs (shingles) + docs (count)
+
+
+def test_er_pair_features_topk_no_forced_dim_broadcast(spark):
+    """The documents metadata joins must not be hint-forced (corpus-sized
+    dim) and the head-50 must compile to TakeOrderedAndProject."""
+    df = SPARK_QUERIES["er_pair_features"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    p = _plan(spark, "er_pair_features")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_embed_covariance_shuffles_gram_not_vectors(spark):
+    """The mapInPandas stage must collapse each batch to its partial Gram
+    before any exchange, and the merged O(dim^2) moment table is
+    checkpointed so its four consumers read it instead of re-running the
+    corpus pass: past the checkpoint the plan holds NO hash exchange,
+    only broadcast glue joins and the presentation sort."""
+    p = _plan(spark, "embed_covariance")
+    assert p.count("hashpartitioning(") == 0, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Scan ExistingRDD") >= 3, p  # consumers share the checkpoint
