@@ -10096,6 +10096,39 @@ def embed_covariance(spark, sf_dir):
 
     Reference analog: none (embedding addendum; the moment-matrix
     counterpart of embed_norms, feeding whitening and drift)."""
+    tot = _embed_moments(spark, sf_dir)
+    n = (
+        tot.where((F.col("i") == -1) & (F.col("j") == -1))
+        .select(F.col("v").alias("n"))
+    )
+    marg = tot.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("v").alias("s")
+    )
+    prs = tot.where(F.col("j") >= 0).select("i", "j", F.col("v").alias("sxy"))
+    mi = marg.select(F.col("d").alias("i"), F.col("s").alias("si"))
+    mj = marg.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    return (
+        prs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST((n * sxy - si * sj) DIV (n * n) AS BIGINT)"
+            ).alias("cov_x1e6"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def _embed_moments(spark, sf_dir):
+    """One Arrow-batched corpus pass -> merged integer moment table:
+    (i, j, v) = upper-triangle sums of quantized products, plus marginal
+    rows (i, -1, sum_i) and the count row (-1, -1, n). Checkpointed
+    because every consumer (covariance, power iteration) reads it several
+    times. Shared by embed_covariance and embed_pca_power."""
     import numpy as np
     import pandas as pd
 
@@ -10122,35 +10155,124 @@ def embed_covariance(spark, sf_dir):
             )
 
     parts = emb.mapInPandas(_gram, "i int, j int, v long")
-    # the merged moment table is O(dim^2) rows and feeds FOUR consumers
-    # (pairs, two marginals, count) — checkpoint it so the corpus Gram
-    # pass runs once, not once per consumer
-    tot = (
+    # the merged moment table is O(dim^2) rows and feeds several
+    # consumers — checkpoint it so the corpus Gram pass runs once
+    return (
         parts.groupBy("i", "j")
         .agg(F.sum("v").alias("v"))
         .localCheckpoint(eager=True)
     )
-    n = (
-        tot.where((F.col("i") == -1) & (F.col("j") == -1))
-        .select(F.col("v").alias("n"))
-    )
-    marg = tot.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("d"), F.col("v").alias("s")
-    )
-    prs = tot.where(F.col("j") >= 0).select("i", "j", F.col("v").alias("sxy"))
-    mi = marg.select(F.col("d").alias("i"), F.col("s").alias("si"))
-    mj = marg.select(F.col("d").alias("j"), F.col("s").alias("sj"))
-    return (
-        prs.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .crossJoin(F.broadcast(n))
-        .select(
-            F.col("i").cast("bigint").alias("i"),
-            F.col("j").cast("bigint").alias("j"),
-            F.col("n").cast("bigint").alias("n"),
-            F.expr(
-                "CAST((n * sxy - si * sj) DIV (n * n) AS BIGINT)"
-            ).alias("cov_x1e6"),
+
+
+_PCA_ITERS = 3
+
+
+def _pca_cov_cte() -> str:
+    """DuckDB twin of the full (both-triangle) integer covariance
+    numerator matrix cnum(i, j) = n*sxy - si*sj, 0-indexed dims."""
+    return f"""WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM q),
+    dims AS (SELECT UNNEST(range(1, {_COV_DIM} + 1)) AS d),
+    marg AS (SELECT dims.d, SUM(q.v[dims.d]) AS s
+             FROM q CROSS JOIN dims GROUP BY dims.d),
+    prs AS (SELECT a.d AS i, b.d AS j FROM dims a
+            JOIN dims b ON b.d >= a.d),
+    sxy AS (SELECT prs.i, prs.j, SUM(q.v[prs.i] * q.v[prs.j]) AS sxy
+            FROM q CROSS JOIN prs GROUP BY prs.i, prs.j),
+    ut AS (SELECT sxy.i, sxy.j,
+                  nn.n * sxy.sxy - mi.s * mj.s AS cnum
+           FROM sxy
+           JOIN marg mi ON mi.d = sxy.i
+           JOIN marg mj ON mj.d = sxy.j
+           CROSS JOIN nn),
+    c AS (SELECT i - 1 AS i, j - 1 AS j, cnum FROM ut
+          UNION ALL
+          SELECT j - 1, i - 1, cnum FROM ut WHERE i <> j)"""
+
+
+def _pca_iter_ctes() -> str:
+    """v0 = 1000 per dim; each iteration: w = C v, then max-abs
+    renormalize back to x1000 (// in DuckDB truncates toward zero,
+    matching Spark DIV and the driver-side tdiv)."""
+    parts = ["v0 AS (SELECT UNNEST(range(0, %d)) AS d, 1000 AS v)"
+             % _COV_DIM]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"it{k} AS (SELECT c.i AS d, SUM(c.cnum * {prev}.v) AS w "
+            f"FROM c JOIN {prev} ON {prev}.d = c.j GROUP BY c.i), "
+            f"m{k} AS (SELECT MAX(ABS(w)) AS m FROM it{k}), "
+            f"v{k} AS (SELECT d, w * 1000 // m AS v FROM it{k}, m{k})"
         )
-        .orderBy("i", "j")
+        prev = f"v{k}"
+    return ", ".join(parts), prev
+
+
+_PCA_CTES, _PCA_LAST = _pca_iter_ctes()
+
+
+@_q(
+    "embed_pca_power",
+    f"""{_pca_cov_cte()},
+    {_PCA_CTES}
+    SELECT CAST(d AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_x1000
+    FROM {_PCA_LAST} ORDER BY dim""",
+)
+def embed_pca_power(spark, sf_dir):
+    """Top principal component by {_PCA_ITERS}-step power iteration over
+    the EXACT integer covariance (the embed_covariance moment pass):
+    v0 = all-ones, each step multiplies by the covariance numerator
+    matrix and renormalizes to x1000 by the max-abs component with
+    truncating division — every operation is int64-exact, so Spark and
+    DuckDB produce the same vector bit-for-bit, independent of partition
+    count. The dominant direction is the whitening axis, the
+    dimension-collapse monitor (anisotropy: one direction swallowing the
+    space), and the drift axis embed_drift's centroid shift projects
+    onto.
+
+    100 TB shape: the corpus is touched by ONE Arrow-batched pass (the
+    shared _embed_moments Gram; each batch ships only its dim^2 partial);
+    the iteration itself runs on the driver over the dim x dim integer
+    matrix — the MLlib model-on-driver discipline (a few KB; the corpus
+    never rides the driver), exactly like embed_kmeans' centroids. At
+    1e9+ rows rescale the moments before iterating to keep products in
+    int64 — the shape is unchanged.
+
+    Reference analog: none (embedding addendum; consumes
+    embed_covariance's moments, feeds whitening/anisotropy audits)."""
+    tot = _embed_moments(spark, sf_dir)
+    rows = tot.collect()  # O(dim^2) ints — model-sized, never corpus-sized
+    n = 0
+    s = [0] * _COV_DIM
+    sxy = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            sxy[(r["i"], r["j"])] = r["v"]
+    c = [[0] * _COV_DIM for _ in range(_COV_DIM)]
+    for (i, j), v in sxy.items():
+        cnum = n * v - s[i] * s[j]
+        c[i][j] = cnum
+        c[j][i] = cnum
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (Spark DIV / DuckDB // semantics); numpy's
+        # floor-div would disagree on negative components
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [1000] * _COV_DIM
+    for _ in range(_PCA_ITERS):
+        w = [sum(c[i][j] * v[j] for j in range(_COV_DIM))
+             for i in range(_COV_DIM)]
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * 1000, m) for x in w]
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(_COV_DIM)], "dim bigint, v_x1000 bigint"
     )
