@@ -40,6 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json row across rounds. The rotated-out tail all holds
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
+    # new this session (round-4 continuation): never had a driver row
+    "kg_rule_mining",
+    "kg_path_rules",
+    "events_attribution",
+    "events_power_curve",
+    "events_rfm",
+    "events_interarrival",
+    "curate_dedup_sweep",
+    "er_pair_features",
+    "embed_covariance",
+    "embed_pca_power",
     # never-green: never swept r01-r03
     "embed_pq_rerank",
     "orders_priority_exists",
