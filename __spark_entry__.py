@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "events_markov_stationary",
+    "mm_phash_dedup",
     "kg_rule_mining",
     "kg_path_rules",
     "events_attribution",

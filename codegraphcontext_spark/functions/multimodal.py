@@ -253,3 +253,55 @@ def resize_stage(df: DataFrame) -> DataFrame:
     0×N inputs resize to 0×0 rather than raising — at 100 TB a bad blob
     must not kill the stage."""
     return df.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-style blob fingerprint (aHash over the nibble histogram):
+# real numpy math, no media library needed — the dedup analog of the
+# byte-features routing stage.
+# ---------------------------------------------------------------------------
+PHASH_SCHEMA = "doc_id bigint, phash bigint, n_bytes int"
+
+
+def _phash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 16-bit average-hash over each blob's nibble
+    histogram — bit i set when nibble i occurs above the uniform mean
+    (count*16 > total), the aHash thresholding rule applied to the byte
+    distribution instead of pixel intensities. Identical blobs collide
+    exactly; near-identical payloads (same content, small edits) land in
+    the same bucket with high probability because the histogram moves
+    slowly under small edits."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, hashes, sizes = [], [], []
+        for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+            if blob is None:
+                continue
+            b = bytes(blob)
+            if not b:
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            counts = np.bincount(arr >> 4, minlength=16) + np.bincount(
+                arr & 0x0F, minlength=16
+            )
+            total = int(counts.sum())
+            bits = (counts.astype(np.int64) * 16) > total
+            h = int((bits.astype(np.int64) << np.arange(16)).sum())
+            doc_ids.append(did)
+            hashes.append(h)
+            sizes.append(arr.size)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "phash": pd.Series(hashes, dtype="int64"),
+            "n_bytes": pd.Series(sizes, dtype="int32"),
+        })
+
+
+def phash_stage(df: DataFrame) -> DataFrame:
+    """df(doc_id, payload:binary) -> (doc_id, phash, n_bytes), one row per
+    non-empty blob. Arrow-batched numpy; the fingerprint is 16 bits, so
+    bucketing by it is a bounded-cardinality groupBy."""
+    return df.mapInPandas(_phash_batches, schema=PHASH_SCHEMA)

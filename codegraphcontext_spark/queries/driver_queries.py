@@ -10276,3 +10276,178 @@ def embed_pca_power(spark, sf_dir):
     return spark.createDataFrame(
         [(d, v[d]) for d in range(_COV_DIM)], "dim bigint, v_x1000 bigint"
     )
+
+
+_MKV_ITERS = 3
+
+
+def _mkv_iter_ctes() -> tuple[str, str]:
+    """Chained power-iteration CTEs over the transition counts: p0 is
+    uniform x1e6 over the states; each step routes mass along
+    (pi_i * c_ij) // r_i (term-level truncating division — identical to
+    the driver-side Python arithmetic), keeps mass in place for states
+    with no outgoing transitions, then renormalizes to sum 1e6."""
+    parts = [
+        "st AS (SELECT from_type AS s FROM t UNION SELECT to_type FROM t)",
+        "ns AS (SELECT COUNT(*) AS n FROM st)",
+        "p0 AS (SELECT s, 1000000 // ns.n AS v FROM st, ns)",
+    ]
+    prev = "p0"
+    for k in range(1, _MKV_ITERS + 1):
+        parts.append(
+            f"m{k} AS ("
+            f"SELECT t.to_type AS s, SUM(({prev}.v * t.n) // r.row_n) AS v "
+            f"FROM t JOIN {prev} ON {prev}.s = t.from_type "
+            f"JOIN r ON r.from_type = t.from_type GROUP BY t.to_type "
+            f"UNION ALL "
+            f"SELECT {prev}.s, {prev}.v FROM {prev} "
+            f"WHERE {prev}.s NOT IN (SELECT from_type FROM r)), "
+            f"g{k} AS (SELECT s, SUM(v) AS v FROM m{k} GROUP BY s), "
+            f"z{k} AS (SELECT SUM(v) AS tot FROM g{k}), "
+            f"p{k} AS (SELECT s, v * 1000000 // z{k}.tot AS v "
+            f"FROM g{k}, z{k})"
+        )
+        prev = f"p{k}"
+    return ", ".join(parts), prev
+
+
+_MKV_CTES, _MKV_LAST = _mkv_iter_ctes()
+
+
+@_q(
+    "events_markov_stationary",
+    f"""WITH s AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    r AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type),
+    {_MKV_CTES}
+    SELECT s AS event_type, CAST(v AS BIGINT) AS pi_x1e6
+    FROM {_MKV_LAST} ORDER BY event_type""",
+)
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the behavioral Markov chain: the
+    long-run share of time a user spends in each event state, by
+    {_MKV_ITERS} power-iteration steps over events_markov_transitions'
+    count matrix — the equilibrium the funnel drifts toward, and the
+    baseline occupancy that turns a raw state count into an
+    over/under-representation signal. All arithmetic is integer-exact
+    (term-level truncating division, renormalize to 1e6), so both
+    engines produce the same vector bit-for-bit; states with no
+    outgoing transitions keep their mass (self-loop convention,
+    applied identically in the twin).
+
+    100 TB shape: the corpus is touched by ONE user-keyed window pass +
+    one map-side-combinable pair count (the events_markov_transitions
+    scan shape); what iterates is the grammar-sized |types|^2 count
+    matrix ON THE DRIVER (model-on-driver discipline, like
+    embed_pca_power / embed_kmeans) — nothing corpus-sized rides the
+    driver or re-shuffles per step.
+
+    Reference analog: none (events addendum; closes the Markov family:
+    transitions = the model, stationary = its equilibrium readout)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = pairs.collect()  # grammar-sized |types|^2 — model, not data
+    states = sorted(
+        {c["from_type"] for c in cells} | {c["to_type"] for c in cells}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    c = [[0] * k for _ in range(k)]
+    for row in cells:
+        c[idx[row["from_type"]]][idx[row["to_type"]]] = row["n"]
+    r = [sum(c[i]) for i in range(k)]
+    pi = [1_000_000 // k] * k
+    for _ in range(_MKV_ITERS):
+        nxt = [0] * k
+        for i in range(k):
+            if r[i] == 0:
+                nxt[i] += pi[i]  # absorbing state keeps its mass
+                continue
+            for j in range(k):
+                if c[i][j]:
+                    nxt[j] += (pi[i] * c[i][j]) // r[i]
+        tot = sum(nxt)
+        pi = [v * 1_000_000 // tot for v in nxt]
+    return spark.createDataFrame(
+        sorted(zip(states, pi)), "event_type string, pi_x1e6 bigint"
+    )
+
+
+@_q(
+    "mm_phash_dedup",
+    """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS h
+                  FROM documents WHERE octet_length(encode(text)) > 0),
+    d AS (SELECT doc_id, h, UNNEST(range(0, 16)) AS i FROM b),
+    c AS (SELECT doc_id, i, length(h) AS tot,
+                 length(h) - length(replace(h,
+                   substr('0123456789ABCDEF', CAST(i AS INT) + 1, 1), ''))
+                   AS cnt
+          FROM d),
+    ph AS (SELECT doc_id,
+                  SUM(CASE WHEN cnt * 16 > tot
+                           THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS phash
+           FROM c GROUP BY doc_id),
+    g AS (SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+          FROM ph GROUP BY phash)
+    SELECT CAST(phash AS BIGINT) AS phash,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(first_doc AS BIGINT) AS first_doc
+    FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, phash ASC LIMIT 20""",
+)
+def mm_phash_dedup(spark, sf_dir):
+    """Perceptual-style near-dup bucketing for opaque media payloads: a
+    16-bit average-hash over each blob's nibble histogram (the aHash
+    thresholding rule on the byte distribution — no decoder needed),
+    then bucket-and-count: buckets holding >= 2 blobs are the dedup
+    candidate groups, keep-earliest canonical per bucket. This is the
+    media-side analog of the text near-dup stack (a real pipeline swaps
+    the histogram hash for a pixel/spectrogram pHash at the SAME seam —
+    the bucketing, canonical-selection, and scale shape are unchanged).
+
+    100 TB shape: the fingerprint is one Arrow-batched narrow pass
+    (O(bytes) per blob, 16-bit output); bucketing is a
+    map-side-combinable groupBy on a 65536-ary key — no pair join
+    anywhere, the candidate-group census costs one shuffle of
+    (doc, 2-byte hash) rows; top-20 = TakeOrderedAndProject.
+
+    Reference analog: none (multimodal addendum; extends the mm_* family
+    from routing features to dedup semantics)."""
+    from ..functions.multimodal import phash_stage
+
+    docs = _fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return (
+        phash_stage(docs)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.col("phash").cast("bigint").alias("phash"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("first_doc").cast("bigint").alias("first_doc"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("phash"))
+        .limit(20)
+    )

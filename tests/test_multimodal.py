@@ -133,3 +133,28 @@ def test_resize_chains_from_decode(spark):
     # 640-byte blob: fake_width = 0 -> degenerate path via the real chain
     assert out[2].fake_width == 0
     assert (out[2].out_width, out[2].out_height) == (0, RESIZE_TARGET)
+
+
+def test_phash_stage_null_and_empty_blobs_skipped(spark):
+    """The fingerprint stage mirrors byte_features_stage's null/empty
+    discipline (a None payload must not kill the Arrow batch), identical
+    blobs collide, and the hash stays within 16 bits."""
+    from pyspark.sql import functions as F
+
+    from codegraphcontext_spark.functions.multimodal import phash_stage
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"hello world")),
+            (2, bytearray(b"hello world")),
+            (3, None),
+            (4, bytearray(b"")),
+            (5, bytearray(b"completely different payload bytes!")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in phash_stage(df).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[1].phash == out[2].phash
+    assert 0 <= out[1].phash < (1 << 16)
+    assert out[1].n_bytes == 11

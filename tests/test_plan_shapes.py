@@ -718,3 +718,11 @@ def test_embed_covariance_shuffles_gram_not_vectors(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("Scan ExistingRDD") >= 3, p  # consumers share the checkpoint
+
+
+def test_phash_dedup_no_pair_join_topk(spark):
+    """Bucketing by the 16-bit fingerprint is a groupBy, never a pair
+    join; the candidate-group head is TakeOrderedAndProject."""
+    p = _plan(spark, "mm_phash_dedup")
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" in p, p
