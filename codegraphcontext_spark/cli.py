@@ -80,6 +80,7 @@ SUPPORTED_QUERIES = (
     "overrides", "dead_entities", "complexity", "cooccurrence",
     "all_referencers", "all_referenced", "call_chain", "edge_sentences",
     "related", "suggest", "fuzzy", "summary", "sources", "subgraph",
+    "rules",
 )
 
 
@@ -268,6 +269,10 @@ def cmd_query(args) -> int:
                               set around the entity (GraphRAG evidence
                               cut; kg_entity_subgraph twin); --depth
                               overrides the radius
+    rules                  -> AMIE-style predicate implication rules over
+                              the committed graph: same-direction and
+                              inverse rules with support + confidence
+                              (kg_rule_mining twin over this workdir)
     """
     if args.query not in SUPPORTED_QUERIES:
         print(json.dumps({
@@ -642,6 +647,12 @@ def cmd_query(args) -> int:
             .orderBy(F.asc("pred"))
             .limit(args.limit)
         )
+    elif args.query == "rules":
+        # rule mining over THIS workdir's committed edges (the oracle-
+        # checked kg_rule_mining core; --limit caps the rule list)
+        from .queries.graph_queries import rule_frame
+
+        res = rule_frame(edges, limit=args.limit)
     elif args.query == "subgraph":
         # 2-hop undirected induced edge set around the entity — the
         # GraphRAG evidence cut (kg_entity_subgraph is the oracle twin).

@@ -10451,3 +10451,165 @@ def mm_phash_dedup(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.asc("phash"))
         .limit(20)
     )
+
+
+@_q(
+    "events_cusum",
+    """WITH d AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_n,
+             COUNT(*) AS c
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, day_n),
+    t AS (SELECT event_type, COUNT(*) AS nd, SUM(c) AS tot
+          FROM d GROUP BY event_type),
+    s AS (SELECT d.event_type, d.day_n,
+                 SUM(d.c * t.nd - t.tot)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day_n) AS s
+          FROM d JOIN t ON t.event_type = d.event_type),
+    r AS (SELECT s.event_type, s.day_n, ABS(s.s) AS sa,
+                 ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                    ORDER BY ABS(s.s) DESC, s.day_n ASC)
+                   AS rn
+          FROM s)
+    SELECT r.event_type,
+           CAST(t.nd AS BIGINT) AS n_days,
+           CAST(t.tot AS BIGINT) AS total,
+           CAST(r.day_n AS BIGINT) AS cp_day,
+           CAST(r.sa AS BIGINT) AS s_abs_max
+    FROM r JOIN t ON t.event_type = r.event_type
+    WHERE r.rn = 1 ORDER BY r.event_type""",
+)
+def events_cusum(spark, sf_dir):
+    """CUSUM changepoint detection on per-type daily volumes: the
+    cumulative sum of (scaled) deviations from the type's mean daily
+    count, and the day where |S| peaks — the classic level-shift locator
+    (Page 1954) behind "when did this event's rate actually change",
+    sharper than events_anomaly's pointwise z-scores for sustained
+    shifts. Deviations are scaled by n_days (c*D - T) so every S is an
+    exact integer — no float mean, both engines agree bit-for-bit; ties
+    resolve to the earliest day.
+
+    100 TB shape: ONE map-side-combinable (type, day) count is the only
+    event-scale pass; the CUSUM window and the argmax ranking run over
+    the days x types table (|days|*|types| rows). Output is |types|
+    rows.
+
+    Reference analog: none (events addendum; monitoring family with
+    events_anomaly / events_forecast_eval / events_rate_ci)."""
+    from pyspark.sql import Window
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("c").alias("tot")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = d.join(t, "event_type").select(
+        "event_type",
+        "day_n",
+        "nd",
+        "tot",
+        F.sum(F.col("c") * F.col("nd") - F.col("tot"))
+        .over(w_cum)
+        .alias("s"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("day_n")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("nd").cast("bigint").alias("n_days"),
+            F.col("tot").cast("bigint").alias("total"),
+            F.col("day_n").cast("bigint").alias("cp_day"),
+            F.abs(F.col("s")).cast("bigint").alias("s_abs_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "text_source_overlap",
+    f"""{_TOKS_CTE},
+    v AS (SELECT DISTINCT d.source, t.term
+          FROM toks t JOIN documents d ON d.doc_id = t.doc_id),
+    sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     COUNT(*) AS n_shared
+              FROM v a JOIN v b
+                ON a.term = b.term AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(i.n_shared * 1000000 // (sa.n + sb.n - i.n_shared)
+                AS BIGINT) AS jaccard_x1e6
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b""",
+)
+def text_source_overlap(spark, sf_dir):
+    """Cross-source vocabulary overlap: pairwise Jaccard of the distinct
+    token vocabularies of every source pair — the integer-exact domain-
+    shift gauge behind mixture decisions (two sources with near-identical
+    vocabularies are redundant in a sampling mix; a near-zero overlap
+    flags a domain the dedup stack can't bridge). Complements
+    sample_mixture / curate_rho, which weigh sources but never measure
+    their lexical distance.
+
+    100 TB shape: the corpus-scale pass is one tokenize + DISTINCT
+    (source, term) projection (vocabulary-sized output, not corpus-
+    sized); the pair intersection joins on term with fan-out bounded by
+    |sources| per term, and everything after is |sources|^2 rows.
+
+    Reference analog: none (text addendum; corpus-diagnostics family
+    with text_zipf / text_novelty)."""
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        _tokens(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "term")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes + both join sides
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "term")
+    b = v.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST(n_shared * 1000000 DIV (na + nb - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_x1e6"),
+        )
+        .orderBy("src_a", "src_b")
+    )

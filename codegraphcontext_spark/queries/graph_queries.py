@@ -7218,6 +7218,13 @@ def kg_rule_mining(spark, sf_dir):
     kg_graph_link_predict — that one predicts edges from graph proximity,
     this one mines the logical rules that IMPLY them)."""
     _, edges = ensure_graph(spark, sf_dir)
+    return rule_frame(edges, limit=30)
+
+
+def rule_frame(edges: DataFrame, limit: int = 30) -> DataFrame:
+    """The rule-mining core over any edges frame — shared by
+    kg_rule_mining (graph cache) and the CLI `rules` query type (a
+    committed workdir's edge table)."""
     f = (
         edges.where(
             ~F.col("pred").isin(*_CLOSED_PREDS)
@@ -7271,7 +7278,7 @@ def kg_rule_mining(spark, sf_dir):
             F.asc("body_pred"),
             F.asc("head_pred"),
         )
-        .limit(30)
+        .limit(limit)
     )
 
 
@@ -7398,6 +7405,94 @@ def kg_path_rules(spark, sf_dir):
             F.asc("body_pred1"),
             F.asc("body_pred2"),
             F.asc("head_pred"),
+        )
+        .limit(30)
+    )
+
+
+@_q(
+    "kg_pred_cooccurrence",
+    f"""{_G_CTE},
+    sp AS (SELECT DISTINCT subj_id, pred FROM edges
+           WHERE pred NOT IN {_CLOSED_SQL}),
+    ns AS (SELECT COUNT(DISTINCT subj_id) AS n FROM sp),
+    pc AS (SELECT pred, COUNT(*) AS n_p FROM sp GROUP BY pred),
+    pairs AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                     COUNT(*) AS n_both
+              FROM sp a JOIN sp b
+                ON a.subj_id = b.subj_id AND a.pred < b.pred
+              GROUP BY a.pred, b.pred)
+    SELECT p.pred_a, p.pred_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(ca.n_p AS BIGINT) AS n_a,
+           CAST(cb.n_p AS BIGINT) AS n_b,
+           CAST(p.n_both * ns.n * 1000 // (ca.n_p * cb.n_p) AS BIGINT)
+             AS lift_x1000
+    FROM pairs p
+    JOIN pc ca ON ca.pred = p.pred_a
+    JOIN pc cb ON cb.pred = p.pred_b
+    CROSS JOIN ns
+    WHERE p.n_both >= 2
+    ORDER BY lift_x1000 DESC, n_both DESC, pred_a ASC, pred_b ASC
+    LIMIT 30""",
+)
+def kg_pred_cooccurrence(spark, sf_dir):
+    """Subject-level predicate association: for every predicate pair, how
+    many entities assert BOTH, with the lift n_both*N/(n_a*n_b) (x1000)
+    — lift > 1 means the slots travel together (a person with BORN_IN
+    usually also has WORKS_AT), the association strength behind schema
+    clustering and the prior kg_shacl_lite's mandatory-slot induction
+    thresholds against. Distinct from kg_rule_mining: rules need the
+    same OBJECT pair on both atoms; this measures slot co-presence on
+    the SUBJECT only.
+
+    100 TB shape: the distinct (subject, pred) projection collapses the
+    edge table to at most |preds| rows per entity; the pair join is
+    subject-keyed with fan-out bounded by C(|preds|, 2) per subject —
+    dictionary-bounded, never corpus-quadratic; glue joins ride P-row
+    broadcasts. Top-30 = TakeOrderedAndProject.
+
+    Reference analog: none (KG-schema addendum; association-mining leg
+    between kg_pred_functionality and kg_rule_mining)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    sp = (
+        edges.where(~F.col("pred").isin(*_CLOSED_PREDS))
+        .select("subj_id", "pred")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds counts + both pair sides
+    )
+    ns = sp.agg(F.countDistinct("subj_id").alias("n"))
+    pc = sp.groupBy("pred").agg(F.count(F.lit(1)).alias("n_p"))
+    a = sp.select("subj_id", F.col("pred").alias("pred_a"))
+    b = sp.select("subj_id", F.col("pred").alias("pred_b"))
+    pairs = (
+        a.join(b, "subj_id")
+        .where(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = pc.select(F.col("pred").alias("pred_a"), F.col("n_p").alias("n_a"))
+    cb = pc.select(F.col("pred").alias("pred_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "pred_a")
+        .join(F.broadcast(cb), "pred_b")
+        .crossJoin(F.broadcast(ns))
+        .where(F.col("n_both") >= 2)
+        .select(
+            "pred_a",
+            "pred_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(n_both * n * 1000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_x1000"),
+        )
+        .orderBy(
+            F.desc("lift_x1000"),
+            F.desc("n_both"),
+            F.asc("pred_a"),
+            F.asc("pred_b"),
         )
         .limit(30)
     )

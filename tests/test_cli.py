@@ -528,3 +528,22 @@ def test_query_subgraph_evidence_cut(spark, built_wd, capsys):
     assert not {r["pred"] for r in rows} & {
         "MENTIONS", "LINKS_TO", "HAS_TYPE"
     }
+
+
+def test_query_rules_over_workdir(spark, built_wd, capsys):
+    """rules: predicate implication rules mined from the committed graph —
+    confidence-sorted, bounded by --limit, integer-exact columns."""
+    rc = cli.main(
+        ["query", "--workdir", built_wd, "--limit", "5", "rules"]
+    )
+    assert rc == 0
+    rows = _rows(capsys)
+    assert rows and len(rows) <= 5
+    assert {
+        "direction", "body_pred", "head_pred",
+        "n_body", "n_support", "conf_x1000",
+    } <= set(rows[0])
+    confs = [r["conf_x1000"] for r in rows]
+    assert confs == sorted(confs, reverse=True)
+    assert all(0 <= c <= 1000 for c in confs)
+    assert all(r["n_support"] >= 2 for r in rows)

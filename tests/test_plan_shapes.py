@@ -726,3 +726,22 @@ def test_phash_dedup_no_pair_join_topk(spark):
     p = _plan(spark, "mm_phash_dedup")
     assert "Join" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_pred_cooccurrence_broadcast_glue_topk(spark):
+    """The pair join is subject-keyed over the checkpointed (subject,
+    pred) projection; count glue joins broadcast; top-30 is
+    TakeOrderedAndProject, no sort-merge."""
+    p = _plan(spark, "kg_pred_cooccurrence")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_cusum_single_corpus_pass_grammar_windows(spark):
+    """The only corpus-scale aggregate is the (type, day) count (partial
+    aggregation present); the CUSUM + argmax windows run on the reduced
+    days-x-types table."""
+    p = _plan(spark, "events_cusum")
+    assert "partial_count" in p, p
+    assert "SortMergeJoin" not in p, p
