@@ -41,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "lineitem_discount_revenue",
+    "part_brand_disjunctive_revenue",
+    "nation_trade_volume",
     "events_cusum",
     "text_source_overlap",
     "kg_pred_cooccurrence",

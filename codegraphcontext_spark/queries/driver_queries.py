@@ -10613,3 +10613,198 @@ def text_source_overlap(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@_q(
+    "lineitem_discount_revenue",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                            AS BIGINT)) AS BIGINT) AS revenue_x10k
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24""",
+)
+def lineitem_discount_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped forecast-revenue change: the what-if aggregate over
+    a date window + discount band + quantity cap. The whole query is a
+    single filtered scan with a 1-row global aggregate — its entire value
+    at 100 TB is WHERE the predicates execute: all three must reach the
+    parquet scan as pushed filters (row-group statistics then skip most
+    of the table before a byte decompresses), and the product rounds to
+    a per-row scaled BIGINT before summation so partial-agg order can't
+    flip a hash bit.
+
+    Reference analog: none (TPC-H family; the minimal pushdown-or-bust
+    probe next to orders_topk_revenue's join shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_x10k"),
+        )
+    )
+
+
+@_q(
+    "part_brand_disjunctive_revenue",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) AS BIGINT)
+                AS revenue_x10k
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)""",
+)
+def part_brand_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-band, quantity-band) conjuncts across the part/lineitem
+    join — the classic optimizer probe for DISJUNCTION handling. The
+    single-table prefixes of the OR must still prune both scans (Catalyst
+    extracts the common l_quantity range and the p_brand IN-set as
+    pushable residuals), and the join stays a plain partkey equi-join
+    with the disjunction evaluated as a post-join filter — never a
+    fallback to a nested-loop over the OR arms.
+
+    Reference analog: none (TPC-H family; the pushdown stress next to
+    supplier_nation_revenue's join-order stress)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .where(arm)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * 10000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_x10k"),
+        )
+    )
+
+
+@_q(
+    "nation_trade_volume",
+    """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) AS BIGINT)
+                AS volume_x10k
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY ns.n_name, nc.n_name
+    ORDER BY volume_x10k DESC, supp_nation ASC, cust_nation ASC
+    LIMIT 25""",
+)
+def nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7-shaped bilateral trade volume: cross-nation shipping value
+    per (supplier nation, customer nation) pair inside one order year —
+    the snowflake join whose output is the nation-pair matrix. The
+    nation dim joins are CONSTANT-bounded (25 rows — the one place a
+    forced broadcast is always right); supplier/customer are unbounded
+    dims left to AQE; the fact-side orders join keys on orderkey
+    (co-located under the fact table's natural bucketing) with the date
+    window pushed to the orders scan. Top-25 of a 600-cell result is
+    TakeOrderedAndProject.
+
+    Reference analog: none (TPC-H family; the bilateral rollup next to
+    supplier_nation_revenue's single-sided Q5 shape)."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    nc = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(ns, "s_nationkey")
+        .join(nc, "c_nationkey")
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * 10000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("volume_x10k"),
+        )
+        .orderBy(
+            F.desc("volume_x10k"),
+            F.asc("supp_nation"),
+            F.asc("cust_nation"),
+        )
+        .limit(25)
+    )

@@ -745,3 +745,37 @@ def test_cusum_single_corpus_pass_grammar_windows(spark):
     p = _plan(spark, "events_cusum")
     assert "partial_count" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_discount_revenue_all_predicates_reach_scan(spark):
+    """Q6's value IS the pushdown: the date window, discount band, and
+    quantity cap must all appear as pushed parquet filters, and the plan
+    holds no join or shuffle beyond the 1-row global aggregate."""
+    p = _plan(spark, "lineitem_discount_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "LessThan(l_shipdate" in p, p
+    assert "GreaterThanOrEqual(l_discount" in p, p
+    assert "LessThan(l_quantity" in p, p
+    assert "Join" not in p, p
+
+
+def test_disjunctive_revenue_or_residuals_prune_scans(spark):
+    """Q19's disjunction: the extracted single-table residuals (the
+    l_quantity hull on lineitem, the p_brand Or-set on part) must reach
+    their scans; the join stays a partkey hash join, never nested-loop."""
+    p = _plan(spark, "part_brand_disjunctive_revenue")
+    # part scan: per-arm (brand AND size-cap) conjuncts survive as an OR
+    assert "And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,15))" in p, p
+    # lineitem scan: the quantity hull of the three arms is pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_trade_volume_constant_dims_broadcast_date_pushed(spark):
+    """Q7: the 25-row nation dims broadcast; the order-year window is
+    pushed to the orders scan; top-25 is TakeOrderedAndProject."""
+    p = _plan(spark, "nation_trade_volume")
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
