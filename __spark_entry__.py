@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "events_cuped",
+    "events_srm",
     "lineitem_discount_revenue",
     "part_brand_disjunctive_revenue",
     "nation_trade_volume",

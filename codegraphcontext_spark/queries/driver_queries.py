@@ -10808,3 +10808,183 @@ def nation_trade_volume(spark, sf_dir):
         )
         .limit(25)
     )
+
+
+@_q(
+    "events_cuped",
+    """WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_n
+      FROM events WHERE user_id IS NOT NULL),
+    anchor AS (SELECT MIN(day_n) + 15 AS split FROM ev),
+    u AS (SELECT user_id,
+                 SUM(CASE WHEN day_n < (SELECT split FROM anchor)
+                          THEN 1 ELSE 0 END) AS x,
+                 SUM(CASE WHEN day_n >= (SELECT split FROM anchor)
+                          AND event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS y
+          FROM ev GROUP BY user_id),
+    m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                 SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS sx_a,
+                 SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS sy_a,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS sx_b,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS sy_b
+          FROM u),
+    th AS (SELECT m.*,
+                  CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN 0
+                       ELSE (m.n * m.sxy - m.sx * m.sy) * 1000000
+                            // (m.n * m.sxx - m.sx * m.sx) END AS theta
+           FROM m)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(theta AS BIGINT) AS theta_x1e6,
+           CAST(sy_a * 1000000 // n_a AS BIGINT) AS mean_y_a_x1e6,
+           CAST(sy_b * 1000000 // n_b AS BIGINT) AS mean_y_b_x1e6,
+           CAST(sy_a * 1000000 // n_a
+                - theta * ((sx_a * n - sx * n_a) * 1000000 // (n_a * n))
+                  // 1000000 AS BIGINT) AS adj_y_a_x1e6,
+           CAST(sy_b * 1000000 // n_b
+                - theta * ((sx_b * n - sx * n_b) * 1000000 // (n_b * n))
+                  // 1000000 AS BIGINT) AS adj_y_b_x1e6
+    FROM th""",
+)
+def events_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
+    post-period purchase metric per arm, adjusted by the pre-period
+    activity covariate — theta = cov(x,y)/var(x) from pooled exact
+    moments, adjusted mean = mean(y_arm) - theta*(mean(x_arm) -
+    mean(x)). The adjustment removes the between-user variance the
+    covariate explains, which is how real experimentation platforms
+    double their effective sample size without running longer. Every
+    moment is an exact int64 sum and the derived quantities are fixed
+    integer-division expressions — bit-identical on both engines.
+
+    100 TB shape: ONE map-side-combinable groupBy(user) (the stream's
+    native key) collapses the corpus; the moment rollup is a single-row
+    aggregate; the pre/post split anchor is a 1-row scalar. Nothing
+    else.
+
+    Reference analog: none (events addendum; upgrades events_abtest's
+    raw-rate readout with the standard variance-reduction layer)."""
+    ev = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_n"),
+    )
+    anchor = ev.agg((F.min("day_n") + 15).alias("split"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("day_n") < F.col("split")).cast("long")
+            ).alias("x"),
+            F.sum(
+                (
+                    (F.col("day_n") >= F.col("split"))
+                    & (F.col("event_type") == "purchase")
+                ).cast("long")
+            ).alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("x")).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("y")).otherwise(0)).alias("sy_a"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("x")).otherwise(0)).alias("sx_b"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("y")).otherwise(0)).alias("sy_b"),
+    )
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            " ELSE (n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx) END AS BIGINT)"
+        ).alias("theta_x1e6"),
+        F.expr("CAST(sy_a * 1000000 DIV n_a AS BIGINT)").alias(
+            "mean_y_a_x1e6"
+        ),
+        F.expr("CAST(sy_b * 1000000 DIV n_b AS BIGINT)").alias(
+            "mean_y_b_x1e6"
+        ),
+        F.expr(
+            "CAST(sy_a * 1000000 DIV n_a"
+            " - (CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            "    ELSE (n * sxy - sx * sy) * 1000000"
+            "    DIV (n * sxx - sx * sx) END)"
+            "   * ((sx_a * n - sx * n_a) * 1000000 DIV (n_a * n))"
+            "   DIV 1000000 AS BIGINT)"
+        ).alias("adj_y_a_x1e6"),
+        F.expr(
+            "CAST(sy_b * 1000000 DIV n_b"
+            " - (CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            "    ELSE (n * sxy - sx * sy) * 1000000"
+            "    DIV (n * sxx - sx * sx) END)"
+            "   * ((sx_b * n - sx * n_b) * 1000000 DIV (n_b * n))"
+            "   DIV 1000000 AS BIGINT)"
+        ).alias("adj_y_b_x1e6"),
+    )
+
+
+@_q(
+    "events_srm",
+    """WITH u AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
+    t AS (SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+          FROM u)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                AS BIGINT) AS chi2_x1e6,
+           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000
+                          // (n_a + n_b) >= 3841459 THEN 1 ELSE 0 END
+                AS BIGINT) AS srm_flag
+    FROM t""",
+)
+def events_srm(spark, sf_dir):
+    """Sample-ratio-mismatch check (the experimentation trust gate): arm
+    sizes under the 50/50 parity assignment, the 1-dof chi-square
+    (n_a-n_b)^2/(n_a+n_b), and the p<.05 flag (3.841459 cutoff). An SRM
+    firing means the assignment, logging, or bot filtering is biased and
+    every downstream readout (events_abtest, events_cuped) is suspect —
+    platforms run exactly this gate before showing any experiment
+    result. Integer-exact throughout.
+
+    100 TB shape: one DISTINCT on the stream's native user key (the
+    partial/merge pair), then a single-row rollup.
+
+    Reference analog: none (events addendum; the trust gate in the
+    experimentation family)."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+    )
+    t = u.agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    return t.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)"
+            " AS BIGINT)"
+        ).alias("chi2_x1e6"),
+        F.expr(
+            "CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000"
+            " DIV (n_a + n_b) >= 3841459 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )

@@ -1,0 +1,150 @@
+"""Behavioral pins for the round-4i wave (this session's operators):
+properties the oracle equality can't see — monotonicity, bounds, and
+cross-operator consistency."""
+
+import pytest
+
+from codegraphcontext_spark.queries import graph_queries  # noqa: F401
+from codegraphcontext_spark.queries.driver_queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rule_mining_confidence_bounds_and_body_consistency(spark):
+    rows = SPARK_QUERIES["kg_rule_mining"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.conf_x1000 <= 1000
+        assert r.n_support <= r.n_body
+        assert r.direction in ("same", "inv")
+
+
+def test_path_rules_support_bounded_by_body(spark):
+    rows = SPARK_QUERIES["kg_path_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r.n_support <= r.n_body
+        assert 0 <= r.conf_x1000 <= 1000
+
+
+def test_attribution_credits_bounded_by_purchases(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).count()
+    rows = SPARK_QUERIES["events_attribution"](spark, SF).collect()
+    assert sum(r.n_last_touch for r in rows) <= n_purch
+    assert sum(r.n_first_touch for r in rows) <= n_purch
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_power_curve_monotone_and_complete(spark):
+    rows = SPARK_QUERIES["events_power_curve"](spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+    # heavy head: top decile holds more than 1/10 of events
+    assert shares[0] > 100_000
+
+
+def test_rfm_cells_partition_users(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id").distinct().count()
+    )
+    rows = SPARK_QUERIES["events_rfm"](spark, SF).collect()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+
+
+def test_interarrival_percentiles_ordered(spark):
+    rows = SPARK_QUERIES["events_interarrival"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p50_s <= r.p90_s <= r.max_s
+
+
+def test_dedup_sweep_monotone_in_threshold(spark):
+    rows = SPARK_QUERIES["curate_dedup_sweep"](spark, SF).collect()
+    kept = [r.n_kept for r in rows]
+    assert kept == sorted(kept)  # higher threshold removes fewer docs
+    for r in rows:
+        assert r.n_kept + r.n_removed == rows[0].n_kept + rows[0].n_removed
+
+
+def test_covariance_diagonal_nonnegative_and_pca_unit_scale(spark):
+    cov = SPARK_QUERIES["embed_covariance"](spark, SF).collect()
+    diag = {r.i: r.cov_x1e6 for r in cov if r.i == r.j}
+    assert len(diag) == 64
+    assert all(v >= 0 for v in diag.values())
+    pc = SPARK_QUERIES["embed_pca_power"](spark, SF).collect()
+    comps = [r.v_x1000 for r in pc]
+    assert len(comps) == 64
+    assert max(abs(c) for c in comps) == 1000  # max-abs normalized
+
+
+def test_markov_stationary_sums_to_one(spark):
+    rows = SPARK_QUERIES["events_markov_stationary"](spark, SF).collect()
+    tot = sum(r.pi_x1e6 for r in rows)
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000  # truncation slack
+    assert all(r.pi_x1e6 > 0 for r in rows)
+
+
+def test_cusum_peak_within_observed_days(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    days = ev.agg(
+        F.expr(
+            "MIN(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000)"
+        ).alias("lo"),
+        F.expr(
+            "MAX(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000)"
+        ).alias("hi"),
+    ).collect()[0]
+    for r in SPARK_QUERIES["events_cusum"](spark, SF).collect():
+        assert days.lo <= r.cp_day <= days.hi
+        assert r.s_abs_max >= 0
+
+
+def test_cuped_reduces_or_keeps_arm_gap_sane(spark):
+    row = SPARK_QUERIES["events_cuped"](spark, SF).collect()[0]
+    assert row.n_a + row.n_b > 0
+    # adjusted means stay in the metric's neighborhood (no runaway theta)
+    for raw, adj in (
+        (row.mean_y_a_x1e6, row.adj_y_a_x1e6),
+        (row.mean_y_b_x1e6, row.adj_y_b_x1e6),
+    ):
+        assert abs(adj - raw) <= max(abs(raw), 1_000_000)
+
+
+def test_srm_parity_split_is_balanced_here(spark):
+    row = SPARK_QUERIES["events_srm"](spark, SF).collect()[0]
+    assert row.n_a + row.n_b > 0
+    assert row.srm_flag in (0, 1)
+    # the synthetic corpus assigns users uniformly; parity must not SRM
+    assert row.srm_flag == 0
+
+
+def test_phash_dedup_groups_have_at_least_two(spark):
+    rows = SPARK_QUERIES["mm_phash_dedup"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 0 <= r.phash < (1 << 16)
+
+
+def test_source_overlap_symmetric_range(spark):
+    rows = SPARK_QUERIES["text_source_overlap"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 <= r.jaccard_x1e6 <= 1_000_000
