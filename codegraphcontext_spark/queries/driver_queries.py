@@ -10988,3 +10988,145 @@ def events_srm(spark, sf_dir):
             " DIV (n_a + n_b) >= 3841459 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
     )
+
+
+@_q(
+    "text_fertility",
+    r"""WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_words
+      FROM documents WHERE text IS NOT NULL)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_bpe) * 1000 // SUM(n_words) AS BIGINT)
+             AS fertility_x1000
+    FROM d GROUP BY lang ORDER BY lang""",
+)
+def text_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (x1000) — THE tokenizer-equity metric in multilingual LLM work
+    (a language with 2-3x the fertility of English pays 2-3x the compute
+    and context budget per sentence; fertility skew drives vocabulary
+    re-allocation before a multilingual run). Uses the same token rule
+    text_token_bpe applies, rolled up per lang.
+
+    100 TB shape: both counts are array-length expressions fused into
+    the scan (regexp + split HOFs, JVM-side, no explode anywhere); the
+    only shuffle is the |langs|-row map-side-combinable rollup.
+
+    Reference analog: none (text addendum; the per-language readout over
+    text_token_bpe's per-doc counts, tokenizer-efficiency leg of the
+    multilingual family with text_langid / kg_graph_lang_stats)."""
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    toks = F.expr(
+        r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+    )
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("n_bpe"),
+            F.size(words).alias("n_words"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr(
+                "CAST(n_bpe_tokens * 1000 DIV n_words AS BIGINT)"
+            ).alias("fertility_x1000"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PROX_A, _PROX_B = "hash", "join"  # proximity needle pair
+_PROX_WIN = 10  # max token distance
+
+
+@_q(
+    "kg_search_proximity",
+    f"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+    pos AS (SELECT doc_id, toks[i] AS term, i
+            FROM s0, LATERAL (SELECT UNNEST(generate_series(1, len(toks)))
+                              AS i) g
+            WHERE toks[i] IN ('{_PROX_A}', '{_PROX_B}')),
+    pa AS (SELECT doc_id, i FROM pos WHERE term = '{_PROX_A}'),
+    pb AS (SELECT doc_id, i FROM pos WHERE term = '{_PROX_B}'),
+    d AS (SELECT pa.doc_id, MIN(ABS(pa.i - pb.i)) AS min_dist
+          FROM pa JOIN pb ON pb.doc_id = pa.doc_id
+          GROUP BY pa.doc_id)
+    SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
+    FROM d WHERE min_dist <= {_PROX_WIN}
+    ORDER BY min_dist ASC, doc_id ASC LIMIT 20""",
+)
+def kg_search_proximity(spark, sf_dir):
+    """Proximity search (the Lucene span-near / SQL NEAR operator): docs
+    where '{_PROX_A}' and '{_PROX_B}' co-occur within {_PROX_WIN} tokens,
+    ranked by the minimum token distance — the relevance signal between
+    bag-of-words AND (kg_search_content: same doc, any distance) and
+    exact phrase match (distance 1). Near co-occurrence is the standard
+    evidence gate for relation extraction review: entities mentioned 3
+    tokens apart are far likelier related than 300.
+
+    100 TB shape: position extraction runs INSIDE array HOFs on the scan
+    — only the needles' positions ever become rows (two dictionary terms,
+    not the corpus token stream); the per-doc min-distance is computed by
+    an array-HOF cross of the two bounded position lists, so there is NO
+    explode and NO join in the plan at all; top-20 =
+    TakeOrderedAndProject.
+
+    Reference analog: the Lucene index's span queries
+    (graph_builder.py:81-85 gives Neo4j fulltext NEAR via Lucene syntax);
+    completes the search family: content/regex/scored/tfidf/stem/fuzzy/
+    phrase-proximity."""
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    pos_of = lambda term: _let(  # noqa: E731
+        toks,
+        lambda t: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.when(
+                    F.element_at(t, i) == term, i
+                ).otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    d = docs.select(
+        "doc_id",
+        pos_of(_PROX_A).alias("pa"),
+        pos_of(_PROX_B).alias("pb"),
+    ).where((F.size("pa") > 0) & (F.size("pb") > 0))
+    # min pairwise |pa_i - pb_j| via nested HOF reduce over the two
+    # bounded position arrays — no explode, no join
+    min_dist = F.aggregate(
+        F.flatten(
+            F.transform(
+                "pa",
+                lambda a: F.transform("pb", lambda b: F.abs(a - b)),
+            )
+        ),
+        F.lit(2_147_483_647),
+        lambda acc, x: F.least(acc, x),
+    )
+    return (
+        d.select("doc_id", min_dist.cast("bigint").alias("min_dist"))
+        .where(F.col("min_dist") <= _PROX_WIN)
+        .orderBy(F.asc("min_dist"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -779,3 +779,22 @@ def test_trade_volume_constant_dims_broadcast_date_pushed(spark):
     assert "GreaterThanOrEqual(o_orderdate" in p, p
     assert "BroadcastHashJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_fertility_is_scan_fused_single_rollup(spark):
+    """Both token counts are array-length expressions on the scan: no
+    explode (Generate), and the only exchange is the |langs|-row rollup
+    plus the presentation sort."""
+    p = _plan(spark, "text_fertility")
+    assert "Generate" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
+
+
+def test_proximity_no_explode_no_join_topk(spark):
+    """Needle positions and the min pairwise distance are computed
+    entirely inside array HOFs: no Generate, no Join; top-20 compiles to
+    TakeOrderedAndProject."""
+    p = _plan(spark, "kg_search_proximity")
+    assert "Generate" not in p, p
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" in p, p

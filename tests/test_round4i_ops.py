@@ -148,3 +148,19 @@ def test_source_overlap_symmetric_range(spark):
     for r in rows:
         assert r.src_a < r.src_b
         assert 0 <= r.jaccard_x1e6 <= 1_000_000
+
+
+def test_proximity_distances_ordered_and_within_window(spark):
+    rows = SPARK_QUERIES["kg_search_proximity"](spark, SF).collect()
+    assert rows
+    dists = [r.min_dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(1 <= d <= 10 for d in dists)
+
+
+def test_fertility_at_least_one_token_per_word(spark):
+    rows = SPARK_QUERIES["text_fertility"](spark, SF).collect()
+    assert {r.lang for r in rows} == {"en", "de", "fr", "es", "zh"}
+    for r in rows:
+        # the BPE-ish rule splits punctuation off, so tokens >= words
+        assert r.fertility_x1000 >= 1000
