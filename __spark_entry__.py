@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "events_seasonality",
+    "kg_graph_powerlaw",
     "text_fertility",
     "kg_search_proximity",
     "events_cuped",

@@ -11130,3 +11130,77 @@ def kg_search_proximity(spark, sf_dir):
         .orderBy(F.asc("min_dist"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@_q(
+    "events_seasonality",
+    """WITH e AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7
+                  AS BIGINT) AS dow
+      FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT event_type, dow, COUNT(*) AS n
+          FROM e GROUP BY event_type, dow),
+    t AS (SELECT event_type, SUM(n) AS tot, COUNT(*) AS n_dows
+          FROM c GROUP BY event_type),
+    x AS (SELECT c.event_type,
+                 SUM((7 * c.n - t.tot) * (7 * c.n - t.tot)) AS dev2,
+                 MAX(t.tot) AS tot
+          FROM c JOIN t ON t.event_type = c.event_type
+          GROUP BY c.event_type)
+    SELECT x.event_type,
+           CAST(x.tot AS BIGINT) AS total,
+           CAST(x.dev2 * 1000000 // (7 * 7 * x.tot) AS BIGINT)
+             AS chi2_x1e6,
+           CAST(CASE WHEN x.dev2 * 1000000 // (7 * 7 * x.tot) >= 12591587
+                     THEN 1 ELSE 0 END AS BIGINT) AS seasonal_flag
+    FROM x ORDER BY event_type""",
+)
+def events_seasonality(spark, sf_dir):
+    """Day-of-week seasonality test per event type: the 6-dof chi-square
+    of the weekday profile against uniformity (expected tot/7 per
+    weekday; p<.05 cutoff 12.591587), integer-exact via the scaled
+    deviation (7n - tot) so both engines agree bit-for-bit. A seasonal
+    flag means the forecast baseline must be the weekly seasonal-naive
+    (events_forecast_eval's model), not a flat mean — and that weekday
+    must be a feature in any rate-anomaly threshold (events_anomaly).
+
+    100 TB shape: one map-side-combinable (type, dow) count (14-168
+    cells) is the only corpus pass; everything after is |types| rows
+    with a 7-row-per-type rollup.
+
+    Reference analog: none (events addendum; monitoring family with
+    events_cusum / events_forecast_eval)."""
+    e = _t(spark, sf_dir, "events").where("user_id IS NOT NULL").select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7"
+            " AS BIGINT)"
+        ).alias("dow"),
+    )
+    c = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_dows")
+    )
+    x = (
+        c.join(t, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.lit(7) * F.col("n") - F.col("tot"))
+                * (F.lit(7) * F.col("n") - F.col("tot"))
+            ).alias("dev2"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    return x.select(
+        "event_type",
+        F.col("tot").cast("bigint").alias("total"),
+        F.expr(
+            "CAST(dev2 * 1000000 DIV (7 * 7 * tot) AS BIGINT)"
+        ).alias("chi2_x1e6"),
+        F.expr(
+            "CAST(CASE WHEN dev2 * 1000000 DIV (7 * 7 * tot) >= 12591587"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("seasonal_flag"),
+    ).orderBy("event_type")

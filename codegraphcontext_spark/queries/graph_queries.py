@@ -7496,3 +7496,80 @@ def kg_pred_cooccurrence(spark, sf_dir):
         )
         .limit(30)
     )
+
+
+_PL_XMIN = 4  # Hill-estimator tail cutoff (degrees >= xmin)
+
+
+@_q(
+    "kg_graph_powerlaw",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                   GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    inc AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT v, COUNT(*) AS d FROM inc GROUP BY v),
+    h AS (SELECT d, COUNT(*) AS cnt FROM deg GROUP BY d),
+    tail AS (SELECT SUM(cnt) AS n_tail,
+                    SUM(cnt * ln(d * 1.0 / {_PL_XMIN})) AS s
+             FROM h WHERE d >= {_PL_XMIN})
+    SELECT CAST({_PL_XMIN} AS BIGINT) AS xmin,
+           CAST(n_tail AS BIGINT) AS n_tail,
+           CAST(ROUND((1 + n_tail / s) * 1000) AS BIGINT) AS alpha_x1000
+    FROM tail WHERE n_tail > 0 AND s > 0""",
+)
+def kg_graph_powerlaw(spark, sf_dir):
+    """Degree-distribution tail exponent by the Hill/MLE estimator
+    (Clauset-Shalizi-Newman 2009: alpha = 1 + n / sum(ln(d/xmin)) over
+    degrees >= xmin) on the open relation graph. Alpha in the 2-3 band
+    is the scale-free signature that PREDICTS hub skew: it quantifies
+    how heavy the tail the salting/broadcast-tier machinery
+    (functions/skew.py, the rich-club sweep) exists to absorb, turning
+    "this graph has hubs" into a number comparable across snapshots.
+    The log sum runs over the HISTOGRAM (|distinct degrees| rows), so
+    both engines sum the same handful of terms; alpha rounds at x1000
+    where a last-ulp libm difference cannot reach.
+
+    100 TB shape: degree + histogram are two map-side-combinable
+    aggregates (the kg_graph_degree_dist shape); the estimator is a
+    1-row rollup over the dictionary-sized histogram. Nothing else.
+
+    Reference analog: none (graph-analytics addendum; the parametric
+    summary over kg_graph_degree_dist's raw histogram, companion of
+    kg_graph_richclub's hub-interlink sweep)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    h = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    tail = h.where(F.col("d") >= _PL_XMIN).agg(
+        F.sum("cnt").alias("n_tail"),
+        F.sum(
+            F.col("cnt") * F.log(F.col("d") * 1.0 / _PL_XMIN)
+        ).alias("s"),
+    )
+    return (
+        tail.where((F.col("n_tail") > 0) & (F.col("s") > 0))
+        .select(
+            F.lit(_PL_XMIN).cast("bigint").alias("xmin"),
+            F.col("n_tail").cast("bigint").alias("n_tail"),
+            F.round((1 + F.col("n_tail") / F.col("s")) * 1000)
+            .cast("bigint")
+            .alias("alpha_x1000"),
+        )
+    )

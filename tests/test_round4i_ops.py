@@ -164,3 +164,20 @@ def test_fertility_at_least_one_token_per_word(spark):
     for r in rows:
         # the BPE-ish rule splits punctuation off, so tokens >= words
         assert r.fertility_x1000 >= 1000
+
+
+def test_seasonality_chi2_nonnegative_flags_binary(spark):
+    rows = SPARK_QUERIES["events_seasonality"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.chi2_x1e6 >= 0
+        assert r.seasonal_flag in (0, 1)
+
+
+def test_powerlaw_alpha_in_heavy_tail_band(spark):
+    rows = SPARK_QUERIES["kg_graph_powerlaw"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.xmin == 4 and r.n_tail > 0
+    # any connected real-world-ish graph lands in a sane exponent band
+    assert 1_000 <= r.alpha_x1000 <= 10_000
