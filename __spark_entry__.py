@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "kg_crosslingual_pairs",
     "events_seasonality",
     "kg_graph_powerlaw",
     "text_fertility",

@@ -7573,3 +7573,118 @@ def kg_graph_powerlaw(spark, sf_dir):
             .alias("alpha_x1000"),
         )
     )
+
+
+_XL_DF_CAP = 60  # drop hub entities mentioned by more pages (boilerplate)
+
+
+@_q(
+    "kg_crosslingual_pairs",
+    f"""{_G_CTE},
+    pg AS (SELECT node_id, lang FROM nodes
+           WHERE node_type = 'Page' AND lang IS NOT NULL AND lang <> ''),
+    m AS (SELECT DISTINCT e.subj_id AS page, e.obj_id AS ent
+          FROM edges e JOIN pg ON pg.node_id = e.subj_id
+          WHERE e.pred = 'MENTIONS'),
+    keep AS (SELECT ent FROM m GROUP BY ent
+             HAVING COUNT(*) <= {_XL_DF_CAP}),
+    mk AS (SELECT m.page, m.ent FROM m JOIN keep USING (ent)),
+    sz AS (SELECT page, COUNT(*) AS n FROM mk GROUP BY page),
+    pairs AS (SELECT a.page AS page_a, b.page AS page_b,
+                     COUNT(*) AS n_shared
+              FROM mk a JOIN mk b
+                ON a.ent = b.ent AND a.page < b.page
+              GROUP BY a.page, b.page),
+    xl AS (SELECT p.page_a, p.page_b, pa.lang AS lang_a, pb.lang AS lang_b,
+                  p.n_shared,
+                  p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared)
+                    AS j_x1e6
+           FROM pairs p
+           JOIN pg pa ON pa.node_id = p.page_a
+           JOIN pg pb ON pb.node_id = p.page_b
+           JOIN sz sa ON sa.page = p.page_a
+           JOIN sz sb ON sb.page = p.page_b
+           WHERE pa.lang <> pb.lang AND p.n_shared >= 2)
+    SELECT page_a, page_b, lang_a, lang_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(j_x1e6 AS BIGINT) AS jaccard_x1e6
+    FROM xl WHERE j_x1e6 >= 500000
+    ORDER BY jaccard_x1e6 DESC, page_a ASC, page_b ASC LIMIT 20""",
+)
+def kg_crosslingual_pairs(spark, sf_dir):
+    """Cross-lingual duplicate candidates: page pairs in DIFFERENT
+    languages whose capped entity-mention sets overlap at Jaccard >= 0.5
+    — translated/localized versions of the same content, which
+    token-level dedup (shingles, MinHash) is structurally blind to
+    because translations share no surface n-grams. Entity mentions are
+    the language-independent fingerprint; this is the standard
+    cross-lingual near-dup trick in multilingual corpus curation (and
+    the dedup gap a multilingual pretraining set ships with if only
+    token-level dedup ran).
+
+    100 TB shape: the inverted-index pair join is entity-keyed with the
+    {_XL_DF_CAP}-page DF cap (the shingle-cap discipline — hub entities
+    like the corpus anchor can never explode the join); sizes and langs
+    glue back on page keys; top-20 = TakeOrderedAndProject.
+
+    Reference analog: none (multilingual addendum; completes the dedup
+    family: token n-grams -> MinHash/LSH -> SimHash -> semantic ->
+    CROSS-LINGUAL)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    pg = nodes.where(
+        (F.col("node_type") == "Page")
+        & F.col("lang").isNotNull()
+        & (F.col("lang") != "")
+    ).select("node_id", "lang")
+    m = (
+        edges.where(F.col("pred") == "MENTIONS")
+        .join(pg.select(F.col("node_id").alias("subj_id")), "subj_id", "left_semi")
+        .select(
+            F.col("subj_id").alias("page"), F.col("obj_id").alias("ent")
+        )
+        .distinct()
+    )
+    keep = (
+        m.groupBy("ent")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= _XL_DF_CAP)
+        .select("ent")
+    )
+    mk = m.join(keep, "ent", "left_semi").localCheckpoint(eager=True)
+    sz = mk.groupBy("page").agg(F.count(F.lit(1)).alias("n"))
+    a = mk.select(F.col("page").alias("page_a"), "ent")
+    b = mk.select(F.col("page").alias("page_b"), "ent")
+    pairs = (
+        a.join(b, "ent")
+        .where(F.col("page_a") < F.col("page_b"))
+        .groupBy("page_a", "page_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    pa = pg.select(F.col("node_id").alias("page_a"), F.col("lang").alias("lang_a"))
+    pb = pg.select(F.col("node_id").alias("page_b"), F.col("lang").alias("lang_b"))
+    sa = sz.select(F.col("page").alias("page_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("page").alias("page_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(pa, "page_a")
+        .join(pb, "page_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .join(sa, "page_a")
+        .join(sb, "page_b")
+        .select(
+            "page_a",
+            "page_b",
+            "lang_a",
+            "lang_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST(n_shared * 1000000 DIV (na + nb - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_x1e6"),
+        )
+        .where(F.col("jaccard_x1e6") >= 500000)
+        .orderBy(
+            F.desc("jaccard_x1e6"), F.asc("page_a"), F.asc("page_b")
+        )
+        .limit(20)
+    )

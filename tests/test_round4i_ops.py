@@ -181,3 +181,11 @@ def test_powerlaw_alpha_in_heavy_tail_band(spark):
     assert r.xmin == 4 and r.n_tail > 0
     # any connected real-world-ish graph lands in a sane exponent band
     assert 1_000 <= r.alpha_x1000 <= 10_000
+
+
+def test_crosslingual_pairs_are_truly_crosslingual(spark):
+    rows = SPARK_QUERIES["kg_crosslingual_pairs"](spark, SF).collect()
+    for r in rows:
+        assert r.lang_a != r.lang_b
+        assert r.n_shared >= 2
+        assert r.jaccard_x1e6 >= 500_000
