@@ -11204,3 +11204,201 @@ def events_seasonality(spark, sf_dir):
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("seasonal_flag"),
     ).orderBy("event_type")
+
+
+@_q(
+    "text_heaps_law",
+    f"""{_TOKS_CTE},
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    dec AS (SELECT UNNEST(range(1, 11)) AS k),
+    bounds AS (SELECT k, (SELECT m FROM mx) * k // 10 AS bound FROM dec),
+    first_occ AS (SELECT term, MIN(doc_id) AS d0 FROM toks GROUP BY term),
+    doc_n AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    growth AS (SELECT b.k, b.bound,
+                      (SELECT COALESCE(SUM(n), 0) FROM doc_n
+                       WHERE doc_id < b.bound) AS n_tokens,
+                      (SELECT COUNT(*) FROM first_occ
+                       WHERE d0 < b.bound) AS vocab
+               FROM bounds b),
+    fit AS (SELECT COUNT(*) AS np, SUM(ln(n_tokens)) AS sx,
+                   SUM(ln(vocab)) AS sy,
+                   SUM(ln(n_tokens) * ln(n_tokens)) AS sxx,
+                   SUM(ln(n_tokens) * ln(vocab)) AS sxy
+            FROM growth WHERE n_tokens > 0 AND vocab > 0)
+    SELECT CAST(g.k AS BIGINT) AS decile,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           CAST(g.vocab AS BIGINT) AS vocab,
+           CAST(ROUND((f.np * f.sxy - f.sx * f.sy)
+                      / (f.np * f.sxx - f.sx * f.sx) * 1000) AS BIGINT)
+             AS beta_x1000
+    FROM growth g CROSS JOIN fit f
+    WHERE g.n_tokens > 0
+    ORDER BY decile""",
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-term count at 10 crawl-order
+    corpus prefixes (doc_id deciles) with the fitted growth exponent beta
+    (log-log least squares over the 10 points; V ~ K*N^beta, typically
+    0.4-0.6 for natural text). The curve answers the curation question
+    "is more crawl still buying new vocabulary, or only repetition" — a
+    flattening curve (small beta) says the marginal crawl is duplicate
+    mass the dedup stack should be catching; the deviation from the
+    corpus's own fitted line localizes WHERE growth broke.
+
+    100 TB shape: the corpus pass collapses to two dictionary/doc-sized
+    tables — each term's FIRST occurrence (vocabulary-sized) and per-doc
+    token counts — and the 10-prefix sweep is a broadcast compare
+    against those reduced tables, never a re-scan per prefix. The beta
+    fit sums 10 log terms (x1000 rounding puts libm noise out of
+    reach).
+
+    Reference analog: none (text addendum; corpus-diagnostics family
+    with text_zipf — Zipf is the frequency-rank law, Heaps the
+    vocabulary-growth law, and they are the two sides of the same
+    power-law coin)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).localCheckpoint(eager=True)
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    dec = spark.createDataFrame([(k,) for k in range(1, 11)], "k int")
+    bounds = (
+        F.broadcast(dec)
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr("m * k DIV 10").alias("bound"))
+    )
+    first_occ = toks.groupBy("term").agg(F.min("doc_id").alias("d0"))
+    doc_n = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        first_occ.crossJoin(F.broadcast(bounds))
+        .where(F.col("d0") < F.col("bound"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    ntok = (
+        doc_n.crossJoin(F.broadcast(bounds))
+        .where(F.col("doc_id") < F.col("bound"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    growth = (
+        vocab.join(ntok, "k")
+        .where(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=True)  # feeds the fit + the output
+    )
+    fit = growth.where(F.col("vocab") > 0).agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.log("n_tokens")).alias("sx"),
+        F.sum(F.log("vocab")).alias("sy"),
+        F.sum(F.log("n_tokens") * F.log("n_tokens")).alias("sxx"),
+        F.sum(F.log("n_tokens") * F.log("vocab")).alias("sxy"),
+    )
+    return (
+        growth.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("bigint").alias("decile"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.round(
+                (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * 1000
+            )
+            .cast("bigint")
+            .alias("beta_x1000"),
+        )
+        .orderBy("decile")
+    )
+
+
+@_q(
+    "events_entropy_rate",
+    f"""WITH s AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    r AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type),
+    {_MKV_CTES},
+    hrow AS (SELECT t.from_type,
+                    SUM(-(t.n * 1.0 / r.row_n)
+                        * ln(t.n * 1.0 / r.row_n)) AS h
+             FROM t JOIN r ON r.from_type = t.from_type
+             GROUP BY t.from_type),
+    rate AS (SELECT SUM(p.v * 1e-6 * hrow.h) AS hr,
+                    COUNT(*) AS n_states
+             FROM {_MKV_LAST} p JOIN hrow ON hrow.s = p.from_type)
+    SELECT CAST(n_states AS BIGINT) AS n_states,
+           CAST(ROUND(hr * 1e6) AS BIGINT) AS entropy_rate_x1e6
+    FROM rate""".replace("hrow.s = p.from_type", "hrow.from_type = p.s"),
+)
+def events_entropy_rate(spark, sf_dir):
+    """Entropy rate of the behavioral Markov chain (Shannon: H = sum_i
+    pi_i * H(row_i), nats/event) — the compressibility of user behavior.
+    Low entropy = scripted/deterministic sessions (the bot signature
+    events_bot_flag rate-thresholds, measured information-theoretically
+    instead); high entropy = diverse organic behavior. Uses the same
+    3-step stationary distribution as events_markov_stationary, so the
+    two queries share one definition of pi.
+
+    100 TB shape: corpus cost is the one user-keyed window + pair count
+    (shared shape with the Markov family); the entropy fold runs over
+    the grammar-sized matrix (|types|^2 terms; x1e6 rounding of a
+    25-term double sum is libm-noise-proof).
+
+    Reference analog: none (events addendum; closes the Markov trio:
+    transitions -> stationary -> entropy rate)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = pairs.collect()  # grammar-sized — model, not data
+    states = sorted(
+        {c["from_type"] for c in cells} | {c["to_type"] for c in cells}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    c = [[0] * k for _ in range(k)]
+    for row in cells:
+        c[idx[row["from_type"]]][idx[row["to_type"]]] = row["n"]
+    r = [sum(c[i]) for i in range(k)]
+    pi = [1_000_000 // k] * k
+    for _ in range(_MKV_ITERS):
+        nxt = [0] * k
+        for i in range(k):
+            if r[i] == 0:
+                nxt[i] += pi[i]
+                continue
+            for j in range(k):
+                if c[i][j]:
+                    nxt[j] += (pi[i] * c[i][j]) // r[i]
+        tot = sum(nxt)
+        pi = [v * 1_000_000 // tot for v in nxt]
+    import math
+
+    hr = 0.0
+    n_states = 0
+    for i in range(k):
+        if r[i] == 0:
+            continue
+        h = -sum(
+            (c[i][j] / r[i]) * math.log(c[i][j] / r[i])
+            for j in range(k)
+            if c[i][j]
+        )
+        hr += pi[i] * 1e-6 * h
+        n_states += 1
+    return spark.createDataFrame(
+        [(n_states, int(math.floor(hr * 1e6 + 0.5)))],
+        "n_states bigint, entropy_rate_x1e6 bigint",
+    )

@@ -7688,3 +7688,81 @@ def kg_crosslingual_pairs(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@_q(
+    "kg_graph_degree_gini",
+    f"""{_G_CTE},
+    und AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                   GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    inc AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT v, COUNT(*) AS d FROM inc GROUP BY v),
+    ranked AS (SELECT d,
+                      ROW_NUMBER() OVER (ORDER BY d ASC, v ASC) AS i
+               FROM deg),
+    agg AS (SELECT COUNT(*) AS n, SUM(d) AS s, SUM(i * d) AS s1
+            FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(s AS BIGINT) AS sum_deg,
+           CAST((2 * s1 - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
+             AS gini_x1e6
+    FROM agg""",
+)
+def kg_graph_degree_gini(spark, sf_dir):
+    """Gini coefficient of the degree distribution (exact, integer): the
+    single-number inequality summary of hub concentration, via the
+    rank-weighted identity G = (2*sum(i*d_i) - (n+1)*sum(d)) / (n*sum(d))
+    over degrees sorted ascending — every term an int64, both engines
+    bit-identical. Together with kg_graph_powerlaw's tail exponent and
+    the rich-club sweep this completes the skew dossier: Gini says HOW
+    unequal, alpha says how the tail decays, rich-club says whether hubs
+    interlink — the three numbers that justify (or retire) the salting
+    machinery as the graph evolves.
+
+    100 TB shape: degree is one map-side-combinable aggregate; the rank
+    runs over the |V|-row degree table (at true scale: rank from the
+    degree HISTOGRAM — sum(i*d) needs only per-degree counts and prefix
+    sums — same output); the result is one row.
+
+    Reference analog: none (graph-analytics addendum; the events-side
+    twin is events_power_curve's user-decile Lorenz curve)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    from pyspark.sql import Window
+
+    und = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = deg.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.asc("d"), F.asc("v")))
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("i") * F.col("d")).alias("s1"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_nodes"),
+        F.col("s").cast("bigint").alias("sum_deg"),
+        F.expr(
+            "CAST((2 * s1 - (n + 1) * s) * 1000000 DIV (n * s)"
+            " AS BIGINT)"
+        ).alias("gini_x1e6"),
+    )

@@ -189,3 +189,24 @@ def test_crosslingual_pairs_are_truly_crosslingual(spark):
         assert r.lang_a != r.lang_b
         assert r.n_shared >= 2
         assert r.jaccard_x1e6 >= 500_000
+
+
+def test_heaps_growth_monotone_and_beta_sane(spark):
+    rows = SPARK_QUERIES["text_heaps_law"](spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    toks = [r.n_tokens for r in rows]
+    vocab = [r.vocab for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    # the synthetic corpus draws from a FIXED vocab that saturates in
+    # the first decile, so beta ~ 0 here; natural text gives 0.4-0.6
+    assert 0 <= rows[0].beta_x1000 <= 1000  # sublinear growth
+
+def test_entropy_rate_bounded_by_log_states(spark):
+    import math
+    r = SPARK_QUERIES["events_entropy_rate"](spark, SF).collect()[0]
+    assert 0 <= r.entropy_rate_x1e6 <= int(math.log(r.n_states) * 1e6) + 1
+
+def test_degree_gini_in_unit_interval(spark):
+    r = SPARK_QUERIES["kg_graph_degree_gini"](spark, SF).collect()[0]
+    assert 0 <= r.gini_x1e6 < 1_000_000
+    assert r.n_nodes > 0 and r.sum_deg >= r.n_nodes
