@@ -11402,3 +11402,80 @@ def events_entropy_rate(spark, sf_dir):
         [(n_states, int(math.floor(hr * 1e6 + 0.5)))],
         "n_states bigint, entropy_rate_x1e6 bigint",
     )
+
+
+_SURV_HORIZONS = (1, 3, 7, 14, 21, 29)  # lifetime thresholds in days
+
+
+@_q(
+    "events_survival",
+    f"""WITH u AS (
+      SELECT user_id,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+             - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS lifetime_d
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    n AS (SELECT COUNT(*) AS n_users FROM u),
+    hs AS (SELECT UNNEST(ARRAY{list(_SURV_HORIZONS)}) AS t)
+    SELECT CAST(hs.t AS BIGINT) AS t_days,
+           CAST(COUNT(u.user_id) AS BIGINT) AS n_surviving,
+           CAST(COUNT(u.user_id) * 1000000 // n.n_users AS BIGINT)
+             AS survival_ppm
+    FROM hs CROSS JOIN n
+    LEFT JOIN u ON u.lifetime_d >= hs.t
+    GROUP BY hs.t, n.n_users ORDER BY t_days""",
+)
+def events_survival(spark, sf_dir):
+    """User-lifetime survival curve: the fraction of users whose observed
+    lifetime (last event day - first event day) reaches each horizon —
+    the churn-analysis backbone that events_retention's fixed d1/d7
+    checkpoints sample two points of. The curve's slope localizes WHEN
+    users churn (a cliff at t=1 is an onboarding problem; a slow decay
+    is natural attrition), which decides where the retention
+    intervention budget goes.
+
+    100 TB shape: one map-side-combinable groupBy(user) (min+max day)
+    collapses the corpus to |users| rows; the horizon sweep is a
+    broadcast nested-loop of the 6-row threshold table against that
+    reduced table — one pass serves every horizon (the
+    curate_dedup_sweep discipline).
+
+    Reference analog: none (events addendum; completes the lifecycle
+    family: retention checkpoints -> cohort matrix -> full survival
+    curve)."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.expr(
+                    "MAX(unix_micros(CAST(ts AS TIMESTAMP))"
+                    " DIV 86400000000)"
+                )
+                - F.expr(
+                    "MIN(unix_micros(CAST(ts AS TIMESTAMP))"
+                    " DIV 86400000000)"
+                )
+            ).alias("lifetime_d")
+        )
+    )
+    n = u.agg(F.count(F.lit(1)).alias("n_users"))
+    hs = spark.createDataFrame(
+        [(t,) for t in _SURV_HORIZONS], "t bigint"
+    )
+    return (
+        F.broadcast(hs)
+        .crossJoin(F.broadcast(n))
+        .join(u, u["lifetime_d"] >= hs["t"], "left")
+        .groupBy("t", "n_users")
+        .agg(F.count("user_id").alias("n_surviving"))
+        .select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n_surviving").cast("bigint").alias("n_surviving"),
+            F.expr(
+                "CAST(n_surviving * 1000000 DIV n_users AS BIGINT)"
+            ).alias("survival_ppm"),
+        )
+        .orderBy("t_days")
+    )

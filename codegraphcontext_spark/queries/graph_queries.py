@@ -7766,3 +7766,107 @@ def kg_graph_degree_gini(spark, sf_dir):
             " AS BIGINT)"
         ).alias("gini_x1e6"),
     )
+
+
+@_q(
+    "kg_graph_npmi",
+    f"""{_G_CTE},
+    m AS (SELECT DISTINCT subj_id AS page, obj_id AS ent
+          FROM edges WHERE pred = 'MENTIONS'),
+    np AS (SELECT COUNT(DISTINCT page) AS n FROM m),
+    cnt AS (SELECT ent, COUNT(*) AS c FROM m GROUP BY ent),
+    pr AS (SELECT a.ent AS ent_a, b.ent AS ent_b, COUNT(*) AS c_ab
+           FROM m a JOIN m b ON a.page = b.page AND a.ent < b.ent
+           GROUP BY 1, 2),
+    sc AS (SELECT pr.ent_a, pr.ent_b, pr.c_ab, ca.c AS c_a, cb.c AS c_b,
+                  CASE WHEN pr.c_ab = np.n THEN 1000000
+                       ELSE CAST(ROUND(
+                         ln(pr.c_ab * 1.0 * np.n / (ca.c * cb.c))
+                         / (-ln(pr.c_ab * 1.0 / np.n)) * 1000000)
+                         AS BIGINT) END AS npmi_x1e6
+           FROM pr
+           JOIN cnt ca ON ca.ent = pr.ent_a
+           JOIN cnt cb ON cb.ent = pr.ent_b
+           CROSS JOIN np
+           WHERE pr.c_ab >= 3),
+    named AS (SELECT na.name AS name_a, nb.name AS name_b, sc.c_ab,
+                     sc.npmi_x1e6
+              FROM sc
+              JOIN nodes na ON na.node_id = sc.ent_a
+              JOIN nodes nb ON nb.node_id = sc.ent_b)
+    SELECT name_a, name_b, CAST(c_ab AS BIGINT) AS n_pages,
+           CAST(npmi_x1e6 AS BIGINT) AS npmi_x1e6
+    FROM named
+    ORDER BY npmi_x1e6 DESC, name_a ASC, name_b ASC LIMIT 30""",
+)
+def kg_graph_npmi(spark, sf_dir):
+    """Normalized PMI entity-association ranking (Bouma 2009): for
+    co-mentioned entity pairs, npmi = pmi / -ln(p_ab) in [-1, 1] (x1e6)
+    — the collocation score that FIXES kg_graph_cooccurrence's raw-count
+    ranking, which surfaces ubiquitous-entity pairs that co-occur by
+    chance. High-npmi pairs co-occur far above their popularity
+    baseline; they are the relation-extraction candidates worth a second
+    extractor pass, and the association weights a co-mention embedding
+    trains on. All logs are PER-ROW over exact integer counts (no
+    cross-row float accumulation), so the x1e6 rounding is
+    deterministic on both engines.
+
+    100 TB shape: the pair join is page-keyed (fan-out bounded by
+    per-page entity count, the kg_graph_cooccurrence discipline); the
+    count dims glue by entity key; the c_ab >= 3 floor keeps chance
+    pairs out of the log; top-30 = TakeOrderedAndProject.
+
+    Reference analog: code_finder.py:522-553 ranks co-occurrence by raw
+    count; this is the statistically-corrected upgrade."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    m = (
+        edges.where(F.col("pred") == "MENTIONS")
+        .select(F.col("subj_id").alias("page"), F.col("obj_id").alias("ent"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds page count, ent counts, pairs
+    )
+    np_ = m.agg(F.countDistinct("page").alias("n"))
+    cnt = m.groupBy("ent").agg(F.count(F.lit(1)).alias("c"))
+    a = m.select("page", F.col("ent").alias("ent_a"))
+    b = m.select("page", F.col("ent").alias("ent_b"))
+    pr = (
+        a.join(b, "page")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    ca = cnt.select(F.col("ent").alias("ent_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("ent").alias("ent_b"), F.col("c").alias("c_b"))
+    sc = (
+        pr.join(ca, "ent_a")
+        .join(cb, "ent_b")
+        .crossJoin(F.broadcast(np_))
+        .withColumn(
+            "npmi_x1e6",
+            F.when(F.col("c_ab") == F.col("n"), F.lit(1000000)).otherwise(
+                F.round(
+                    F.log(
+                        F.col("c_ab") * F.col("n")
+                        / (F.col("c_a") * F.col("c_b"))
+                    )
+                    / (-F.log(F.col("c_ab") / F.col("n")))
+                    * 1000000
+                ).cast("bigint")
+            ),
+        )
+    )
+    na = nodes.select(F.col("node_id").alias("ent_a"), F.col("name").alias("name_a"))
+    nb = nodes.select(F.col("node_id").alias("ent_b"), F.col("name").alias("name_b"))
+    return (
+        sc.join(na, "ent_a")
+        .join(nb, "ent_b")
+        .select(
+            "name_a",
+            "name_b",
+            F.col("c_ab").cast("bigint").alias("n_pages"),
+            F.col("npmi_x1e6").cast("bigint").alias("npmi_x1e6"),
+        )
+        .orderBy(F.desc("npmi_x1e6"), F.asc("name_a"), F.asc("name_b"))
+        .limit(30)
+    )

@@ -210,3 +210,17 @@ def test_degree_gini_in_unit_interval(spark):
     r = SPARK_QUERIES["kg_graph_degree_gini"](spark, SF).collect()[0]
     assert 0 <= r.gini_x1e6 < 1_000_000
     assert r.n_nodes > 0 and r.sum_deg >= r.n_nodes
+
+
+def test_npmi_bounded_and_floor_respected(spark):
+    rows = SPARK_QUERIES["kg_graph_npmi"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r.npmi_x1e6 <= 1_000_000
+        assert r.n_pages >= 3
+
+def test_survival_monotone_nonincreasing(spark):
+    rows = SPARK_QUERIES["events_survival"](spark, SF).collect()
+    ppm = [r.survival_ppm for r in rows]
+    assert ppm == sorted(ppm, reverse=True)
+    assert all(0 <= p <= 1_000_000 for p in ppm)
