@@ -11479,3 +11479,175 @@ def events_survival(spark, sf_dir):
         )
         .orderBy("t_days")
     )
+
+
+@_q(
+    "orders_basket_rules",
+    """WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    no AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     COUNT(*) AS c_ab
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+    SELECT p.part_a, p.part_b,
+           CAST(p.c_ab AS BIGINT) AS n_orders,
+           CAST(p.c_ab * 1000 // ca.c AS BIGINT) AS conf_a_to_b_x1000,
+           CAST(p.c_ab * 1000 // cb.c AS BIGINT) AS conf_b_to_a_x1000,
+           CAST(p.c_ab * no.n * 1000 // (ca.c * cb.c) AS BIGINT)
+             AS lift_x1000
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN no
+    WHERE p.c_ab >= 3
+    ORDER BY lift_x1000 DESC, n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 30""",
+)
+def orders_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order line items (Agrawal
+    1993): part pairs bought in the same order, scored by support,
+    both-direction confidence, and lift (x1000 integer) — the
+    recommendation baseline ('customers who bought A also bought B')
+    and the classic a-priori first level, computed exactly at corpus
+    scale without candidate generation.
+
+    100 TB shape: the pair self-join is ORDER-keyed, so fan-out is
+    bounded by per-order basket size (single-digit in TPC-H data, never
+    corpus-scale); part-frequency dims glue back by part key; the
+    support floor (>= 3 co-orders) keeps the pair table sparse; top-30
+    = TakeOrderedAndProject.
+
+    Reference analog: none (TPC-H family addendum; the association-
+    mining sibling of kg_pred_cooccurrence's subject-level lift)."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds order count, part counts, pairs
+    )
+    no = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("n_orders"),
+            F.expr("CAST(c_ab * 1000 DIV ca AS BIGINT)").alias(
+                "conf_a_to_b_x1000"
+            ),
+            F.expr("CAST(c_ab * 1000 DIV cb AS BIGINT)").alias(
+                "conf_b_to_a_x1000"
+            ),
+            F.expr(
+                "CAST(c_ab * n * 1000 DIV (ca * cb) AS BIGINT)"
+            ).alias("lift_x1000"),
+        )
+        .orderBy(
+            F.desc("lift_x1000"),
+            F.desc("n_orders"),
+            F.asc("part_a"),
+            F.asc("part_b"),
+        )
+        .limit(30)
+    )
+
+
+@_q(
+    "events_markov_acc",
+    """WITH s AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    pred AS (SELECT from_type, to_type AS pred_type FROM (
+               SELECT from_type, to_type,
+                      ROW_NUMBER() OVER (PARTITION BY from_type
+                                         ORDER BY n DESC, to_type ASC)
+                        AS rn
+               FROM t) WHERE rn = 1),
+    agg AS (SELECT SUM(t.n) AS n_total,
+                   SUM(CASE WHEN t.to_type = p.pred_type
+                            THEN t.n ELSE 0 END) AS n_hit
+            FROM t JOIN pred p ON p.from_type = t.from_type)
+    SELECT CAST(n_total AS BIGINT) AS n_transitions,
+           CAST(n_hit AS BIGINT) AS n_correct,
+           CAST(n_hit * 1000000 // n_total AS BIGINT) AS accuracy_ppm
+    FROM agg""",
+)
+def events_markov_acc(spark, sf_dir):
+    """Majority-class accuracy of the first-order Markov predictor: for
+    each state, predict the most frequent next state (ties to the
+    lexicographically first — identical in both engines) and score the
+    hit rate over all observed transitions. This is the BASELINE every
+    sequence model (the behavioral LSTM/transformer this pipeline's
+    exports feed) must beat, and together with events_entropy_rate it
+    brackets the predictability of the stream: entropy bounds what's
+    achievable, this measures what the simplest model achieves.
+
+    100 TB shape: corpus cost is the shared Markov scan (one user-keyed
+    window + pair count); the argmax and scoring run over the grammar-
+    sized matrix. One output row.
+
+    Reference analog: none (events addendum; the eval leg of the Markov
+    family — measure-your-operator discipline, like embed_ann_eval)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # feeds argmax + scoring
+    )
+    w_rank = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    pred = (
+        t.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("pred_type"))
+    )
+    return (
+        t.join(F.broadcast(pred), "from_type")
+        .agg(
+            F.sum("n").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("to_type") == F.col("pred_type"), F.col("n")
+                ).otherwise(0)
+            ).alias("n_hit"),
+        )
+        .select(
+            F.col("n_total").cast("bigint").alias("n_transitions"),
+            F.col("n_hit").cast("bigint").alias("n_correct"),
+            F.expr(
+                "CAST(n_hit * 1000000 DIV n_total AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+    )

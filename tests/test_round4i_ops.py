@@ -224,3 +224,18 @@ def test_survival_monotone_nonincreasing(spark):
     ppm = [r.survival_ppm for r in rows]
     assert ppm == sorted(ppm, reverse=True)
     assert all(0 <= p <= 1_000_000 for p in ppm)
+
+
+def test_basket_rules_counts_consistent(spark):
+    rows = SPARK_QUERIES["orders_basket_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_orders >= 3
+        assert 0 < r.conf_a_to_b_x1000 <= 1000
+        assert 0 < r.conf_b_to_a_x1000 <= 1000
+
+def test_markov_acc_beats_uniform_floor(spark):
+    r = SPARK_QUERIES["events_markov_acc"](spark, SF).collect()[0]
+    assert r.n_correct <= r.n_transitions
+    # majority-class accuracy can never be below 1/|states| (5 types)
+    assert r.accuracy_ppm >= 1_000_000 // 5 - 1
