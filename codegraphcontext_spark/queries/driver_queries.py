@@ -11651,3 +11651,196 @@ def events_markov_acc(spark, sf_dir):
             ).alias("accuracy_ppm"),
         )
     )
+
+
+@_q(
+    "text_lang_mixing",
+    f"""{_TOKS_CTE},
+    v AS (SELECT doc_id,
+                 SUM(CASE WHEN term IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS en_hits,
+                 SUM(CASE WHEN term IN ('der', 'die', 'und') THEN 1 ELSE 0 END) AS de_hits,
+                 SUM(CASE WHEN term IN ('le', 'la', 'et') THEN 1 ELSE 0 END) AS fr_hits
+          FROM toks GROUP BY doc_id),
+    r AS (SELECT doc_id,
+                 GREATEST(en_hits, de_hits, fr_hits) AS best,
+                 en_hits + de_hits + fr_hits
+                   - GREATEST(en_hits, de_hits, fr_hits)
+                   - LEAST(en_hits, de_hits, fr_hits) AS second
+          FROM v),
+    c AS (SELECT doc_id, best, second,
+                 CASE WHEN best > 0 AND second * 1000 // best >= 300
+                      THEN 1 ELSE 0 END AS mixed
+          FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN best = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unknown,
+           CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+           CAST(SUM(mixed) * 1000000 // COUNT(*) AS BIGINT)
+             AS mixed_ppm
+    FROM c""",
+)
+def text_lang_mixing(spark, sf_dir):
+    """Code-switching / mixed-language detection: documents whose
+    SECOND-best stopword vote reaches 30% of the best vote are flagged
+    mixed — the docs a one-label language-ID gate (text_langid) silently
+    mislabels, which then leak the "wrong" language into a filtered
+    monolingual corpus. The mixed rate is the error bar on every
+    per-language corpus statistic downstream (fertility, lang_stats),
+    and the routing trigger for a sentence-level splitter at the
+    extraction stage. Integer-exact vote ratios.
+
+    100 TB shape: the same single map-side-combinable vote aggregate as
+    text_langid (the votes are computed once per doc at scan speed);
+    the flag is a scan-fused projection and the rollup is ONE row.
+
+    Reference analog: none (text addendum; the uncertainty readout over
+    text_langid / text_langid_eval's point predictions)."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(F.col("term").isin("the", "a", "of").cast("int")).alias("en_hits"),
+        F.sum(F.col("term").isin("der", "die", "und").cast("int")).alias("de_hits"),
+        F.sum(F.col("term").isin("le", "la", "et").cast("int")).alias("fr_hits"),
+    )
+    r = hits.select(
+        F.greatest("en_hits", "de_hits", "fr_hits").alias("best"),
+        (
+            F.col("en_hits")
+            + F.col("de_hits")
+            + F.col("fr_hits")
+            - F.greatest("en_hits", "de_hits", "fr_hits")
+            - F.least("en_hits", "de_hits", "fr_hits")
+        ).alias("second"),
+    )
+    c = r.select(
+        "best",
+        F.expr(
+            "CASE WHEN best > 0 AND second * 1000 DIV best >= 300"
+            " THEN 1 ELSE 0 END"
+        ).alias("mixed"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("best") == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_unknown"),
+        F.sum("mixed").cast("bigint").alias("n_mixed"),
+        F.expr(
+            "CAST(SUM(mixed) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("mixed_ppm"),
+    )
+
+
+@_q(
+    "curate_dup_quality_xtab",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE p.n_shared >= 2
+              AND p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared)
+                  >= 500000),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
+                   AS stops,
+                 SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$')
+                          THEN 1 ELSE 0 END) AS alpha
+          FROM toks GROUP BY doc_id),
+    q AS (SELECT doc_id,
+                 LEAST(n_tokens, 200) * 2 + alpha * 300 // n_tokens
+                 + CASE WHEN stops * 100 // n_tokens BETWEEN 2 AND 40
+                        THEN 300 ELSE 0 END AS qual
+          FROM m),
+    med AS (SELECT qual AS m FROM (
+              SELECT qual, ROW_NUMBER() OVER (ORDER BY qual, doc_id) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM q) WHERE rn = (n - 1) // 2 + 1),
+    cell AS (SELECT q.doc_id,
+                    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                      AS is_dup,
+                    CASE WHEN q.qual >= med.m THEN 1 ELSE 0 END AS hi_q
+             FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id CROSS JOIN med)
+    SELECT CAST(is_dup AS BIGINT) AS is_dup,
+           CAST(hi_q AS BIGINT) AS hi_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cell GROUP BY is_dup, hi_q ORDER BY is_dup, hi_quality""",
+)
+def curate_dup_quality_xtab(spark, sf_dir):
+    """Duplication x quality contingency table: are near-duplicates
+    disproportionately low-quality? The 2x2 cell counts (dup candidate
+    at Jaccard >= 0.5 under keep-earliest x quality above/below the
+    exact corpus median) decide FILTER ORDER in the curation chain: if
+    dups concentrate in the low-quality half, the cheap quality gate
+    before the expensive pair join shrinks the dedup input massively;
+    if not, dedup must run first or it ships its mass into training.
+
+    100 TB shape: composes the two existing corpus passes (capped
+    shingle pair join; token quality aggregate) with a doc-keyed
+    semi-structure join; the exact median comes from one rank-select
+    over the |docs|-row quality table (quantile-bucket at true scale);
+    output is 4 rows.
+
+    Reference analog: none (curation addendum; the interaction readout
+    between dedup_* and text_quality that curate_dedup_sweep and
+    curate_calibration each see only one axis of)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    dup = (
+        _shingle_pairs_from(_shingles(docs))
+        .where(F.col("jaccard_x1e6") >= 500000)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    toks = _tokens(docs)
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(*STOPWORDS).cast("int")).alias("stops"),
+        F.sum(
+            F.col("term").rlike("^[A-Za-z]+$").cast("int")
+        ).alias("alpha"),
+    )
+    q = m.select(
+        "doc_id",
+        F.expr(
+            "LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens"
+            " + CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40"
+            " THEN 300 ELSE 0 END"
+        ).alias("qual"),
+    ).localCheckpoint(eager=True)  # feeds the median rank AND the cells
+    ranked = q.select(
+        "qual",
+        F.row_number()
+        .over(Window.orderBy(F.asc("qual"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(n - 1) DIV 2 + 1")
+    ).select(F.col("qual").alias("m"))
+    return (
+        q.join(F.broadcast(dup), "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+            (F.col("qual") >= F.col("m")).cast("int").alias("hi_q"),
+        )
+        .groupBy("is_dup", "hi_q")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("is_dup").cast("bigint").alias("is_dup"),
+            F.col("hi_q").cast("bigint").alias("hi_quality"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("is_dup", "hi_quality")
+    )

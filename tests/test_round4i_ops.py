@@ -239,3 +239,20 @@ def test_markov_acc_beats_uniform_floor(spark):
     assert r.n_correct <= r.n_transitions
     # majority-class accuracy can never be below 1/|states| (5 types)
     assert r.accuracy_ppm >= 1_000_000 // 5 - 1
+
+
+def test_lang_mixing_counts_partition(spark):
+    r = SPARK_QUERIES["text_lang_mixing"](spark, SF).collect()[0]
+    assert 0 <= r.n_mixed <= r.n_docs
+    assert 0 <= r.n_unknown <= r.n_docs
+    assert 0 <= r.mixed_ppm <= 1_000_000
+
+def test_dup_quality_xtab_partitions_corpus(spark):
+    rows = SPARK_QUERIES["curate_dup_quality_xtab"](spark, SF).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {(r.is_dup, r.hi_quality) for r in rows} <= {
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    }
