@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "dedup_minhash_calibration",
+    "curate_source_profile",
     "text_lang_mixing",
     "curate_dup_quality_xtab",
     "orders_basket_rules",

@@ -11844,3 +11844,193 @@ def curate_dup_quality_xtab(spark, sf_dir):
         )
         .orderBy("is_dup", "hi_quality")
     )
+
+
+@_q(
+    "dedup_minhash_calibration",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (SELECT p.doc_a, p.doc_b,
+                  p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared)
+                    AS j_x1e6
+           FROM pairs p
+           JOIN sizes sa ON sa.doc_id = p.doc_a
+           JOIN sizes sb ON sb.doc_id = p.doc_b
+           WHERE p.n_shared >= 2),
+    agg AS (SELECT doc_id, list(shingle) AS shingles FROM sh
+            GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM agg),
+    scored AS (SELECT jp.j_x1e6,
+                      {" + ".join(f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(_N_MINHASH_Q))}
+                        AS n_match
+               FROM jp
+               JOIN sig sa ON sa.doc_id = jp.doc_a
+               JOIN sig sb ON sb.doc_id = jp.doc_b)
+    SELECT CAST(n_match AS BIGINT) AS n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_x1e6) // COUNT(*) AS BIGINT) AS mean_j_x1e6
+    FROM scored GROUP BY n_match ORDER BY n_match""",
+)
+def dedup_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: for every verified candidate pair,
+    the number of agreeing minhash components (0-{_N_MINHASH_Q}) against
+    the pair's TRUE capped-shingle Jaccard, bucketed by agreement count
+    with the exact mean truth per bucket. E[matches]/k = J is the
+    estimator's promise; this table shows where the 4-hash signature
+    actually separates (the monotone mean-J ramp) and how much truth
+    mass each LSH band-match level carries — the evidence behind the
+    banding choice (b, r) that er_blocking_quality scores only the
+    endpoint of.
+
+    100 TB shape: composes the capped pair join (the shared truth leg)
+    with the signature aggregate; the signature join keys on doc ids;
+    output is {_N_MINHASH_Q + 1} rows. One shingle scan feeds both
+    legs via the shared checkpoint.
+
+    Reference analog: none (dedup addendum; the calibration readout
+    between dedup_minhash_sig and er_blocking_quality)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    jp = _shingle_pairs_from(sh).select("doc_a", "doc_b", "jaccard_x1e6")
+    sig = _minhash_from(sh)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(_N_MINHASH_Q)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(_N_MINHASH_Q)],
+    )
+    n_match = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        for k in range(_N_MINHASH_Q)
+    )
+    return (
+        jp.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            n_match.alias("n_match"), F.col("jaccard_x1e6").alias("j")
+        )
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j").alias("sj"),
+        )
+        .select(
+            F.col("n_match").cast("bigint").alias("n_match"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sj DIV n_pairs AS BIGINT)").alias(
+                "mean_j_x1e6"
+            ),
+        )
+        .orderBy("n_match")
+    )
+
+
+@_q(
+    "curate_source_profile",
+    f"""{_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE p.n_shared >= 2
+              AND p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared)
+                  >= 500000),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
+                   AS stops,
+                 SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$')
+                          THEN 1 ELSE 0 END) AS alpha
+          FROM toks GROUP BY doc_id),
+    q AS (SELECT doc_id,
+                 LEAST(n_tokens, 200) * 2 + alpha * 300 // n_tokens
+                 + CASE WHEN stops * 100 // n_tokens BETWEEN 2 AND 40
+                        THEN 300 ELSE 0 END AS qual
+          FROM m)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.qual) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_quality_x1e6,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN dup ON dup.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source""",
+)
+def curate_source_profile(spark, sf_dir):
+    """Per-source curation profile: document count, exact mean quality,
+    and near-dup rate per source — THE input table for mixture design
+    (sample_mixture / sample_temperature weigh sources; this table says
+    what each source's mass is WORTH): a high-dup low-quality source
+    gets down-weighted before sampling, not after training. Mean quality
+    is the exact rational sum*1000/count (quality is already x1000, so
+    the column is x1e6).
+
+    100 TB shape: composes the shared quality aggregate and the capped
+    dup leg with a source-keyed rollup — all joins on the table's
+    native doc_id key, output |sources| rows.
+
+    Reference analog: none (curation addendum; the per-source marginal
+    of curate_dup_quality_xtab's global 2x2)."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = (
+        _shingle_pairs_from(_shingles(docs))
+        .where(F.col("jaccard_x1e6") >= 500000)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    toks = _tokens(docs)
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(*STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+    )
+    q = m.select(
+        "doc_id",
+        F.expr(
+            "LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens"
+            " + CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40"
+            " THEN 300 ELSE 0 END"
+        ).alias("qual"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(F.broadcast(dup), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("qual").alias("sq"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("nd"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("CAST(sq * 1000 DIV n_docs AS BIGINT)").alias(
+                "mean_quality_x1e6"
+            ),
+            F.expr("CAST(nd * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

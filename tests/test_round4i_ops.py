@@ -256,3 +256,21 @@ def test_dup_quality_xtab_partitions_corpus(spark):
     assert {(r.is_dup, r.hi_quality) for r in rows} <= {
         (0, 0), (0, 1), (1, 0), (1, 1)
     }
+
+
+def test_minhash_calibration_monotone_mean_truth(spark):
+    rows = SPARK_QUERIES["dedup_minhash_calibration"](spark, SF).collect()
+    assert rows
+    means = [r.mean_j_x1e6 for r in sorted(rows, key=lambda r: r.n_match)]
+    # more agreeing hashes -> higher mean true Jaccard (the estimator works)
+    assert means == sorted(means)
+    for r in rows:
+        assert 0 <= r.n_match <= 4
+
+def test_source_profile_covers_all_sources(spark):
+    rows = SPARK_QUERIES["curate_source_profile"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.dup_ppm <= 1_000_000
+        assert r.mean_quality_x1e6 > 0
