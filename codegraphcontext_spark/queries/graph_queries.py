@@ -7870,3 +7870,141 @@ def kg_graph_npmi(spark, sf_dir):
         .orderBy(F.desc("npmi_x1e6"), F.asc("name_a"), F.asc("name_b"))
         .limit(30)
     )
+
+
+_LP_EVAL_K = 50  # prediction budget scored against the holdout
+
+
+@_q(
+    "kg_link_predict_eval",
+    f"""{_G_CTE},
+    rel AS (SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                   GREATEST(subj_id, obj_id) AS b
+            FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    hold AS (SELECT a, b FROM rel
+             WHERE substr(md5(a || '|' || b), 1, 1) IN ('0', '1')),
+    kept AS (SELECT a, b FROM rel
+             WHERE substr(md5(a || '|' || b), 1, 1) NOT IN ('0', '1')),
+    und AS (SELECT a AS s, b AS d FROM kept
+            UNION SELECT b, a FROM kept),
+    deg AS (SELECT s AS z, COUNT(*) AS dz FROM und GROUP BY s),
+    w AS (SELECT und.s AS z, und.d, deg.dz
+          FROM und JOIN deg ON deg.z = und.s
+          WHERE deg.dz <= 32),
+    cand AS (SELECT wa.d AS ea, wb.d AS eb,
+                    SUM(1000000 // wa.dz) AS score
+             FROM w wa JOIN w wb ON wb.z = wa.z AND wa.d < wb.d
+             GROUP BY wa.d, wb.d),
+    new AS (SELECT c.ea, c.eb, c.score FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM kept k
+                              WHERE k.a = c.ea AND k.b = c.eb)),
+    topk AS (SELECT ea, eb FROM new
+             ORDER BY score DESC, ea ASC, eb ASC LIMIT {_LP_EVAL_K}),
+    nh AS (SELECT COUNT(*) AS n FROM hold),
+    hits AS (SELECT COUNT(*) AS h FROM topk t
+             JOIN hold ON hold.a = t.ea AND hold.b = t.eb)
+    SELECT CAST(nh.n AS BIGINT) AS n_holdout,
+           CAST({_LP_EVAL_K} AS BIGINT) AS k,
+           CAST(hits.h AS BIGINT) AS n_hits,
+           CAST(hits.h * 1000000 // nh.n AS BIGINT) AS recall_ppm,
+           CAST(hits.h * 1000000 // {_LP_EVAL_K} AS BIGINT)
+             AS precision_ppm
+    FROM nh CROSS JOIN hits""",
+)
+def kg_link_predict_eval(spark, sf_dir):
+    """Link-prediction holdout evaluation: hide a deterministic ~1/8 of
+    the open-relation entity pairs (md5 bucket of the pair key — no RNG
+    state, both engines hide the SAME edges), re-score the
+    resource-allocation index on the retained graph, and measure how
+    many of the top-{_LP_EVAL_K} predictions are exactly the hidden
+    edges (recall / precision, ppm). This turns kg_graph_link_predict
+    from a plausible ranking into a MEASURED one — the same
+    eval-your-operator discipline as embed_ann_eval and
+    events_markov_acc, applied to KG completion (the standard
+    edge-holdout protocol of the link-prediction literature).
+
+    100 TB shape: identical cost discipline to kg_graph_link_predict —
+    witness expansion capped at deg <= 32 per shared neighbor, the
+    holdout split is a scan-fused hash predicate, the exclusion an
+    anti-join, and the eval tail is two count rows joined to a
+    {_LP_EVAL_K}-row top-k.
+
+    Reference analog: none (KG-completion addendum; the eval leg over
+    kg_graph_link_predict)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            (~F.col("pred").isin(*_CLOSED_PREDS))
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+        .withColumn(
+            "in_hold",
+            F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 1).isin(
+                "0", "1"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds holdout count + retained graph
+    )
+    hold = rel.where(F.col("in_hold")).select("a", "b")
+    kept = rel.where(~F.col("in_hold")).select("a", "b")
+    und = (
+        kept.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .union(kept.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree + witnesses + exclusion
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dz"))
+    w = (
+        und.join(deg.withColumnRenamed("s", "z"), und["s"] == F.col("z"))
+        .where(F.col("dz") <= 32)
+        .select("z", "d", "dz")
+    )
+    wa, wb = w.alias("wa"), w.alias("wb")
+    cand = (
+        wa.join(
+            wb,
+            (F.col("wa.z") == F.col("wb.z"))
+            & (F.col("wa.d") < F.col("wb.d")),
+        )
+        .select(
+            F.col("wa.d").alias("ea"),
+            F.col("wb.d").alias("eb"),
+            F.col("wa.dz").alias("dz"),
+        )
+        .groupBy("ea", "eb")
+        .agg(F.sum(F.expr("1000000 div dz")).alias("score"))
+    )
+    existing = kept.select(
+        F.col("a").alias("ea"), F.col("b").alias("eb")
+    )
+    topk = (
+        cand.join(existing, ["ea", "eb"], "left_anti")
+        .orderBy(F.desc("score"), F.asc("ea"), F.asc("eb"))
+        .limit(_LP_EVAL_K)
+        .select("ea", "eb")
+    )
+    nh = hold.agg(F.count(F.lit(1)).alias("n"))
+    hits = topk.join(
+        hold,
+        (topk["ea"] == hold["a"]) & (topk["eb"] == hold["b"]),
+    ).agg(F.count(F.lit(1)).alias("h"))
+    return (
+        nh.crossJoin(hits)
+        .select(
+            F.col("n").cast("bigint").alias("n_holdout"),
+            F.lit(_LP_EVAL_K).cast("bigint").alias("k"),
+            F.col("h").cast("bigint").alias("n_hits"),
+            F.expr("CAST(h * 1000000 DIV n AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                f"CAST(h * 1000000 DIV {_LP_EVAL_K} AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )

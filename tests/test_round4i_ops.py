@@ -274,3 +274,13 @@ def test_source_profile_covers_all_sources(spark):
     for r in rows:
         assert 0 <= r.dup_ppm <= 1_000_000
         assert r.mean_quality_x1e6 > 0
+
+
+def test_link_predict_eval_rates_consistent(spark):
+    r = SPARK_QUERIES["kg_link_predict_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r.n_hits <= min(r.n_holdout, r.k)
+    assert 0 <= r.recall_ppm <= 1_000_000
+    assert 0 <= r.precision_ppm <= 1_000_000
+    assert r.n_holdout > 0
