@@ -12034,3 +12034,141 @@ def curate_source_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "embed_intrinsic_dim",
+    """WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+    prs AS (SELECT a.vec_id AS i,
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                     k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))) AS dsq
+            FROM q a JOIN q b ON b.vec_id <> a.vec_id),
+    nn AS (SELECT i, dsq,
+                  ROW_NUMBER() OVER (PARTITION BY i ORDER BY dsq ASC)
+                    AS rn
+           FROM prs WHERE dsq > 0),
+    two AS (SELECT i,
+                   MAX(CASE WHEN rn = 1 THEN dsq END) AS r1sq,
+                   MAX(CASE WHEN rn = 2 THEN dsq END) AS r2sq
+            FROM nn WHERE rn <= 2 GROUP BY i
+            HAVING MAX(CASE WHEN rn = 2 THEN dsq END) IS NOT NULL),
+    agg AS (SELECT COUNT(*) AS n,
+                   SUM(ln(r2sq * 1.0 / r1sq)) / 2 AS s
+            FROM two)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(ROUND(n / s * 1000) AS BIGINT) AS id_x1000
+    FROM agg""",
+)
+def embed_intrinsic_dim(spark, sf_dir):
+    """Intrinsic dimension by the Two-NN estimator (Facco et al. 2017):
+    d = n / sum(ln(r2/r1)) over each point's two nearest neighbors —
+    the honest answer to "how many of the 64 ambient dimensions does
+    this embedding actually use". Low intrinsic dimension relative to
+    ambient is the signal that PQ/binary compression (embed_pq,
+    embed_binary_hamming) will be nearly lossless and that an IVF
+    index needs few probes; a collapsed ID (~1-2) flags representation
+    collapse before a retrieval eval would. Distances are EXACT int64
+    (quantized components, squared-L2), so both engines agree on every
+    neighbor rank; only the final 10-ish-nat log sum is float, rounded
+    at x1000 where libm noise cannot reach.
+
+    100 TB shape: the all-pairs two-NN runs as the block-matrix GEMM
+    self-join (dedup_embed_cosine's discipline): each of the
+    (B*(B+1))/2 block-pair tasks computes one exact int64 distance
+    submatrix and emits only each point's LOCAL top-2 — shuffle volume
+    is O(n*B) candidate rows, per-task memory two bounded blocks, no
+    driver-side data of any size; the global top-2 per point is a
+    map-side-combinable merge of the local candidates and the estimator
+    itself is a 1-row aggregate.
+
+    Reference analog: none (embedding addendum; the geometry diagnostic
+    beside embed_covariance / embed_pca_power's moment view)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = emb.withColumn("blk", (F.col("vec_id") % _NB_BLOCKS).cast("int"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(_NB_BLOCKS) for j in range(i, _NB_BLOCKS)],
+        "pi int, pj int",
+    )
+    left = v.join(F.broadcast(bp), v["blk"] == bp["pi"]).select(
+        "pi", "pj", F.lit("L").alias("side"), "vec_id", "embedding"
+    )
+    right = v.join(F.broadcast(bp), v["blk"] == bp["pj"]).select(
+        "pi", "pj", F.lit("R").alias("side"), "vec_id", "embedding"
+    )
+
+    def _block_two_nn(key, pdf):
+        pi, pj = key
+        lhs = pdf[pdf["side"] == "L"]
+        rhs = pdf[pdf["side"] == "R"]
+        empty = pd.DataFrame({"i": [], "dsq": []})
+        if len(lhs) == 0 or len(rhs) == 0:
+            return empty
+        ml = np.rint(
+            np.stack(lhs["embedding"].to_numpy()) * 1000.0
+        ).astype(np.int64)
+        mr = np.rint(
+            np.stack(rhs["embedding"].to_numpy()) * 1000.0
+        ).astype(np.int64)
+        il = lhs["vec_id"].to_numpy()
+        ir = rhs["vec_id"].to_numpy()
+        d = (
+            (ml * ml).sum(axis=1)[:, None]
+            + (mr * mr).sum(axis=1)[None, :]
+            - 2 * (ml @ mr.T)
+        )
+        out_i, out_d = [], []
+
+        def emit(ids_a, ids_b, dm):
+            # per a-row local top-2 of positive distances to the b block
+            for r, vid in enumerate(ids_a):
+                row = dm[r]
+                mask = (row > 0) & (ids_b != vid)
+                vals = row[mask]
+                if len(vals) == 0:
+                    continue
+                k = min(2, len(vals))
+                top = np.partition(vals, k - 1)[:k]
+                for t in top:
+                    out_i.append(int(vid))
+                    out_d.append(int(t))
+
+        emit(il, ir, d)
+        if pi != pj:  # the R block's points also need this tile's distances
+            emit(ir, il, d.T)
+        return pd.DataFrame(
+            {
+                "i": pd.Series(out_i, dtype="int64"),
+                "dsq": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pi", "pj")
+        .applyInPandas(_block_two_nn, "i long, dsq long")
+    )
+    two = (
+        cand.groupBy("i")
+        .agg(F.array_sort(F.collect_list("dsq")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(
+            F.element_at("ds", 1).alias("r1sq"),
+            F.element_at("ds", 2).alias("r2sq"),
+        )
+    )
+    return two.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.log(F.col("r2sq") / F.col("r1sq"))) / 2).alias("s"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(F.col("n") / F.col("s") * 1000)
+        .cast("bigint")
+        .alias("id_x1000"),
+    )

@@ -284,3 +284,10 @@ def test_link_predict_eval_rates_consistent(spark):
     assert 0 <= r.recall_ppm <= 1_000_000
     assert 0 <= r.precision_ppm <= 1_000_000
     assert r.n_holdout > 0
+
+
+def test_intrinsic_dim_within_ambient(spark):
+    r = SPARK_QUERIES["embed_intrinsic_dim"](spark, SF).collect()[0]
+    assert r.n_points > 0
+    # near-random 64-d embeddings: ID positive, bounded by ~ambient*2
+    assert 0 < r.id_x1000 <= 128_000
