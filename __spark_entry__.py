@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "embed_hubness",
     "embed_intrinsic_dim",
     "kg_link_predict_eval",
     "dedup_minhash_calibration",

@@ -12172,3 +12172,135 @@ def embed_intrinsic_dim(spark, sf_dir):
         .cast("bigint")
         .alias("id_x1000"),
     )
+
+
+_HUB_K = 5  # neighbor list length in the reverse-kNN hubness census
+
+
+@_q(
+    "embed_hubness",
+    f"""WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+    prs AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                     k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))) AS dsq
+            FROM q a JOIN q b ON b.vec_id <> a.vec_id),
+    nn AS (SELECT i, j FROM (
+             SELECT i, j,
+                    ROW_NUMBER() OVER (PARTITION BY i
+                                       ORDER BY dsq ASC, j ASC) AS rn
+             FROM prs) WHERE rn <= {_HUB_K}),
+    rev AS (SELECT j, COUNT(*) AS n_rev FROM nn GROUP BY j)
+    SELECT j AS vec_id, CAST(n_rev AS BIGINT) AS n_rev
+    FROM rev
+    ORDER BY n_rev DESC, vec_id ASC LIMIT 10""",
+)
+def embed_hubness(spark, sf_dir):
+    """Reverse-kNN hubness census (Radovanovic et al., JMLR 2010): the
+    points that appear in the most other points' {_HUB_K}-NN lists. In
+    high dimensions a few hub vectors contaminate EVERY retrieval list
+    (n_rev >> k), silently dominating ANN results and nearest-neighbor
+    dedup — this census names the hubs so retrieval evals exclude or
+    down-weight them, and its top value vs k is the one-glance severity
+    gauge (n_rev ~ k = healthy; 10k = pathological). Distances are the
+    same exact int64 squared-L2 as embed_intrinsic_dim, ties broken by
+    neighbor id, so both engines build identical NN lists.
+
+    100 TB shape: the exact kNN runs as the block-matrix GEMM self-join
+    (per block-pair task emits local top-{_HUB_K} with neighbor ids,
+    O(n*B*k) candidate shuffle, distributive global merge); the reverse
+    census is one map-side-combinable count on the neighbor id. Top-10
+    = TakeOrderedAndProject.
+
+    Reference analog: none (embedding addendum; with embed_intrinsic_dim
+    the pair of geometry diagnostics run before trusting any ANN
+    index)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = emb.withColumn("blk", (F.col("vec_id") % _NB_BLOCKS).cast("int"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(_NB_BLOCKS) for j in range(i, _NB_BLOCKS)],
+        "pi int, pj int",
+    )
+    left = v.join(F.broadcast(bp), v["blk"] == bp["pi"]).select(
+        "pi", "pj", F.lit("L").alias("side"), "vec_id", "embedding"
+    )
+    right = v.join(F.broadcast(bp), v["blk"] == bp["pj"]).select(
+        "pi", "pj", F.lit("R").alias("side"), "vec_id", "embedding"
+    )
+
+    def _block_knn(key, pdf):
+        pi, pj = key
+        lhs = pdf[pdf["side"] == "L"]
+        rhs = pdf[pdf["side"] == "R"]
+        empty = pd.DataFrame({"i": [], "j": [], "dsq": []})
+        if len(lhs) == 0 or len(rhs) == 0:
+            return empty
+        ml = np.rint(
+            np.stack(lhs["embedding"].to_numpy()) * 1000.0
+        ).astype(np.int64)
+        mr = np.rint(
+            np.stack(rhs["embedding"].to_numpy()) * 1000.0
+        ).astype(np.int64)
+        il = lhs["vec_id"].to_numpy()
+        ir = rhs["vec_id"].to_numpy()
+        d = (
+            (ml * ml).sum(axis=1)[:, None]
+            + (mr * mr).sum(axis=1)[None, :]
+            - 2 * (ml @ mr.T)
+        )
+        oi, oj, od = [], [], []
+
+        def emit(ids_a, ids_b, dm):
+            for r, vid in enumerate(ids_a):
+                row = dm[r]
+                mask = ids_b != vid
+                vals, js = row[mask], ids_b[mask]
+                if len(vals) == 0:
+                    continue
+                k = min(_HUB_K, len(vals))
+                idx = np.argpartition(vals, k - 1)[:k]
+                for t in idx:
+                    oi.append(int(vid))
+                    oj.append(int(js[t]))
+                    od.append(int(vals[t]))
+
+        emit(il, ir, d)
+        if pi != pj:
+            emit(ir, il, d.T)
+        return pd.DataFrame(
+            {
+                "i": pd.Series(oi, dtype="int64"),
+                "j": pd.Series(oj, dtype="int64"),
+                "dsq": pd.Series(od, dtype="int64"),
+            }
+        )
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pi", "pj")
+        .applyInPandas(_block_knn, "i long, j long, dsq long")
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("i").orderBy(F.asc("dsq"), F.asc("j"))
+    nn = (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _HUB_K)
+        .select("j")
+    )
+    return (
+        nn.groupBy("j")
+        .agg(F.count(F.lit(1)).alias("n_rev"))
+        .select(
+            F.col("j").alias("vec_id"),
+            F.col("n_rev").cast("bigint").alias("n_rev"),
+        )
+        .orderBy(F.desc("n_rev"), F.asc("vec_id"))
+        .limit(10)
+    )

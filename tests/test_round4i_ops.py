@@ -291,3 +291,13 @@ def test_intrinsic_dim_within_ambient(spark):
     assert r.n_points > 0
     # near-random 64-d embeddings: ID positive, bounded by ~ambient*2
     assert 0 < r.id_x1000 <= 128_000
+
+
+def test_hubness_counts_bounded_by_population(spark):
+    rows = SPARK_QUERIES["embed_hubness"](spark, SF).collect()
+    assert rows
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    for r in rows:
+        assert 1 <= r.n_rev <= n - 1
+    counts = [r.n_rev for r in rows]
+    assert counts == sorted(counts, reverse=True)
