@@ -12304,3 +12304,90 @@ def embed_hubness(spark, sf_dir):
         .orderBy(F.desc("n_rev"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+_NER_CTX = 2  # context tokens on each side of the mention
+
+
+@_q(
+    "kg_ner_context_export",
+    f"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+    pos AS (SELECT doc_id, toks, i
+            FROM s0, LATERAL (SELECT UNNEST(generate_series(1, len(toks)))
+                              AS i) g
+            WHERE toks[i] IN {_TERMS_SQL}),
+    ctx AS (SELECT doc_id, toks[i] AS term, i,
+                   COALESCE(array_to_string(
+                     toks[GREATEST(i - {_NER_CTX}, 1):i - 1], ' '), '')
+                     AS left_ctx,
+                   COALESCE(array_to_string(
+                     toks[i + 1:LEAST(i + {_NER_CTX}, len(toks))], ' '),
+                     '') AS right_ctx
+            FROM pos)
+    SELECT doc_id, term, CAST(i AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM ctx
+    ORDER BY term, doc_id, pos LIMIT 50""",
+)
+def kg_ner_context_export(spark, sf_dir):
+    """NER training-context export: every dictionary-entity mention with
+    its {_NER_CTX}-token left/right context windows — the
+    (context, span) rows a sequence-labeling NER model trains on, and
+    the distant-supervision positive set (the dictionary plays the KB
+    role; the windows are what the model generalizes FROM to unseen
+    entities). The deterministic (term, doc, position) order makes the
+    head a stable labeling worklist.
+
+    100 TB shape: mention positions are found INSIDE array HOFs on the
+    scan (the kg_search_proximity discipline — only dictionary hits
+    become rows, ~5% of tokens); context slicing is array arithmetic on
+    the already-loaded token array, no re-tokenization, no join; the
+    head-50 is TakeOrderedAndProject.
+
+    Reference analog: none (KG-construction addendum; the training-data
+    export for the extractor itself — upstream of kg_kge_train_pairs'
+    graph-level exports)."""
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    hits = _let(
+        toks,
+        lambda t: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.when(
+                    F.element_at(t, i).isin(DICT_TERMS), i
+                ).otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    d = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(hits).alias("i")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("term"),
+            F.col("i").cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.greatest(F.col("i") - _NER_CTX, F.lit(1)),
+                    F.least(F.col("i") - 1, F.lit(_NER_CTX)),
+                ),
+                " ",
+            ).alias("left_ctx"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("i") + 1,
+                    F.least(
+                        F.size("toks") - F.col("i"), F.lit(_NER_CTX)
+                    ),
+                ),
+                " ",
+            ).alias("right_ctx"),
+        )
+        .orderBy("term", "doc_id", "pos")
+        .limit(50)
+    )

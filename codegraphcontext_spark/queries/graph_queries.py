@@ -8008,3 +8008,141 @@ def kg_link_predict_eval(spark, sf_dir):
             ).alias("precision_ppm"),
         )
     )
+
+
+_ROB_KS = (0, 1, 2, 4, 8)  # hubs removed per robustness probe
+
+
+def _rob_oracle_sql() -> str:
+    """Per-k recursive-reachability blocks over the hub-filtered edge set
+    (generated; one reach CTE per removal level)."""
+    blocks = []
+    selects = []
+    for k in _ROB_KS:
+        blocks.append(f"""
+    keep{k} AS (SELECT v FROM verts WHERE v NOT IN
+                (SELECT v FROM hubs WHERE hr <= {k})),
+    ek{k} AS (SELECT e2.s, e2.d FROM e2
+              JOIN keep{k} a ON a.v = e2.s
+              JOIN keep{k} b ON b.v = e2.d),
+    reach{k}(src, dst) AS (
+      SELECT v, v FROM keep{k}
+      UNION
+      SELECT r.src, e.d FROM reach{k} r JOIN ek{k} e ON e.s = r.dst),
+    comp{k} AS (SELECT src, MIN(dst) AS label FROM reach{k}
+                GROUP BY src),
+    sz{k} AS (SELECT label, COUNT(*) AS n FROM comp{k} GROUP BY label),
+    agg{k} AS (SELECT {k} AS k_removed,
+                      (SELECT COUNT(*) FROM keep{k}) AS n_nodes,
+                      COUNT(*) AS n_components,
+                      MAX(n) AS largest
+               FROM sz{k})""")
+        selects.append(
+            f"SELECT k_removed, CAST(n_nodes AS BIGINT) AS n_nodes, "
+            f"CAST(n_components AS BIGINT) AS n_components, "
+            f"CAST(largest * 1000000 // n_nodes AS BIGINT) "
+            f"AS largest_share_ppm FROM agg{k}"
+        )
+    return ",".join(blocks), " UNION ALL ".join(selects)
+
+
+_ROB_BLOCKS, _ROB_SELECTS = _rob_oracle_sql()
+
+
+@_q(
+    "kg_graph_robustness",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    e2 AS (SELECT subj_id AS s, obj_id AS d FROM rel
+           UNION ALL SELECT obj_id AS s, subj_id AS d FROM rel),
+    verts AS (SELECT DISTINCT s AS v FROM e2),
+    deg AS (SELECT s AS v, COUNT(DISTINCT d) AS dg FROM e2 GROUP BY s),
+    hubs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY dg DESC, v ASC) AS hr
+             FROM deg),
+    {_ROB_BLOCKS}
+    {_ROB_SELECTS}
+    ORDER BY k_removed""",
+)
+def kg_graph_robustness(spark, sf_dir):
+    """Targeted-attack robustness profile (Albert-Jeong-Barabasi 2000):
+    remove the top-k highest-degree hubs (k in {_ROB_KS}, deterministic
+    degree-then-id order) and measure how the open relation graph
+    fragments — surviving nodes, component count, and the largest
+    component's share (ppm). Scale-free graphs shatter under targeted
+    hub removal while surviving random failure; the k-profile quantifies
+    how much of the graph's connectivity lives in its hubs, which is the
+    flip side of the skew dossier (powerlaw alpha / Gini / rich-club):
+    those say the hubs exist, this says what breaks without them.
+
+    100 TB shape: degrees are one combiner aggregate; each removal level
+    runs the SAME production CC machinery as kg_graph_components
+    (pipeline/canon.py: union-find below the cutover, min-label
+    DataFrame loop above — the removal levels just filter the edge list
+    first), so the probe costs |ks| CC runs over an edge slice that is
+    orders below the MENTIONS table. Output is |ks| rows.
+
+    Reference analog: none (graph-analytics addendum; completes the skew
+    dossier with the consequence side)."""
+    from ..pipeline.canon import connected_components
+
+    _, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree + every removal level
+    )
+    e2 = rel.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        rel.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = e2.groupBy("s").agg(F.countDistinct("d").alias("dg"))
+    from pyspark.sql import Window
+
+    hubs = (
+        deg.select(F.col("s").alias("v"), "dg")
+        .withColumn(
+            "hr",
+            F.row_number().over(Window.orderBy(F.desc("dg"), F.asc("v"))),
+        )
+        .select("v", "hr")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in _ROB_KS:
+        removed = hubs.where(F.col("hr") <= k).select("v")
+        keep_rel = (
+            rel.join(
+                removed.withColumnRenamed("v", "a"), "a", "left_anti"
+            ).join(removed.withColumnRenamed("v", "b"), "b", "left_anti")
+        )
+        verts = (
+            hubs.where(F.col("hr") > k)
+            .select(F.col("v").alias("surface"))
+        )
+        comp = connected_components(
+            verts, keep_rel.select("a", "b")
+        )
+        sz = comp.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        row = (
+            sz.agg(
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("n").alias("largest"),
+                F.sum("n").alias("n_nodes"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k_removed"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_components").cast("bigint").alias("n_components"),
+                F.expr(
+                    "CAST(largest * 1000000 DIV n_nodes AS BIGINT)"
+                ).alias("largest_share_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k_removed")

@@ -301,3 +301,23 @@ def test_hubness_counts_bounded_by_population(spark):
         assert 1 <= r.n_rev <= n - 1
     counts = [r.n_rev for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_robustness_fragmentation_monotone(spark):
+    rows = SPARK_QUERIES["kg_graph_robustness"](spark, SF).collect()
+    assert [r.k_removed for r in rows] == [0, 1, 2, 4, 8]
+    shares = [r.largest_share_ppm for r in rows]
+    # removing hubs never GROWS the giant component's share... unless a
+    # small component's hub removal shrinks n_nodes faster; allow slack
+    assert shares[0] >= shares[-1]
+    for r in rows:
+        assert 0 < r.largest_share_ppm <= 1_000_000
+        assert r.n_components >= 1
+
+def test_ner_context_windows_bounded(spark):
+    rows = SPARK_QUERIES["kg_ner_context_export"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert len(r.left_ctx.split()) <= 2 if r.left_ctx else True
+        assert len(r.right_ctx.split()) <= 2 if r.right_ctx else True
+        assert r.pos >= 1
