@@ -8146,3 +8146,133 @@ def kg_graph_robustness(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k_removed")
+
+
+def _rob_rand_oracle_sql() -> str:
+    """Per-k recursive blocks with md5-ordered (random-failure) removal."""
+    blocks = []
+    selects = []
+    for k in _ROB_KS:
+        blocks.append(f"""
+    rkeep{k} AS (SELECT v FROM verts WHERE v NOT IN
+                 (SELECT v FROM rnd WHERE rr <= {k})),
+    rek{k} AS (SELECT e2.s, e2.d FROM e2
+               JOIN rkeep{k} a ON a.v = e2.s
+               JOIN rkeep{k} b ON b.v = e2.d),
+    rreach{k}(src, dst) AS (
+      SELECT v, v FROM rkeep{k}
+      UNION
+      SELECT r.src, e.d FROM rreach{k} r JOIN rek{k} e ON e.s = r.dst),
+    rcomp{k} AS (SELECT src, MIN(dst) AS label FROM rreach{k}
+                 GROUP BY src),
+    rsz{k} AS (SELECT label, COUNT(*) AS n FROM rcomp{k} GROUP BY label),
+    ragg{k} AS (SELECT {k} AS k_removed,
+                       (SELECT COUNT(*) FROM rkeep{k}) AS n_nodes,
+                       COUNT(*) AS n_components,
+                       MAX(n) AS largest
+                FROM rsz{k})""")
+        selects.append(
+            f"SELECT k_removed, CAST(n_nodes AS BIGINT) AS n_nodes, "
+            f"CAST(n_components AS BIGINT) AS n_components, "
+            f"CAST(largest * 1000000 // n_nodes AS BIGINT) "
+            f"AS largest_share_ppm FROM ragg{k}"
+        )
+    return ",".join(blocks), " UNION ALL ".join(selects)
+
+
+_ROB_R_BLOCKS, _ROB_R_SELECTS = _rob_rand_oracle_sql()
+
+
+@_q(
+    "kg_graph_random_robustness",
+    f"""WITH RECURSIVE
+    nodes AS (SELECT * FROM read_parquet('{_ORACLE_WD}/nodes/data/*.parquet')),
+    edges AS (SELECT * FROM read_parquet('{_ORACLE_WD}/edges/data/*.parquet')),
+    rel AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    e2 AS (SELECT subj_id AS s, obj_id AS d FROM rel
+           UNION ALL SELECT obj_id AS s, subj_id AS d FROM rel),
+    verts AS (SELECT DISTINCT s AS v FROM e2),
+    rnd AS (SELECT v, ROW_NUMBER() OVER (ORDER BY md5(v) ASC, v ASC)
+                   AS rr
+            FROM verts),
+    {_ROB_R_BLOCKS}
+    {_ROB_R_SELECTS}
+    ORDER BY k_removed""",
+)
+def kg_graph_random_robustness(spark, sf_dir):
+    """Random-failure robustness profile — the control arm of
+    kg_graph_robustness's targeted attack (Albert-Jeong-Barabasi 2000's
+    central comparison): remove k nodes picked by a deterministic
+    md5-of-id order (the RNG-free stand-in for uniform failure, same
+    trick as the link-prediction holdout) and measure the same
+    fragmentation columns. A scale-free graph barely notices random
+    failure while shattering under targeted removal — the GAP between
+    the two profiles at equal k is the quantitative scale-free
+    signature, and the operational answer to "does losing arbitrary
+    extraction shards hurt graph connectivity, or only losing hubs".
+
+    100 TB shape: identical to kg_graph_robustness (|ks| runs of the
+    production CC machinery over filtered edge slices); the removal set
+    is a scan-fused hash ranking instead of a degree ranking.
+
+    Reference analog: none (graph-analytics addendum; the paired
+    control completing the robustness readout)."""
+    from ..pipeline.canon import connected_components
+
+    _, edges = ensure_graph(spark, sf_dir)
+    rel = (
+        edges.where(
+            ~F.col("pred").isin(*_CLOSED_PREDS)
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        rel.select(F.col("a").alias("v"))
+        .unionAll(rel.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    rnd = (
+        verts.withColumn("h", F.md5("v"))
+        .withColumn(
+            "rr",
+            F.row_number().over(Window.orderBy(F.asc("h"), F.asc("v"))),
+        )
+        .select("v", "rr")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in _ROB_KS:
+        removed = rnd.where(F.col("rr") <= k).select("v")
+        keep_rel = (
+            rel.join(
+                removed.withColumnRenamed("v", "a"), "a", "left_anti"
+            ).join(removed.withColumnRenamed("v", "b"), "b", "left_anti")
+        )
+        kept_verts = rnd.where(F.col("rr") > k).select(
+            F.col("v").alias("surface")
+        )
+        comp = connected_components(kept_verts, keep_rel.select("a", "b"))
+        sz = comp.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        row = (
+            sz.agg(
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("n").alias("largest"),
+                F.sum("n").alias("n_nodes"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k_removed"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_components").cast("bigint").alias("n_components"),
+                F.expr(
+                    "CAST(largest * 1000000 DIV n_nodes AS BIGINT)"
+                ).alias("largest_share_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k_removed")

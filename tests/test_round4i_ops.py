@@ -321,3 +321,20 @@ def test_ner_context_windows_bounded(spark):
         assert len(r.left_ctx.split()) <= 2 if r.left_ctx else True
         assert len(r.right_ctx.split()) <= 2 if r.right_ctx else True
         assert r.pos >= 1
+
+
+def test_random_robustness_gentler_than_targeted(spark):
+    targ = {
+        r.k_removed: r.largest_share_ppm
+        for r in SPARK_QUERIES["kg_graph_robustness"](spark, SF).collect()
+    }
+    rand = {
+        r.k_removed: r.largest_share_ppm
+        for r in SPARK_QUERIES["kg_graph_random_robustness"](
+            spark, SF
+        ).collect()
+    }
+    assert set(targ) == set(rand) == {0, 1, 2, 4, 8}
+    # at the deepest removal, random failure must not fragment MORE than
+    # the targeted attack (the scale-free asymmetry, allowing equality)
+    assert rand[8] >= targ[8]
