@@ -4412,9 +4412,10 @@ def kg_graph_edge_timeline(spark, sf_dir):
 _LPA_ITERS = 4
 
 
-def _lpa_oracle() -> str:
-    """Unrolled fixed-iteration LPA twin: iteration i picks, per node, the
-    most frequent neighbor label (ties -> smallest label) from l{i-1}."""
+def _lpa_prefix_sql() -> str:
+    """The shared LPA CTE chain (graph -> e2/verts -> unrolled label
+    iterations l0..lN) — used by the LPA community query and the
+    conductance readout over the same labels."""
     its = []
     for i in range(1, _LPA_ITERS + 1):
         its.append(
@@ -4436,39 +4437,13 @@ def _lpa_oracle() -> str:
            UNION ALL SELECT obj_id AS s, subj_id AS d FROM rel),
     verts AS (SELECT DISTINCT s AS v FROM e2),
     l0 AS (SELECT v, v AS label FROM verts),
-    {iters},
-    ents AS (SELECT node_id FROM nodes WHERE node_type = 'Entity'),
-    fin AS (SELECT ents.node_id,
-                   COALESCE(l{_LPA_ITERS}.label, ents.node_id) AS label
-            FROM ents LEFT JOIN l{_LPA_ITERS} ON l{_LPA_ITERS}.v = ents.node_id)
-    SELECT fin.label AS community, n2.name AS community_name,
-           CAST(COUNT(*) AS BIGINT) AS n_members
-    FROM fin JOIN nodes n2 ON n2.node_id = fin.label
-    GROUP BY fin.label, n2.name
-    ORDER BY n_members DESC, community ASC"""
+    {iters}"""
 
 
-@_q("kg_graph_lpa", _lpa_oracle())
-def kg_graph_lpa(spark, sf_dir):
-    """Community detection by synchronous label propagation (Raghavan et
-    al. 2007) over the open-relation subgraph: every entity starts as its
-    own label; each of the {_LPA_ITERS} fixed iterations re-labels a node
-    with its neighbors' MODE label (ties -> smallest label), giving the
-    denser communities that pure connectivity (kg_graph_components) can't
-    see. Fixed iteration count + total tie-break = fully deterministic,
-    so the DuckDB twin is the same recursion unrolled.
-
-    Scale shape: per iteration ONE key-partitioned join of the edge list
-    against the (node, label) frame and one two-level map-side-combinable
-    aggregate (count, then min-struct argmax — no window, no global
-    sort); the frame stays |V| rows and lineage is truncated per
-    iteration via localCheckpoint, the same loop discipline as pagerank /
-    eigenvector. The oracle's ROW_NUMBER window is the small-scale twin
-    only — the Spark side's argmax is the min-of-struct aggregate.
-
-    Reference analog: none (Neo4j GDS-style addendum; the reference's
-    graph has no community primitive)."""
-    nodes, edges = ensure_graph(spark, sf_dir)
+def _lpa_labels(edges: DataFrame):
+    """(rel, e2, labels): the shared Spark-side LPA loop — the exact
+    iteration kg_graph_lpa describes, reused by the conductance readout
+    so both queries score the SAME communities."""
     rel = (
         edges.where(
             ~F.col("pred").isin(*_CLOSED_PREDS)
@@ -4476,6 +4451,7 @@ def kg_graph_lpa(spark, sf_dir):
         )
         .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e2 = rel.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         rel.select(F.col("b").alias("s"), F.col("a").alias("d"))
@@ -4510,6 +4486,46 @@ def kg_graph_lpa(spark, sf_dir):
             )
             .localCheckpoint(eager=True)
         )
+    return rel, e2, lab
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-iteration LPA twin: iteration i picks, per node, the
+    most frequent neighbor label (ties -> smallest label) from l{i-1}."""
+    return f"""{_lpa_prefix_sql()},
+    ents AS (SELECT node_id FROM nodes WHERE node_type = 'Entity'),
+    fin AS (SELECT ents.node_id,
+                   COALESCE(l{_LPA_ITERS}.label, ents.node_id) AS label
+            FROM ents LEFT JOIN l{_LPA_ITERS} ON l{_LPA_ITERS}.v = ents.node_id)
+    SELECT fin.label AS community, n2.name AS community_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM fin JOIN nodes n2 ON n2.node_id = fin.label
+    GROUP BY fin.label, n2.name
+    ORDER BY n_members DESC, community ASC"""
+
+
+@_q("kg_graph_lpa", _lpa_oracle())
+def kg_graph_lpa(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the open-relation subgraph: every entity starts as its
+    own label; each of the {_LPA_ITERS} fixed iterations re-labels a node
+    with its neighbors' MODE label (ties -> smallest label), giving the
+    denser communities that pure connectivity (kg_graph_components) can't
+    see. Fixed iteration count + total tie-break = fully deterministic,
+    so the DuckDB twin is the same recursion unrolled.
+
+    Scale shape: per iteration ONE key-partitioned join of the edge list
+    against the (node, label) frame and one two-level map-side-combinable
+    aggregate (count, then min-struct argmax — no window, no global
+    sort); the frame stays |V| rows and lineage is truncated per
+    iteration via localCheckpoint, the same loop discipline as pagerank /
+    eigenvector. The oracle's ROW_NUMBER window is the small-scale twin
+    only — the Spark side's argmax is the min-of-struct aggregate.
+
+    Reference analog: none (Neo4j GDS-style addendum; the reference's
+    graph has no community primitive)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel, e2, lab = _lpa_labels(edges)
     ents = nodes.where(F.col("node_type") == "Entity").select("node_id")
     fin = ents.join(
         lab.withColumnRenamed("v", "node_id"), "node_id", "left"
@@ -8276,3 +8292,99 @@ def kg_graph_random_robustness(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k_removed")
+
+
+@_q(
+    "kg_graph_conductance",
+    f"""{_lpa_prefix_sql()},
+    labels AS (SELECT v, label FROM l{_LPA_ITERS}),
+    deg AS (SELECT s AS v, COUNT(*) AS dg FROM e2 GROUP BY s),
+    vol AS (SELECT l.label, SUM(d.dg) AS vol, COUNT(*) AS n_members
+            FROM labels l JOIN deg d ON d.v = l.v GROUP BY l.label),
+    tot AS (SELECT SUM(vol) AS tv FROM vol),
+    cut AS (SELECT la.label, COUNT(*) AS cut
+            FROM rel r
+            JOIN labels la ON la.v = r.subj_id
+            JOIN labels lb ON lb.v = r.obj_id
+            WHERE la.label <> lb.label
+            GROUP BY la.label
+            UNION ALL
+            SELECT lb.label, COUNT(*)
+            FROM rel r
+            JOIN labels la ON la.v = r.subj_id
+            JOIN labels lb ON lb.v = r.obj_id
+            WHERE la.label <> lb.label
+            GROUP BY lb.label),
+    cs AS (SELECT label, SUM(cut) AS cut FROM cut GROUP BY label)
+    SELECT v.label AS community,
+           CAST(v.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(cs.cut, 0) AS BIGINT) AS n_cut,
+           CAST(v.vol AS BIGINT) AS volume,
+           CAST(COALESCE(cs.cut, 0) * 1000000
+                // LEAST(v.vol, tot.tv - v.vol) AS BIGINT)
+             AS conductance_ppm
+    FROM vol v LEFT JOIN cs ON cs.label = v.label CROSS JOIN tot
+    WHERE v.n_members >= 2 AND v.vol < tot.tv
+    ORDER BY conductance_ppm ASC, community ASC""",
+)
+def kg_graph_conductance(spark, sf_dir):
+    """Per-community conductance phi(S) = cut(S)/min(vol(S), vol(V-S))
+    over the SAME label-propagation communities kg_graph_lpa emits (the
+    shared _lpa_labels loop, so the two queries can never score
+    different partitions): low conductance = a well-separated community
+    (few boundary edges relative to internal mass), the quality score
+    that turns LPA's raw labels into an accept/reject decision and the
+    standard objective the modularity readout complements (modularity is
+    global, conductance is per-cluster).
+
+    100 TB shape: on top of the shared LPA loop's per-iteration joins,
+    conductance adds one degree aggregate, one label-keyed volume
+    rollup, and one edge-pass cut count (each endpoint's community read
+    by an id-keyed join) — all combiner-friendly; output is
+    |communities| rows.
+
+    Reference analog: none (graph-analytics addendum; completes the
+    community family: lpa -> modularity -> per-cluster conductance)."""
+    nodes, edges = ensure_graph(spark, sf_dir)
+    rel, e2, lab = _lpa_labels(edges)
+    deg = e2.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    vol = (
+        lab.join(deg.withColumnRenamed("s", "v"), "v")
+        .groupBy("label")
+        .agg(F.sum("dg").alias("vol"), F.count(F.lit(1)).alias("n_members"))
+    )
+    tot = vol.agg(F.sum("vol").alias("tv"))
+    la = lab.select(
+        F.col("v").alias("a"), F.col("label").alias("label_a")
+    )
+    lb = lab.select(
+        F.col("v").alias("b"), F.col("label").alias("label_b")
+    )
+    xe = (
+        rel.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("label_a") != F.col("label_b"))
+        .localCheckpoint(eager=True)  # feeds both cut legs
+    )
+    cut = (
+        xe.select(F.col("label_a").alias("label"))
+        .unionAll(xe.select(F.col("label_b").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .where((F.col("n_members") >= 2) & (F.col("vol") < F.col("tv")))
+        .select(
+            F.col("label").alias("community"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.coalesce("cut", F.lit(0)).cast("bigint").alias("n_cut"),
+            F.col("vol").cast("bigint").alias("volume"),
+            F.expr(
+                "CAST(COALESCE(cut, 0) * 1000000"
+                " DIV LEAST(vol, tv - vol) AS BIGINT)"
+            ).alias("conductance_ppm"),
+        )
+        .orderBy(F.asc("conductance_ppm"), F.asc("community"))
+    )

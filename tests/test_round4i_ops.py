@@ -338,3 +338,11 @@ def test_random_robustness_gentler_than_targeted(spark):
     # at the deepest removal, random failure must not fragment MORE than
     # the targeted attack (the scale-free asymmetry, allowing equality)
     assert rand[8] >= targ[8]
+
+
+def test_conductance_in_unit_interval_and_consistent(spark):
+    rows = SPARK_QUERIES["kg_graph_conductance"](spark, SF).collect()
+    for r in rows:
+        assert 0 <= r.conductance_ppm <= 1_000_000
+        assert r.n_cut <= r.volume
+        assert r.n_members >= 2
