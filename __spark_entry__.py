@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "embed_kmeans_purity",
+    "events_markov2_acc",
     "kg_graph_conductance",
     "kg_graph_random_robustness",
     "kg_graph_robustness",

@@ -3787,6 +3787,31 @@ def _km_sql() -> str:
         "CAST(FLOOR(CAST(SUM(eq.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS xq "
         "FROM eq JOIN {assign} a ON eq.vec_id = a.vec_id GROUP BY 1, 2"
     )
+    return f"""{_km_chain()}
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster, dist
+    FROM a3"""
+
+
+def _km_chain() -> str:
+    """The shared unrolled-Lloyd CTE chain ending at the final assignment
+    CTE ``a3`` — reused by embed_kmeans and embed_kmeans_purity so both
+    score the SAME clustering."""
+    dist = (
+        "SELECT eq.vec_id, c.cent_id, "
+        "CAST(SUM((eq.xq - c.xq) * (eq.xq - c.xq)) AS BIGINT) AS dist "
+        "FROM eq JOIN {cents} c USING (i) GROUP BY 1, 2"
+    )
+    amin = (
+        "SELECT vec_id, cent_id, dist FROM ("
+        "SELECT vec_id, cent_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn "
+        "FROM {dists}) WHERE rn = 1"
+    )
+    upd = (
+        "SELECT a.cent_id, eq.i, "
+        "CAST(FLOOR(CAST(SUM(eq.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS xq "
+        "FROM eq JOIN {assign} a ON eq.vec_id = a.vec_id GROUP BY 1, 2"
+    )
     return f"""{_EMB_CTE},
     eq AS (SELECT vec_id, i,
                   CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
@@ -3798,9 +3823,8 @@ def _km_sql() -> str:
     d2 AS ({dist.format(cents='c1')}),
     a2 AS ({amin.format(dists='d2')}),
     c2 AS ({upd.format(assign='a2')}),
-    d3 AS ({dist.format(cents='c2')})
-    SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster, dist
-    FROM ({amin.format(dists='d3')})"""
+    d3 AS ({dist.format(cents='c2')}),
+    a3 AS ({amin.format(dists='d3')})"""
 
 
 def _km_assign_udf(cent_ids: list, cents: "np.ndarray"):
@@ -12390,4 +12414,202 @@ def kg_ner_context_export(spark, sf_dir):
         )
         .orderBy("term", "doc_id", "pos")
         .limit(50)
+    )
+
+
+@_q(
+    "embed_kmeans_purity",
+    f"""{_km_chain()},
+    lab AS (SELECT a3.vec_id, a3.cent_id AS cluster, emb.label
+            FROM a3 JOIN embeddings emb ON emb.vec_id = a3.vec_id),
+    cl AS (SELECT cluster, label, COUNT(*) AS c
+           FROM lab GROUP BY cluster, label),
+    top AS (SELECT cluster, label AS top_label, c AS n_top FROM (
+              SELECT cluster, label, c,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY c DESC, label ASC) AS rn
+              FROM cl) WHERE rn = 1),
+    sz AS (SELECT cluster, SUM(c) AS n_vecs FROM cl GROUP BY cluster)
+    SELECT CAST(sz.cluster AS BIGINT) AS cluster,
+           CAST(sz.n_vecs AS BIGINT) AS n_vecs,
+           CAST(top.top_label AS BIGINT) AS top_label,
+           CAST(top.n_top AS BIGINT) AS n_top,
+           CAST(top.n_top * 1000000 // sz.n_vecs AS BIGINT)
+             AS purity_ppm
+    FROM sz JOIN top ON top.cluster = sz.cluster
+    ORDER BY cluster""",
+)
+def embed_kmeans_purity(spark, sf_dir):
+    """Cluster purity against the label column: per k-means cluster, the
+    majority label's share (ppm) — the external-validation score that
+    says whether the geometric clustering recovers the semantic classes
+    (purity ~ 1/|labels| = the embedding carries no class signal; high
+    purity = kmeans cells are usable as cheap class pseudo-labels and
+    IVF cells are class-coherent). Scores the SAME clustering as
+    embed_kmeans (the shared unrolled-Lloyd chain / the same driver-side
+    centroid model), so the two queries can never diverge.
+
+    100 TB shape: adds one vec-keyed label join and two grammar-sized
+    aggregates (K x |labels| cells) on top of the kmeans assignment
+    pass; output is K rows.
+
+    Reference analog: none (embedding addendum; the external-validation
+    leg beside embed_label_separation's internal-distance view)."""
+    from pyspark.sql import Window
+
+    km = embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    lab = km.join(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    cl = lab.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        cl.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.desc("c"), F.asc("label")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("top_label"),
+            F.col("c").alias("n_top"),
+        )
+    )
+    sz = cl.groupBy("cluster").agg(F.sum("c").alias("n_vecs"))
+    return (
+        sz.join(top, "cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("top_label").cast("bigint").alias("top_label"),
+            F.col("n_top").cast("bigint").alias("n_top"),
+            F.expr(
+                "CAST(n_top * 1000000 DIV n_vecs AS BIGINT)"
+            ).alias("purity_ppm"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@_q(
+    "events_markov2_acc",
+    """WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p2
+      FROM events WHERE user_id IS NOT NULL),
+    t1 AS (SELECT p1 AS ctx, event_type AS nxt, COUNT(*) AS n FROM s
+           WHERE p1 IS NOT NULL GROUP BY p1, event_type),
+    pr1 AS (SELECT ctx, nxt FROM (
+              SELECT ctx, nxt,
+                     ROW_NUMBER() OVER (PARTITION BY ctx
+                                        ORDER BY n DESC, nxt ASC) AS rn
+              FROM t1) WHERE rn = 1),
+    t2 AS (SELECT p2 || '>' || p1 AS ctx, event_type AS nxt,
+                  COUNT(*) AS n
+           FROM s WHERE p2 IS NOT NULL GROUP BY 1, event_type),
+    pr2 AS (SELECT ctx, nxt FROM (
+              SELECT ctx, nxt,
+                     ROW_NUMBER() OVER (PARTITION BY ctx
+                                        ORDER BY n DESC, nxt ASC) AS rn
+              FROM t2) WHERE rn = 1),
+    ev2 AS (SELECT p2 || '>' || p1 AS ctx2, p1 AS ctx1, event_type AS nxt
+            FROM s WHERE p2 IS NOT NULL),
+    agg AS (SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN pr1.nxt = ev2.nxt THEN 1 ELSE 0 END)
+                     AS h1,
+                   SUM(CASE WHEN pr2.nxt = ev2.nxt THEN 1 ELSE 0 END)
+                     AS h2
+            FROM ev2
+            JOIN pr1 ON pr1.ctx = ev2.ctx1
+            JOIN pr2 ON pr2.ctx = ev2.ctx2)
+    SELECT CAST(n AS BIGINT) AS n_transitions,
+           CAST(h1 * 1000000 // n AS BIGINT) AS acc1_ppm,
+           CAST(h2 * 1000000 // n AS BIGINT) AS acc2_ppm,
+           CAST((h2 - h1) * 1000000 // n AS BIGINT) AS lift_ppm
+    FROM agg""",
+)
+def events_markov2_acc(spark, sf_dir):
+    """Order-1 vs order-2 Markov predictor accuracy on the SAME
+    transition set (both evaluated only where two predecessors exist, so
+    the comparison is apples-to-apples): does knowing the previous TWO
+    events beat knowing one? A near-zero lift says user behavior is
+    effectively first-order (a bigger sequence model is wasted capacity
+    on this stream); a large lift justifies longer-context behavioral
+    models. Majority-class predictors with deterministic tie-breaks,
+    integer-exact scoring — the model-capacity readout over
+    events_markov_acc's single-order baseline.
+
+    100 TB shape: one user-keyed window pass produces both contexts;
+    the two predictor tables are grammar-sized (|types| and |types|^2
+    rows, broadcast-friendly); scoring is one pass over the reduced
+    transition rows. One output row.
+
+    Reference analog: none (events addendum; Markov family capacity
+    eval)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        _t(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .select(
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("p1"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        )
+    )
+    ev2 = (
+        s.where(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1").alias("ctx2"),
+            F.col("p1").alias("ctx1"),
+            F.col("event_type").alias("nxt"),
+        )
+        .localCheckpoint(eager=True)  # feeds both predictor fits + scoring
+    )
+    t1 = (
+        s.where(F.col("p1").isNotNull())
+        .groupBy(F.col("p1").alias("ctx"), F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w1 = Window.partitionBy("ctx").orderBy(F.desc("n"), F.asc("nxt"))
+    pr1 = (
+        t1.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(F.col("ctx").alias("ctx1"), F.col("nxt").alias("pred1"))
+    )
+    t2 = ev2.groupBy(
+        F.col("ctx2").alias("ctx"), F.col("nxt").alias("nx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w2 = Window.partitionBy("ctx").orderBy(F.desc("n"), F.asc("nx"))
+    pr2 = (
+        t2.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(F.col("ctx").alias("ctx2"), F.col("nx").alias("pred2"))
+    )
+    return (
+        ev2.join(F.broadcast(pr1), "ctx1")
+        .join(F.broadcast(pr2), "ctx2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pred1") == F.col("nxt")).cast("long")).alias("h1"),
+            F.sum((F.col("pred2") == F.col("nxt")).cast("long")).alias("h2"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.expr("CAST(h1 * 1000000 DIV n AS BIGINT)").alias("acc1_ppm"),
+            F.expr("CAST(h2 * 1000000 DIV n AS BIGINT)").alias("acc2_ppm"),
+            F.expr("CAST((h2 - h1) * 1000000 DIV n AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
     )

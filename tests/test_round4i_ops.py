@@ -346,3 +346,18 @@ def test_conductance_in_unit_interval_and_consistent(spark):
         assert 0 <= r.conductance_ppm <= 1_000_000
         assert r.n_cut <= r.volume
         assert r.n_members >= 2
+
+
+def test_kmeans_purity_partitions_population(spark):
+    rows = SPARK_QUERIES["embed_kmeans_purity"](spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        assert 0 < r.n_top <= r.n_vecs
+        assert 0 < r.purity_ppm <= 1_000_000
+
+def test_markov2_acc_consistent_with_order1(spark):
+    r = SPARK_QUERIES["events_markov2_acc"](spark, SF).collect()[0]
+    assert r.lift_ppm == r.acc2_ppm - r.acc1_ppm
+    assert 0 <= r.acc1_ppm <= 1_000_000
+    assert 0 <= r.acc2_ppm <= 1_000_000
