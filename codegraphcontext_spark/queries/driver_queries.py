@@ -12613,3 +12613,92 @@ def events_markov2_acc(spark, sf_dir):
             ),
         )
     )
+
+
+@_q(
+    "text_df_drift",
+    f"""{_TOKS_CTE},
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    half AS (SELECT doc_id,
+                    CASE WHEN doc_id < (SELECT m FROM mx) // 2
+                         THEN 0 ELSE 1 END AS h
+             FROM documents),
+    nd AS (SELECT h, COUNT(*) AS n FROM half GROUP BY h),
+    v AS (SELECT DISTINCT t.term, half.h, t.doc_id
+          FROM toks t JOIN half ON half.doc_id = t.doc_id),
+    df AS (SELECT term, h, COUNT(*) AS df FROM v GROUP BY term, h),
+    w AS (SELECT COALESCE(a.term, b.term) AS term,
+                 COALESCE(a.df, 0) AS df_a, COALESCE(b.df, 0) AS df_b
+          FROM (SELECT term, df FROM df WHERE h = 0) a
+          FULL OUTER JOIN (SELECT term, df FROM df WHERE h = 1) b
+            ON b.term = a.term),
+    r AS (SELECT w.term, w.df_a, w.df_b,
+                 w.df_a * 1000000 // na.n AS rate_a_ppm,
+                 w.df_b * 1000000 // nb.n AS rate_b_ppm
+          FROM w
+          CROSS JOIN (SELECT n FROM nd WHERE h = 0) na
+          CROSS JOIN (SELECT n FROM nd WHERE h = 1) nb
+          WHERE w.df_a + w.df_b >= 10)
+    SELECT term, CAST(df_a AS BIGINT) AS df_a,
+           CAST(df_b AS BIGINT) AS df_b,
+           CAST(rate_b_ppm - rate_a_ppm AS BIGINT) AS drift_ppm
+    FROM r
+    ORDER BY ABS(rate_b_ppm - rate_a_ppm) DESC, term ASC LIMIT 20""",
+)
+def text_df_drift(spark, sf_dir):
+    """Document-frequency drift between crawl halves: the terms whose
+    per-document rate moved most between the first and second half of
+    the corpus (crawl order = doc_id, the same stand-in text_novelty
+    uses) — topic/vocabulary drift inside ONE crawl, the within-corpus
+    analog of embed_drift's embedding-space monitor and the trigger for
+    re-fitting anything frequency-derived (IDF weights, stopword lists,
+    the langid votes). The >= 10 total-df floor keeps rare-term noise
+    out of the movers list; rates are exact integer ppm.
+
+    100 TB shape: one tokenize + DISTINCT (term, half, doc) projection
+    (vocabulary-x-2-sized after the combiner groupBy); the half sizes
+    are a 2-row broadcast; top-20 movers = TakeOrderedAndProject.
+
+    Reference analog: none (text addendum; drift family with
+    kg_pred_drift / embed_drift / events_drift — this is the lexical
+    axis)."""
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    half = docs.select("doc_id").crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        (F.col("doc_id") >= F.expr("m DIV 2")).cast("int").alias("h"),
+    )
+    nd = half.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    v = (
+        _tokens(docs)
+        .join(half, "doc_id")
+        .select("term", "h", "doc_id")
+        .distinct()
+    )
+    df = v.groupBy("term", "h").agg(F.count(F.lit(1)).alias("df"))
+    a = df.where(F.col("h") == 0).select("term", F.col("df").alias("df_a"))
+    b = df.where(F.col("h") == 1).select("term", F.col("df").alias("df_b"))
+    na = nd.where(F.col("h") == 0).select(F.col("n").alias("na"))
+    nb = nd.where(F.col("h") == 1).select(F.col("n").alias("nb"))
+    return (
+        a.join(b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_a", F.lit(0)).alias("df_a"),
+            F.coalesce("df_b", F.lit(0)).alias("df_b"),
+        )
+        .where(F.col("df_a") + F.col("df_b") >= 10)
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "term",
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.expr(
+                "CAST(df_b * 1000000 DIV nb"
+                " - df_a * 1000000 DIV na AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+        .orderBy(F.abs(F.col("drift_ppm")).desc(), F.asc("term"))
+        .limit(20)
+    )

@@ -361,3 +361,11 @@ def test_markov2_acc_consistent_with_order1(spark):
     assert r.lift_ppm == r.acc2_ppm - r.acc1_ppm
     assert 0 <= r.acc1_ppm <= 1_000_000
     assert 0 <= r.acc2_ppm <= 1_000_000
+
+
+def test_df_drift_floor_and_rates(spark):
+    rows = SPARK_QUERIES["text_df_drift"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.df_a + r.df_b >= 10
+        assert -1_000_000 <= r.drift_ppm <= 1_000_000
