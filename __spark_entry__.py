@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows in CORRECTNESS_r03.
 _SWEEP_FIRST = (
     # new this session (round-4 continuation): never had a driver row
+    "curate_uncertain_batch",
     "text_df_drift",
     "embed_kmeans_purity",
     "events_markov2_acc",

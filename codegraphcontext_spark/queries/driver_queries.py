@@ -12702,3 +12702,83 @@ def text_df_drift(spark, sf_dir):
         .orderBy(F.abs(F.col("drift_ppm")).desc(), F.asc("term"))
         .limit(20)
     )
+
+
+@_q(
+    "curate_uncertain_batch",
+    f"""{_TOKS_CTE},
+    m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)
+                   AS stops,
+                 SUM(CASE WHEN regexp_matches(term, '^[A-Za-z]+$')
+                          THEN 1 ELSE 0 END) AS alpha
+          FROM toks GROUP BY doc_id),
+    q AS (SELECT doc_id,
+                 LEAST(n_tokens, 200) * 2 + alpha * 300 // n_tokens
+                 + CASE WHEN stops * 100 // n_tokens BETWEEN 2 AND 40
+                        THEN 300 ELSE 0 END AS qual
+          FROM m),
+    med AS (SELECT qual AS cutoff FROM (
+              SELECT qual, ROW_NUMBER() OVER (ORDER BY qual, doc_id) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM q) WHERE rn = (n - 1) // 2 + 1)
+    SELECT q.doc_id, CAST(q.qual AS BIGINT) AS quality_x1000,
+           CAST(ABS(q.qual - med.cutoff) AS BIGINT) AS margin
+    FROM q CROSS JOIN med
+    ORDER BY margin ASC, doc_id ASC LIMIT 20""",
+)
+def curate_uncertain_batch(spark, sf_dir):
+    """Uncertainty-sampling labeling batch: the documents whose quality
+    score sits CLOSEST to the decision boundary (the exact corpus
+    median, standing in for the production threshold) — the margin-based
+    active-learning pick (Lewis & Gale 1994): labeling these moves the
+    quality classifier most per annotation dollar, versus labeling the
+    confident extremes which teaches it nothing. Pairs with
+    er_pair_features (the ER labeling worklist) as the curation side's
+    annotation queue.
+
+    100 TB shape: one token-stats aggregate (the shared quality
+    formula), one rank-select for the exact median over the |docs|-row
+    quality table (quantile-bucket at true scale), and a broadcast
+    margin compare; top-20 = TakeOrderedAndProject.
+
+    Reference analog: none (curation addendum; the active-learning leg
+    beside curate_train_labels' distant-supervision labels)."""
+    from pyspark.sql import Window
+
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("term").isin(*STOPWORDS).cast("int")).alias("stops"),
+        F.sum(F.col("term").rlike("^[A-Za-z]+$").cast("int")).alias("alpha"),
+    )
+    q = m.select(
+        "doc_id",
+        F.expr(
+            "LEAST(n_tokens, 200) * 2 + alpha * 300 DIV n_tokens"
+            " + CASE WHEN stops * 100 DIV n_tokens BETWEEN 2 AND 40"
+            " THEN 300 ELSE 0 END"
+        ).alias("qual"),
+    ).localCheckpoint(eager=True)  # feeds the median rank AND the margins
+    ranked = q.select(
+        "qual",
+        F.row_number()
+        .over(Window.orderBy(F.asc("qual"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(F.col("rn") == F.expr("(n - 1) DIV 2 + 1")).select(
+        F.col("qual").alias("cutoff")
+    )
+    return (
+        q.crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            F.col("qual").cast("bigint").alias("quality_x1000"),
+            F.abs(F.col("qual") - F.col("cutoff"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(20)
+    )

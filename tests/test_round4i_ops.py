@@ -369,3 +369,11 @@ def test_df_drift_floor_and_rates(spark):
     for r in rows:
         assert r.df_a + r.df_b >= 10
         assert -1_000_000 <= r.drift_ppm <= 1_000_000
+
+
+def test_uncertain_batch_margins_sorted_from_zero(spark):
+    rows = SPARK_QUERIES["curate_uncertain_batch"](spark, SF).collect()
+    assert len(rows) == 20
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins)
+    assert margins[0] == 0  # the median doc itself is in the batch
