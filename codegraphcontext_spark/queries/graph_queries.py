@@ -6804,14 +6804,42 @@ def kg_graph_butterflies(spark, sf_dir):
     )
 
 
+# Per-node neighbor cap applied BEFORE the brokerage wedge self-join: the
+# sum(deg^2) wedge fanout is unbounded on an open-vocabulary web graph (a hub
+# entity's neighborhood is corpus-sized), so each node contributes wedges
+# from at most its CAP smallest-id neighbors — deterministic on both engines
+# and PART OF the operator definition (the _AA_WITNESS_CAP discipline). The
+# direct-edge exclusion still tests the FULL adjacency (a true edge always
+# disqualifies a pair).
+_BR_NEIGHBOR_CAP = 64
+
+
+def _capped_und(und: DataFrame) -> DataFrame:
+    """Keep each node's _BR_NEIGHBOR_CAP smallest-id neighbors (columns
+    a, b = neighbor-of-a) — the pre-join cap the wedge enumeration runs
+    over. Factored out so tests can pin that the cap binds pre-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.asc("b"))
+    return (
+        und.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= _BR_NEIGHBOR_CAP)
+        .drop("_rk")
+    )
+
+
 @_q(
     "kg_graph_brokerage",
     f"""{_G_CTE},
     adj AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM edges
             WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
     und AS (SELECT a, b FROM adj UNION SELECT b, a FROM adj),
+    cap AS (SELECT a, b FROM (
+              SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b ASC)
+                       AS rk FROM und)
+            WHERE rk <= {_BR_NEIGHBOR_CAP}),
     wed AS (SELECT u1.b AS u, u1.a AS w, u2.b AS v
-            FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b),
+            FROM cap u1 JOIN cap u2 ON u2.a = u1.a AND u1.b < u2.b),
     opn AS (SELECT wd.u, wd.w, wd.v FROM wed wd
             LEFT JOIN und e ON e.a = wd.u AND e.b = wd.v
             WHERE e.a IS NULL),
@@ -6835,14 +6863,16 @@ def kg_graph_brokerage(spark, sf_dir):
     neighborhoods). Credits are integer-exact (floor 1e6/sigma) so both
     engines agree bit-for-bit.
 
-    Scale shape: wedge enumeration fans out sum(deg^2) over the OPEN-
-    relation graph, which is entity-dictionary-sized (a closed dictionary,
-    not corpus-sized), so the self-join is bounded regardless of page
-    count; on an open-vocabulary web graph the standard guard is a
-    per-node neighbor cap before the wedge join (the butterflies/df-cap
-    pattern). The direct-edge exclusion is a left-anti hash join, the
-    sigma aggregate and the per-w rollup are both map-side combinable,
-    and top-k compiles to TakeOrderedAndProject.
+    Scale shape: wedge enumeration fans out sum(deg^2), unbounded on an
+    open-vocabulary web graph — so each node's neighborhood is capped at
+    its _BR_NEIGHBOR_CAP smallest-id neighbors BEFORE the self-join
+    (_capped_und; deterministic, identical in the oracle's ROW_NUMBER
+    CTE, and part of the operator definition — the butterflies/df-cap
+    pattern). Wedge fanout is then ≤ C(CAP, 2) per node. The direct-edge
+    exclusion still left-anti-joins the FULL adjacency (a true edge
+    always disqualifies a pair), the sigma aggregate and the per-w
+    rollup are both map-side combinable, and top-k compiles to
+    TakeOrderedAndProject.
 
     Reference analog: none (Neo4j betweenness lives in the GDS plugin,
     outside the reference's Cypher surface); graph-analytics addendum
@@ -6861,8 +6891,9 @@ def kg_graph_brokerage(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    w1 = und.select(F.col("a").alias("w"), F.col("b").alias("u"))
-    w2 = und.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    cap = _capped_und(und)
+    w1 = cap.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    w2 = cap.select(F.col("a").alias("w"), F.col("b").alias("v"))
     wed = w1.join(w2, "w").where(F.col("u") < F.col("v"))
     opn = wed.join(
         und.select(F.col("a").alias("u"), F.col("b").alias("v")),
