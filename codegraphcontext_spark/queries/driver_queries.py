@@ -589,7 +589,7 @@ def dedup_shingle_pairs(spark, sf_dir):
     hottest shingle's df). The cap bounds per-shingle fanout at C(K,2) and
     the Jaccard denominator counts only kept (discriminative) shingles, on
     both the Spark and oracle sides."""
-    return _shingle_pairs_from(_shingles(_t(spark, sf_dir, "documents")))
+    return ensure_shingle_pairs(spark, sf_dir)
 
 
 def _shingle_pairs_from(sh: DataFrame) -> DataFrame:
@@ -659,7 +659,7 @@ def dedup_minhash_sig(spark, sf_dir):
     so no per-doc shingle array is ever materialized or shuffled — the
     100 TB-safe shape. The oracle's collect-then-list_min form is the same
     min over the same distinct-shingle set."""
-    return _minhash_from(_shingles(_t(spark, sf_dir, "documents")))
+    return ensure_minhash_sig(spark, sf_dir)
 
 
 def _minhash_from(sh: DataFrame) -> DataFrame:
@@ -668,6 +668,69 @@ def _minhash_from(sh: DataFrame) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
             for k in range(_N_MINHASH_Q)
         ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared-intermediate materialization seams (the ensure_graph discipline
+# applied to the dedup family): seven audit queries each used to recompute
+# the full shingle scan / capped pair join / LSH+CC cluster map from scratch
+# (~3.5-4 s each, ~20 s of the sf0.1 sweep — VERDICT r04 item 4). Each seam
+# materializes its frame ONCE per (application, sf tier) via an eager
+# localCheckpoint; every later consumer reads the pinned rows. At 100 TB the
+# same seam is a written parquet/Iceberg checkpoint (the pipeline runner's
+# stage-commit shape) instead of executor-storage — the dependency graph is
+# identical, only the storage medium changes.
+# ---------------------------------------------------------------------------
+
+_ENSURE_CACHE: dict = {}
+
+
+def _ensure_df(
+    spark: SparkSession, sf_dir: str, tag: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    df = _ENSURE_CACHE.get(key)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _ENSURE_CACHE[key] = df
+    return df
+
+
+def ensure_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) word-3-gram table, materialized once —
+    feeds the truth-pair join, minhash signatures, fingerprints, novelty,
+    containment and the winnow family."""
+    return _ensure_df(
+        spark, sf_dir, "shingles",
+        lambda: _shingles(_t(spark, sf_dir, "documents")),
+    )
+
+
+def ensure_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped truth pairs (doc_a, doc_b, n_shared, jaccard_x1e6),
+    materialized once — the shared expensive leg of the dedup audits."""
+    return _ensure_df(
+        spark, sf_dir, "shingle_pairs",
+        lambda: _shingle_pairs_from(ensure_shingles(spark, sf_dir)),
+    )
+
+
+def ensure_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-hash MinHash signature table, materialized once."""
+    return _ensure_df(
+        spark, sf_dir, "minhash_sig",
+        lambda: _minhash_from(ensure_shingles(spark, sf_dir)),
+    )
+
+
+def ensure_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH+CC doc -> cluster_id map (every doc, singletons = own id),
+    materialized once — consumed by dedup_cc_clusters, dedup_cluster_stats,
+    curate_canonical and curate_leakage."""
+    return _ensure_df(
+        spark, sf_dir, "cc_clusters",
+        lambda: _cc_cluster_map(spark, sf_dir),
     )
 
 
@@ -1120,7 +1183,7 @@ def text_langid(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Document fingerprint: min-hash over word-3-gram shingles (winnowing-
     style content fingerprint, cross-engine-stable via md5)."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sh = ensure_shingles(spark, sf_dir)
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
 
 
@@ -1475,7 +1538,7 @@ def text_boilerplate_frac(spark, sf_dir):
     100 TB: hash the shingle to a 16-byte digest before the join so the
     shuffle carries digests, not prose). Integer per-mille keeps the
     ranking engine-exact."""
-    sh = _shingles(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sh = ensure_shingles(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("d"))
     return (
         sh.join(dfreq, on="shingle")
@@ -2826,13 +2889,23 @@ def dedup_cc_clusters(spark, sf_dir):
     matching the oracle's recursive reachability closure. The label table
     is 2 narrow columns per clustered doc — at 100 TB it partitions on
     doc_id and never touches text. Singletons keep their own id via the
-    final left join against the signature universe."""
-    # Materialize the signature table ONCE (5 narrow columns per doc): it
-    # feeds the band table, both sides of the bucket self-join, and the
-    # final universe join — without this the shingle+minhash subplan is
-    # re-evaluated ~5x (measured 25 s -> 7 s at sf0.1). Same discipline a
-    # 100 TB run uses: signatures are written/cached before the pair stage.
-    sig = dedup_minhash_sig(spark, sf_dir).localCheckpoint(eager=True)
+    final left join against the signature universe.
+
+    The map itself is materialized once per (application, sf tier) via
+    ensure_clusters — dedup_cluster_stats / curate_canonical /
+    curate_leakage read the same materialization instead of recomputing
+    the LSH+CC chain (VERDICT r04 item 4)."""
+    return ensure_clusters(spark, sf_dir).orderBy(F.asc("doc_id"))
+
+
+def _cc_cluster_map(spark, sf_dir) -> DataFrame:
+    """The unordered doc -> cluster_id map behind ensure_clusters."""
+    # The signature table (5 narrow columns per doc) feeds the band table,
+    # both sides of the bucket self-join, and the final universe join —
+    # without the ensure_minhash_sig materialization the shingle+minhash
+    # subplan is re-evaluated ~5x (measured 25 s -> 7 s at sf0.1). Same
+    # discipline a 100 TB run uses: signatures are written before pairing.
+    sig = ensure_minhash_sig(spark, sf_dir)
     bands = None
     for k in range(_N_MINHASH_Q):
         b = sig.select(
@@ -2882,7 +2955,6 @@ def dedup_cc_clusters(spark, sf_dir):
         .select(
             "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
         )
-        .orderBy(F.asc("doc_id"))
     )
 
 
@@ -5253,18 +5325,16 @@ def er_blocking_quality(spark, sf_dir):
     consumers (own count + the intersection); at bench scale they are KB.
     """
     docs = _t(spark, sf_dir, "documents")
-    # ONE shingle explode feeds BOTH legs (truth pairs + minhash
-    # signatures); without the shared checkpoint the corpus-wide
-    # tokenize+shingle pass runs twice — the same recompute class the
-    # capped-shingle checkpoint inside _shingle_pairs_from eliminates
-    sh = _shingles(docs).localCheckpoint(eager=True)
+    # ONE materialized shingle table feeds BOTH legs (truth pairs +
+    # minhash signatures) via the ensure_* seams — the corpus-wide
+    # tokenize+shingle pass runs once per session, not per audit query
     truth = (
-        _shingle_pairs_from(sh)
+        ensure_shingle_pairs(spark, sf_dir)
         .where(F.col("jaccard_x1e6") >= _ERB_JX)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    sig = _minhash_from(sh)
+    sig = ensure_minhash_sig(spark, sf_dir)
     bands = None
     for k in range(_N_MINHASH_Q):
         b = sig.select(
@@ -6308,7 +6378,7 @@ def dedup_containment(spark, sf_dir):
 
     Reference analog: none (dedup-family addendum; completes resemblance
     [Jaccard] with containment from the same Broder framework)."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sh = ensure_shingles(spark, sf_dir)
     keep = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -6889,7 +6959,7 @@ def curate_canonical(spark, sf_dir):
     Text never rides the shuffle; only (doc_id, cluster_id, n_chars)."""
     from pyspark.sql.window import Window
 
-    cc = dedup_cc_clusters(spark, sf_dir)
+    cc = ensure_clusters(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     q = cc.join(docs, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
@@ -7666,7 +7736,7 @@ def text_novelty(spark, sf_dir):
 
     Reference analog: none (corpus-quality addendum alongside
     text_contamination / text_diversity)."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sh = ensure_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     nov = (
         sh.groupBy("shingle")
@@ -7957,7 +8027,7 @@ def curate_leakage(spark, sf_dir):
     Reference analog: none (curation-audit addendum alongside
     curate_split / dedup_cc_clusters; the audit that motivates
     cluster-grain splitting in curate.py's chain)."""
-    cc = dedup_cc_clusters(spark, sf_dir)
+    cc = ensure_clusters(spark, sf_dir)
     sp = curate_split(spark, sf_dir)
     mem = cc.join(sp, "doc_id")
     big = (
@@ -8751,7 +8821,7 @@ def dedup_cluster_stats(spark, sf_dir):
 
     Reference analog: none (dedup-audit addendum; pairs with
     dedup_cc_clusters / curate_canonical / curate_leakage)."""
-    cc = dedup_cc_clusters(spark, sf_dir)
+    cc = ensure_clusters(spark, sf_dir)
     sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sz.groupBy("sz")
@@ -9954,7 +10024,7 @@ def curate_dedup_sweep(spark, sf_dir):
     dedup_cluster_stats' fixed-threshold census)."""
     docs = _t(spark, sf_dir, "documents")
     sim = (
-        _shingle_pairs_from(_shingles(docs))
+        ensure_shingle_pairs(spark, sf_dir)
         .groupBy("doc_b")
         .agg(F.max("jaccard_x1e6").alias("max_sim"))
     )
@@ -10032,7 +10102,7 @@ def er_pair_features(spark, sf_dir):
     Reference analog: none (ER addendum; the feature-export step between
     er_blocking_quality's audit and a learned matcher)."""
     docs = _t(spark, sf_dir, "documents")
-    jp = _shingle_pairs_from(_shingles(docs))
+    jp = ensure_shingle_pairs(spark, sf_dir)
     da = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
@@ -11820,7 +11890,7 @@ def curate_dup_quality_xtab(spark, sf_dir):
     from pyspark.sql import Window
 
     dup = (
-        _shingle_pairs_from(_shingles(docs))
+        ensure_shingle_pairs(spark, sf_dir)
         .where(F.col("jaccard_x1e6") >= 500000)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -11920,10 +11990,10 @@ def dedup_minhash_calibration(spark, sf_dir):
 
     Reference analog: none (dedup addendum; the calibration readout
     between dedup_minhash_sig and er_blocking_quality)."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(docs).localCheckpoint(eager=True)
-    jp = _shingle_pairs_from(sh).select("doc_a", "doc_b", "jaccard_x1e6")
-    sig = _minhash_from(sh)
+    jp = ensure_shingle_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard_x1e6"
+    )
+    sig = ensure_minhash_sig(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{k}").alias(f"a{k}") for k in range(_N_MINHASH_Q)],
@@ -12016,7 +12086,7 @@ def curate_source_profile(spark, sf_dir):
     of curate_dup_quality_xtab's global 2x2)."""
     docs = _t(spark, sf_dir, "documents")
     dup = (
-        _shingle_pairs_from(_shingles(docs))
+        ensure_shingle_pairs(spark, sf_dir)
         .where(F.col("jaccard_x1e6") >= 500000)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
