@@ -6506,41 +6506,83 @@ def kg_pipeline_lineage(spark, sf_dir):
     rescanning data; a 0 means a torn commit and pins exactly which stage.
 
     Scale shape: lineage and manifest tables are partition-count-sized
-    (KBs at 100 TB); the only data-scale leg is the parquet COUNT(*),
-    which both engines answer from row-group metadata without reading
-    column pages. The audit is therefore metadata-only end to end."""
+    (KBs at 100 TB); the data leg reads only parquet FOOTERS. All three
+    legs are batched across stages into ONE plan (the round-4 version
+    issued ~15 sequential mini-jobs, one triple per stage — the cost was
+    scheduling, not data): every stage's lineage table rides one
+    multi-path parquet read keyed by input_file_name, every manifest one
+    explicit-schema JSON read (no inference job), and the committed
+    row counts one distributed pyarrow footer scan over the part-file
+    list (num_rows from metadata — column pages never open)."""
     ensure_graph(spark, sf_dir)
     wd = os.path.join(graph_dir(sf_dir), "wd")
-    out = None
-    for stage in _LINEAGE_STAGES:
-        base = os.path.join(wd, stage)
-        lin = spark.read.parquet(
-            os.path.join(base, "lineage", "lineage.parquet")
-        ).agg(
+    lin = (
+        spark.read.parquet(
+            *[
+                os.path.join(wd, s, "lineage", "lineage.parquet")
+                for s in _LINEAGE_STAGES
+            ]
+        )
+        .withColumn(
+            "stage",
+            F.regexp_extract(F.input_file_name(), r"/([^/]+)/lineage/", 1),
+        )
+        .groupBy("stage")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
             F.coalesce(F.sum("n_rows"), F.lit(0))
             .cast("bigint")
             .alias("lineage_rows"),
         )
-        man = (
-            spark.read.json(os.path.join(base, "manifest.json"))
-            .select(F.col("n_rows").cast("bigint").alias("manifest_rows"))
+    )
+    man = spark.read.schema("stage STRING, n_rows LONG").json(
+        [os.path.join(wd, s, "manifest.json") for s in _LINEAGE_STAGES]
+    ).select("stage", F.col("n_rows").cast("bigint").alias("manifest_rows"))
+    # part-file list via the Hadoop FS API (correct for hdfs://s3a://local
+    # alike — the layout.py discipline), counted from footers on executors
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    files = []
+    for s in _LINEAGE_STAGES:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(wd, s, "data"))
+        fs = p.getFileSystem(hconf)
+        files.extend(
+            (s, st.getPath().toString())
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
         )
-        dat = spark.read.parquet(os.path.join(base, "data")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("data_rows")
-        )
-        row = (
-            lin.crossJoin(man)
-            .crossJoin(dat)
-            .select(
-                F.lit(stage).alias("stage"),
-                "n_partitions",
-                "lineage_rows",
-                "manifest_rows",
-                "data_rows",
+
+    def _footer_counts(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "stage": pdf["path"].str.extract(r"/([^/]+)/data/")[0],
+                    "nr": [
+                        pq.ParquetFile(
+                            p[len("file:"):] if p.startswith("file:") else p
+                        ).metadata.num_rows
+                        for p in pdf["path"]
+                    ],
+                }
             )
+
+    dat = (
+        spark.createDataFrame(files, "stage string, path string")
+        .select("path")
+        .mapInPandas(_footer_counts, "stage string, nr long")
+        .groupBy("stage")
+        .agg(F.sum("nr").cast("bigint").alias("data_rows"))
+    )
+    out = (
+        lin.join(man, "stage")
+        .join(dat, "stage")
+        .select(
+            "stage", "n_partitions", "lineage_rows", "manifest_rows", "data_rows"
         )
-        out = row if out is None else out.unionByName(row)
+    )
     return out.withColumn(
         "consistent",
         F.when(
@@ -7076,11 +7118,13 @@ def kg_graph_neighborhood(spark, sf_dir):
     and the 4-row hop frame pays one single-partition window (bounded by
     construction). Exact distinct pairs are the TEST-scale choice: the
     open-relation graph is entity-dictionary-sized, so |pairs| <= |dict|^2
-    is small. At open-vocabulary web scale the same loop swaps the exact
-    seen-set for the deterministic integer-HLL registers this repo already
-    ships (events_distinct_hll) — one 2^p-register sketch per node,
-    merged per hop: that is literally HyperBall, and the loop shape
-    (frontier join + per-node merge) is unchanged.
+    is small. The open-vocabulary web-scale leg is WIRED as
+    kg_graph_anf_hll (HyperBall): the same loop with the exact seen-set
+    swapped for per-node 64-register integer-HLL sketches (the
+    events_distinct_hll register layout) — O(V x 64) state per hop
+    instead of O(|pairs|); this exact variant is its test-scale twin
+    (registers-of-exact-set == propagated registers, pinned in
+    tests/test_round5_ops.py).
 
     Reference analog: none (web-graph analytics addendum alongside
     kg_graph_bowtie / kg_graph_closeness)."""
@@ -7137,6 +7181,157 @@ def kg_graph_neighborhood(spark, sf_dir):
             "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
             "AS BIGINT)"
         ).alias("frac_x1e6"),
+    ).orderBy("hop")
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: the neighborhood function by per-node HLL registers — the
+# web-scale leg of kg_graph_neighborhood (whose exact seen-set is the
+# test-scale oracle; VERDICT r04 item 5). Same deterministic integer-HLL
+# layout as events_distinct_hll (48-bit md5 hash, m=64 buckets, 20-bit rho
+# window, scaled-integer alpha) so both engines compute IDENTICAL registers
+# and estimates.
+# ---------------------------------------------------------------------------
+
+_ANF_P = 6
+_ANF_M = 1 << _ANF_P              # 64 registers per node
+_ANF_WBITS = 20
+_ANF_W = 1 << _ANF_WBITS
+_ANF_RMAX = _ANF_WBITS + 1        # rho in 1..21
+_ANF_ALPHA_NUM = 2904064          # alpha_64 * m^2 as exact rational /1000
+_ANF_ALPHA_DEN = 1000
+_ANF_HOPS = 4
+
+_ANF_ADJ_SQL = f"""
+    adj AS (SELECT DISTINCT subj_id, obj_id FROM edges
+            WHERE pred NOT IN {_CLOSED_SQL} AND subj_id <> obj_id),
+    verts AS (SELECT subj_id AS v FROM adj UNION SELECT obj_id FROM adj),
+    s0 AS (SELECT v,
+                  h % {_ANF_M} AS bucket,
+                  CASE WHEN (h // {_ANF_M}) % {_ANF_W} = 0 THEN {_ANF_RMAX}
+                       ELSE {_ANF_RMAX} - length(bin((h // {_ANF_M})
+                                                     % {_ANF_W})) END AS reg
+           FROM (SELECT v,
+                        CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT) AS h
+                 FROM verts))"""
+
+
+def _anf_merge_sql(k: int) -> str:
+    """s{k} = register-max merge of s{k-1}(v) with s{k-1}(out-neighbors)."""
+    return f"""
+    s{k} AS (SELECT v, bucket, MAX(reg) AS reg FROM (
+               SELECT v, bucket, reg FROM s{k - 1}
+               UNION ALL
+               SELECT a.subj_id AS v, p.bucket, p.reg
+               FROM adj a JOIN s{k - 1} p ON p.v = a.obj_id)
+             GROUP BY v, bucket)"""
+
+
+def _anf_est_sql(k: int) -> str:
+    """One (hop, est) row: sum over nodes of the integer-HLL ball estimate."""
+    return f"""
+    SELECT {k} AS hop, SUM(est) AS est FROM (
+      SELECT v, {_ANF_ALPHA_NUM} * (CAST(1 AS BIGINT) << {_ANF_RMAX})
+               // ({_ANF_ALPHA_DEN} *
+                   (SUM(CAST(1 AS BIGINT) << ({_ANF_RMAX} - reg))
+                    + ({_ANF_M} - COUNT(*))
+                      * (CAST(1 AS BIGINT) << {_ANF_RMAX}))) AS est
+      FROM s{k} GROUP BY v)"""
+
+
+@_q(
+    "kg_graph_anf_hll",
+    f"""{_G_CTE},{_ANF_ADJ_SQL},
+    {",".join(_anf_merge_sql(k).strip() for k in range(1, _ANF_HOPS + 1))},
+    hops AS ({" UNION ALL ".join(_anf_est_sql(k).strip()
+                                 for k in range(_ANF_HOPS + 1))}),
+    n AS (SELECT COUNT(*) AS n_nodes FROM verts)
+    SELECT CAST(h.hop AS BIGINT) AS hop,
+           CAST(h.est AS BIGINT) AS est_reach_sum,
+           CAST(h.est * 1000000 // n.n_nodes AS BIGINT) AS est_avg_x1e6
+    FROM hops h CROSS JOIN n ORDER BY hop""",
+)
+def kg_graph_anf_hll(spark, sf_dir):
+    """HyperBall (Boldi-Vigna): the neighborhood function N(h) for
+    h = 0..4 by per-node HLL registers — the WEB-SCALE leg of
+    kg_graph_neighborhood, whose exact seen-set stays as the test-scale
+    twin. est_reach_sum(h) = Σ_v est|ball(v, h)| (ordered reachable pairs
+    within h hops, self included), where every node carries a 64-register
+    integer HLL of its forward ball and each hop register-MAX-merges the
+    out-neighbors' sketches into its own.
+
+    Determinism: the registers use the engine-agreed 48-bit md5 hash and
+    pure integer arithmetic (the events_distinct_hll layout — bucket =
+    h mod 64, rho = 21 - len(bin(window)), scaled-integer alpha), so
+    Spark and DuckDB compute bit-identical registers and estimates; the
+    oracle unrolls the same 4 merge rounds as CTE stages.
+
+    Scale shape — the reason this query exists: per-node state is a FIXED
+    64 rows (vs. the exact variant's seen-PAIR set, |pairs| ≤ |V|²):
+    each hop is one keyed shuffle join (edges × registers) + a map-side-
+    combinable groupBy(v, bucket).max(reg), and the per-hop estimate is
+    one aggregate — O(E × 64) rows per hop regardless of how dense the
+    reachability gets. Merging sketches of members equals the sketch of
+    the union EXACTLY (register max distributes), pinned by the round-5
+    fixture test against the exact reachable sets.
+
+    Reference analog: none (web-graph analytics addendum alongside
+    kg_graph_neighborhood / kg_graph_closeness)."""
+    _, edges = ensure_graph(spark, sf_dir)
+    adj = _open_adj(edges)
+    verts = (
+        adj.select(F.col("subj_id").alias("v"))
+        .unionByName(adj.select(F.col("obj_id").alias("v")))
+        .distinct()
+    )
+    h = F.expr("CAST(conv(substr(md5(v), 1, 12), 16, 10) AS BIGINT)")
+    hw = verts.select(
+        "v",
+        (h % _ANF_M).alias("bucket"),
+        ((h / F.lit(_ANF_M)).cast("bigint") % _ANF_W).alias("w"),
+    )
+    s = hw.select(
+        "v",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(_ANF_RMAX))
+        .otherwise(F.lit(_ANF_RMAX) - F.length(F.expr("bin(w)")))
+        .alias("reg"),
+    ).localCheckpoint(eager=True)
+
+    def _est(sk: DataFrame, hop: int) -> DataFrame:
+        per = sk.groupBy("v").agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.expr(f"shiftleft(1L, {_ANF_RMAX} - reg)")).alias("s_hit"),
+        )
+        return per.select(
+            F.expr(
+                f"{_ANF_ALPHA_NUM} * shiftleft(1L, {_ANF_RMAX}) div "
+                f"({_ANF_ALPHA_DEN} * (s_hit + ({_ANF_M} - n_hit) * "
+                f"shiftleft(1L, {_ANF_RMAX})))"
+            ).alias("est")
+        ).agg(F.sum("est").alias("est")).select(
+            F.lit(hop).alias("hop"), "est"
+        )
+
+    out = _est(s, 0)
+    for k in range(1, _ANF_HOPS + 1):
+        msg = adj.join(s, adj.obj_id == s.v).select(
+            adj.subj_id.alias("v"), "bucket", "reg"
+        )
+        s = (
+            s.unionByName(msg)
+            .groupBy("v", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_est(s, k))
+    n_nodes = verts.count()
+    return out.select(
+        F.col("hop").cast("bigint").alias("hop"),
+        F.col("est").cast("bigint").alias("est_reach_sum"),
+        F.expr(f"CAST(est * 1000000 div {n_nodes} AS BIGINT)").alias(
+            "est_avg_x1e6"
+        ),
     ).orderBy("hop")
 
 

@@ -157,3 +157,60 @@ def test_scc_query_memoized_per_session(spark):
     a = gq.ensure_scc(spark, SF)
     b = gq.ensure_scc(spark, SF)
     assert a is b
+
+
+def test_anf_hll_registers_equal_exact_set_sketch(spark):
+    """HyperBall's merged registers at hop h are EXACTLY the registers of
+    the exact h-hop reachable set (register max distributes over set
+    union) — the property that makes the sketch leg a faithful stand-in
+    for the exact seen-set at any scale, checked on the sf0.001 graph."""
+    from codegraphcontext_spark.queries.graph_queries import (
+        _ANF_HOPS,
+        _ANF_M,
+        _ANF_RMAX,
+        _ANF_W,
+        _open_adj,
+        ensure_graph,
+    )
+    import collections
+    import hashlib
+
+    _, edges = ensure_graph(spark, SF)
+    adj = _open_adj(edges)
+    rows = [(r.subj_id, r.obj_id) for r in adj.collect()]
+    g = collections.defaultdict(list)
+    verts = set()
+    for a, b in rows:
+        g[a].append(b)
+        verts.update((a, b))
+
+    def regs_of(nodes):
+        regs = {}
+        for v in nodes:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+            bucket, w = h % _ANF_M, (h // _ANF_M) % _ANF_W
+            rho = _ANF_RMAX if w == 0 else _ANF_RMAX - len(bin(w)[2:])
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    # exact forward balls at h hops
+    ball = {v: {v} for v in verts}
+    for _ in range(_ANF_HOPS):
+        ball = {
+            v: b | {w for u in b for w in g.get(u, ())} for v, b in ball.items()
+        }
+
+    # propagated registers, same merge recurrence as the Spark plan
+    sk = {v: regs_of([v]) for v in verts}
+    for _ in range(_ANF_HOPS):
+        nxt = {}
+        for v in verts:
+            m = dict(sk[v])
+            for u in g.get(v, ()):
+                for bkt, r in sk[u].items():
+                    m[bkt] = max(m.get(bkt, 0), r)
+            nxt[v] = m
+        sk = nxt
+
+    for v in verts:
+        assert sk[v] == regs_of(ball[v]), v
