@@ -32,116 +32,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep covers a bounded window of ~50 entries in
-# dict order. Round-4 rotation policy (BASELINE.md "sweep rotation"): FIRST
-# the 11 names with no all-green driver row yet (8 never swept in r01–r03 +
-# the 3 r03 hash-fails whose oracle SUM casts are fixed this round), then
-# anything NEW this round, then backfill with the stalest names (last swept
-# in CORRECTNESS_r02) — so every name converges to at least one all-green
-# CORRECTNESS_r*.json row across rounds. The rotated-out tail all holds
-# green rows in CORRECTNESS_r03.
+# dict order; _SWEEP_FIRST rotates which names fill that window each round
+# (BASELINE.md "sweep rotation") so every query converges to at least one
+# all-green CORRECTNESS_r*.json row across rounds.
 _SWEEP_FIRST = (
-    # new this session (round-4 continuation): never had a driver row
-    "curate_uncertain_batch",
-    "text_df_drift",
-    "embed_kmeans_purity",
-    "events_markov2_acc",
-    "kg_graph_conductance",
-    "kg_graph_random_robustness",
-    "kg_graph_robustness",
-    "kg_ner_context_export",
-    "embed_hubness",
-    "embed_intrinsic_dim",
-    "kg_link_predict_eval",
-    "dedup_minhash_calibration",
-    "curate_source_profile",
-    "text_lang_mixing",
-    "curate_dup_quality_xtab",
-    "orders_basket_rules",
-    "events_markov_acc",
-    "kg_graph_npmi",
-    "events_survival",
-    "text_heaps_law",
-    "events_entropy_rate",
-    "kg_graph_degree_gini",
-    "kg_crosslingual_pairs",
-    "events_seasonality",
-    "kg_graph_powerlaw",
-    "text_fertility",
-    "kg_search_proximity",
-    "events_cuped",
-    "events_srm",
-    "lineitem_discount_revenue",
-    "part_brand_disjunctive_revenue",
-    "nation_trade_volume",
-    "events_cusum",
-    "text_source_overlap",
-    "kg_pred_cooccurrence",
-    "events_markov_stationary",
-    "mm_phash_dedup",
-    "kg_rule_mining",
-    "kg_path_rules",
-    "events_attribution",
-    "events_power_curve",
-    "events_rfm",
-    "events_interarrival",
-    "curate_dedup_sweep",
-    "er_pair_features",
-    "embed_covariance",
-    "embed_pca_power",
-    # never-green: never swept r01-r03
-    "embed_pq_rerank",
-    "orders_priority_exists",
-    "customer_order_dist",
-    "part_supplier_counts",
-    "returned_item_customers",
-    "events_user_type_sets",
-    "events_salted_enrich",
-    "embed_ann_lsh_wide",
-    # never-green: r03 hash-fails, oracle CAST fixed this round
+    # round-5 rotation (VERDICT r04 item 2): every name below lacks an
+    # all-green driver CORRECTNESS row across r01-r04. Order: the new
+    # round-5 query first, then the 66-name kg_* family (the oldest
+    # uncovered family), then the remaining uncovered names by family.
+    # The ~50-query sweep window walks this head; names already green
+    # hold rows in CORRECTNESS_r01-r04.
+    "kg_graph_anf_hll",
+    "kg_search_fuzzy",
+    "kg_search_fuzzy_idx",
+    "kg_search_stem",
+    "kg_doc_entity_salience",
     "kg_graph_top_entities",
     "kg_graph_page_richness",
     "kg_graph_pred_stats",
-    # new this round
-    "kg_doc_entity_salience",
-    "events_stickiness",
-    "kg_entity_hash_embed",
-    "events_rate_ci",
-    "mm_caption_pairs",
-    "embed_ann_eval",
-    "text_langid_eval",
-    "events_bot_flag",
-    "embed_binary_rerank",
-    "embed_binary_hamming",
-    "dedup_cluster_stats",
-    "events_lag_features",
-    "curate_budget_select",
-    "events_forecast_eval",
-    "search_fuzzy_eval",
-    "events_abtest",
-    "events_scd2",
-    "embed_drift",
-    "sample_temperature",
-    "kg_graph_richclub",
-    "text_zipf",
-    "curate_calibration",
-    "embed_quantize",
-    "kg_search_fuzzy",
     "kg_incremental_pred_counts",
     "kg_graph_fuzzy_names",
-    "kg_search_stem",
     "kg_incremental_delete_counts",
-    "dedup_substr_spans",
-    "embed_ivfpq",
-    "dedup_substr_coverage",
-    "kg_search_fuzzy_idx",
     "kg_graph_schema_summary",
     "kg_graph_triads",
     "kg_graph_closeness",
     "kg_graph_weighted_path",
-    "events_heavy_hitters",
     "kg_graph_truss",
     "kg_triple_pr",
-    "er_blocking_quality",
+    "kg_linking_tier_accuracy",
+    "kg_alias_table",
+    "kg_kge_train_pairs",
+    "kg_pred_drift",
+    "kg_verbalize",
+    "kg_entity_lifespan",
+    "kg_graph_bridges",
     "kg_graph_clustering",
     "kg_conjunctive_star",
     "kg_random_walks",
@@ -149,81 +73,100 @@ _SWEEP_FIRST = (
     "kg_graph_assortativity",
     "kg_entity_features",
     "kg_metapath_census",
-    "curate_train_labels",
-    "events_markov_transitions",
-    "search_hybrid_rrf",
     "kg_domain_graph",
-    "events_cms_topk",
-    "events_quantile_sample",
+    "kg_template_stats",
+    "kg_graph_eigenvector",
+    "kg_gnn_export",
     "kg_graph_modularity",
     "kg_graph_scc",
-    "curate_clf_score",
     "kg_graph_edge_timeline",
     "kg_graph_lpa",
     "kg_graph_katz",
+    "kg_edge_confidence",
+    "kg_fact_conflicts",
+    "kg_transitive_reduction",
+    "kg_type_check",
+    "kg_qa_pairs",
+    "kg_asof_facts",
+    "kg_search_expanded",
+    "kg_qa_2hop",
+    "kg_graph_diff",
+    "kg_pred_functionality",
+    "kg_entity_summary",
+    "kg_rdf_ntriples",
+    "kg_shacl_lite",
+    "kg_kge_hard_negatives",
+    "kg_fact_sources",
+    "kg_qa_unanswerable",
+    "kg_gnn_neighbor_sample",
+    "kg_pipeline_lineage",
+    "kg_entity_subgraph",
+    "kg_triple_pr_by_pred",
+    "kg_graph_butterflies",
+    "kg_graph_brokerage",
+    "kg_graph_bowtie",
+    "kg_graph_neighborhood",
+    "kg_anchor_texts",
+    "kg_graph_richclub",
+    "kg_entity_hash_embed",
+    "dedup_substr_spans",
+    "dedup_substr_coverage",
+    "sample_temperature",
+    "embed_ivfpq",
+    "part_supplier_counts",
+    "returned_item_customers",
+    "events_user_type_sets",
+    "events_salted_enrich",
+    "embed_ann_lsh_wide",
+    "events_heavy_hitters",
+    "er_blocking_quality",
+    "curate_train_labels",
+    "events_markov_transitions",
+    "search_hybrid_rrf",
+    "events_json_props",
+    "events_cms_topk",
+    "events_quantile_sample",
+    "curate_clf_score",
     "events_bloom_prune",
     "dedup_containment",
     "sample_dsir",
-    # never-green overflow (window is ~50): queue for round 5's sweep
     "events_top_paths",
     "events_drift",
     "embed_outliers",
     "curate_rho",
     "text_diversity",
     "curate_canonical",
-    "kg_edge_confidence",
-    "kg_fact_conflicts",
-    "kg_transitive_reduction",
-    "kg_type_check",
     "embed_label_separation",
-    "kg_qa_pairs",
-    "kg_asof_facts",
-    "kg_search_expanded",
     "curate_chunk",
-    "kg_qa_2hop",
-    "kg_graph_diff",
-    "kg_linking_tier_accuracy",
-    "kg_graph_bridges",
-    "kg_alias_table",
-    "kg_kge_train_pairs",
-    "kg_pred_drift",
-    "kg_verbalize",
-    "kg_entity_lifespan",
-    "kg_template_stats",
-    "events_json_props",
-    "kg_graph_eigenvector",
-    "kg_gnn_export",
-    # stalest (last driver row: CORRECTNESS_r02)
-    "kg_term_stats",
-    "kg_top_terms",
-    "kg_mentions",
-    "kg_cooccurrence",
-    "kg_who_references",
-    "kg_doc_references",
-    "kg_most_referenced",
-    "kg_dead_terms",
-    "kg_search_content",
-    "kg_rank_fusion",
-    "kg_sources_of_term",
-    "kg_usage_scope",
-    "kg_term_adjacency",
-    "kg_closure_from_spark",
-    "dedup_exact_hash",
-    "dedup_shingle_pairs",
-    "dedup_minhash_sig",
-    "dedup_lsh_buckets",
-    "dedup_simhash",
-    "embed_norms",
-    "embed_topk_cosine",
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "events_by_type",
-    "events_top_users",
-    "lineitem_pricing",
-    "orders_topk_revenue",
-    "events_asof_join",
-    "events_range_join",
+    "events_hopping_counts",
+    "text_complexity",
+    "embed_mrl_overlap",
+    "search_hard_negatives",
+    "events_cohort_matrix",
+    "events_distinct_hll",
+    "text_novelty",
+    "search_postings",
+    "text_bpe_merges",
+    "curate_leakage",
+    "text_zipf",
+    "curate_calibration",
+    "embed_quantize",
+    "events_scd2",
+    "embed_drift",
+    "search_fuzzy_eval",
+    "events_abtest",
+    "curate_budget_select",
+    "events_forecast_eval",
+    "dedup_cluster_stats",
+    "events_lag_features",
+    "embed_binary_hamming",
+    "embed_binary_rerank",
+    "text_langid_eval",
+    "events_bot_flag",
+    "embed_ann_eval",
+    "mm_caption_pairs",
+    "events_rate_ci",
+    "events_stickiness",
 )
 
 

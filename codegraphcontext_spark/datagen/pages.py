@@ -41,6 +41,7 @@ SCALES = {
     "bench_heavy": 50_000,
     "bench_heavy_xl": 150_000,
     "bench_heavy_xxl": 400_000,
+    "bench_skew": 100_000,
 }
 # extra per-page filler sentences per scale (realistic page weight for the
 # throughput/scaling benches; goldens unaffected — see generate_corpus)
@@ -51,6 +52,17 @@ SCALE_FILLERS = {
     "bench_heavy": 120,
     "bench_heavy_xl": 120,
     "bench_heavy_xxl": 120,
+    "bench_skew": 200,
+}
+# hub-entity Zipf boost per scale (default 6.0 — the deliberate acme hub).
+# bench_skew turns the boost up to 48 so ~95% of mention draws land on ONE
+# entity: the hub surface becomes a single hot key through the link
+# cascade's per-surface window, the mention distinct, and the edge rollup —
+# the MEASURED-pipeline exercise of the skew machinery (functions/skew.py,
+# salted CC) that previously only fixtures touched; longer documents (200
+# filler sentences) make the per-page work realistic at the same time.
+SCALE_HUB_BOOST = {
+    "bench_skew": 48.0,
 }
 
 DOMAINS = [f"ref{i}.example.org" for i in range(20)]
@@ -147,7 +159,11 @@ def _para_text(sentences: list[str], anchors: list[str]) -> str:
 
 # -- generation ---------------------------------------------------------------
 def generate_corpus(
-    out_dir: str, n_pages: int, seed: int = 42, filler_sentences: int = 0
+    out_dir: str,
+    n_pages: int,
+    seed: int = 42,
+    filler_sentences: int = 0,
+    hub_boost: float = 6.0,
 ) -> dict:
     """Generate pages + golden fixtures into out_dir. Returns manifest dict.
 
@@ -161,7 +177,7 @@ def generate_corpus(
     rng = random.Random(seed)
     rng_fill = random.Random(seed + 7)
     ent_keys = [e[0] for e in ENTITIES]
-    weights = _zipf_weights(len(ent_keys))
+    weights = _zipf_weights(len(ent_keys), hub_boost)
     by_type: dict[str, list[int]] = {}
     for i, (_, etype, _, _) in enumerate(ENTITIES):
         by_type.setdefault(etype, []).append(i)
@@ -485,7 +501,12 @@ def main() -> None:
     args = ap.parse_args()
     n = args.n or SCALES[args.scale]
     out = args.out or os.path.join(os.path.dirname(__file__), "..", "..", ".data", args.scale)
-    m = generate_corpus(os.path.abspath(out), n)
+    m = generate_corpus(
+        os.path.abspath(out),
+        n,
+        filler_sentences=SCALE_FILLERS.get(args.scale, 0),
+        hub_boost=SCALE_HUB_BOOST.get(args.scale, 6.0),
+    )
     print(json.dumps(m))
 
 

@@ -689,7 +689,10 @@ _ENSURE_CACHE: dict = {}
 def _ensure_df(
     spark: SparkSession, sf_dir: str, tag: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    # the resolved table loader rides in the cache key so a test that
+    # monkeypatches `_t` (hand-built documents) gets a fresh build, not a
+    # stale memo of the real corpus — and vice versa
+    key = (spark.sparkContext.applicationId, sf_dir, tag, _t)
     df = _ENSURE_CACHE.get(key)
     if df is None:
         df = build().localCheckpoint(eager=True)

@@ -4416,8 +4416,10 @@ _SCC_CACHE: dict = {}
 def ensure_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC labels of the open-relation graph, materialized ONCE per
     (application, sf tier) — shared by kg_graph_scc and kg_graph_bowtie
-    (the ensure_graph discipline applied to the label map)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (the ensure_graph discipline applied to the label map). The resolved
+    ensure_graph function rides in the cache key so a test that
+    monkeypatches the graph source gets fresh labels, not a stale memo."""
+    key = (spark.sparkContext.applicationId, sf_dir, ensure_graph)
     df = _SCC_CACHE.get(key)
     if df is None:
         _, edges = ensure_graph(spark, sf_dir)

@@ -515,12 +515,16 @@ def test_brokerage_wedge_anti_join_topk(spark):
     assert "CartesianProduct" not in p
 
 
-def test_bowtie_core_probes_broadcast(spark):
+def test_bowtie_classification_no_closure_no_cartesian(spark):
     p = _plan(spark, "kg_graph_bowtie")
-    # the SCC-sized core member set is broadcast into both reachability
-    # probes; classification never shuffles on a Cartesian
-    assert "BroadcastHashJoin" in p, p
+    # round-5 rewrite: IN/OUT are precomputed frontier-BFS node SETS
+    # (never closure pair rows); the final plan is label-join +
+    # classification + a 4-group rollup. No Cartesian anywhere, and no
+    # broadcast ASSERTION either — at web scale the reach sets are
+    # dictionary-sized, so forcing them broadcast would be the bug (AQE
+    # picks the strategy from runtime sizes).
     assert "CartesianProduct" not in p
+    assert "HashAggregate" in p, p  # the cls rollup partial-aggregates
 
 
 def test_novelty_two_groupbys_no_self_join(spark):
