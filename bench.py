@@ -164,20 +164,26 @@ def main() -> None:
             pipe = r
     docs_per_sec = n_pages / pipe["wall_s"]
 
-    # Skewed-corpus pipeline leg: same engine, bench_skew shape (hub boost
-    # 48 -> ~95% of mentions land on ONE entity; 200-sentence documents).
-    # This measures the skew machinery (per-surface windows, salted CC,
-    # AQE skew splits) inside the REAL pipeline rather than fixtures; the
-    # skew/uniform throughput ratio is the honest skew-resilience number.
+    # Skewed-corpus pipeline legs: bench_skew (hub boost 48 -> ~95% of
+    # mention draws land on ONE entity) vs bench_skew_ctl (IDENTICAL page
+    # count + 200-sentence document shape, default hub) — the control
+    # isolates skew from document length, so skew_ratio = skew/ctl
+    # throughput is the honest skew-resilience number for the REAL
+    # pipeline (per-surface windows, salted CC, AQE skew splits), not a
+    # fixture.
     skew_scale = os.environ.get("SPARK_GRAFT_PIPE_SKEW_SCALE", "bench_skew")
-    skew = None
+    skew = ctl = None
     n_skew = 0
     if skew_scale != "none":
         skew_path, n_skew = _pages_corpus(skew_scale)
+        ctl_path, _ = _pages_corpus(skew_scale + "_ctl")
         for _ in range(reps):
             r = _run_pipeline(spark, skew_path, workdir + "_skew")
             if skew is None or r["wall_s"] < skew["wall_s"]:
                 skew = r
+            r = _run_pipeline(spark, ctl_path, workdir + "_skewctl")
+            if ctl is None or r["wall_s"] < ctl["wall_s"]:
+                ctl = r
 
     # Curation-chain throughput (the training-data composition: exact dedup
     # -> LSH near-dup + CC -> quality -> curated parquet). Input: the 100k
@@ -227,8 +233,13 @@ def main() -> None:
         **(
             {
                 "pipeline_skew_docs_per_sec": round(n_skew / skew["wall_s"], 1),
+                "pipeline_skew_ctl_docs_per_sec": round(
+                    n_skew / ctl["wall_s"], 1
+                ),
+                "pipeline_skew_ratio": round(ctl["wall_s"] / skew["wall_s"], 3),
                 "pipeline_skew_n_pages": n_skew,
                 "pipeline_skew_wall_s": round(skew["wall_s"], 2),
+                "pipeline_skew_ctl_wall_s": round(ctl["wall_s"], 2),
                 "pipeline_skew_n_edges": skew["n_edges"],
             }
             if skew is not None
@@ -274,7 +285,7 @@ def _final_line(result: dict) -> str:
     core_keys = (
         "metric", "value", "unit", "sf", "cpus",
         "pipeline_docs_per_sec", "pipeline_skew_docs_per_sec",
-        "curate_docs_per_sec",
+        "pipeline_skew_ratio", "curate_docs_per_sec",
     )
     core = {k: result[k] for k in core_keys if k in result}
     flat = dict(core, queries={k: round(v, 2) for k, v in result["queries"].items()})

@@ -42,6 +42,7 @@ SCALES = {
     "bench_heavy_xl": 150_000,
     "bench_heavy_xxl": 400_000,
     "bench_skew": 100_000,
+    "bench_skew_ctl": 100_000,
 }
 # extra per-page filler sentences per scale (realistic page weight for the
 # throughput/scaling benches; goldens unaffected — see generate_corpus)
@@ -53,6 +54,7 @@ SCALE_FILLERS = {
     "bench_heavy_xl": 120,
     "bench_heavy_xxl": 120,
     "bench_skew": 200,
+    "bench_skew_ctl": 200,
 }
 # hub-entity Zipf boost per scale (default 6.0 — the deliberate acme hub).
 # bench_skew turns the boost up to 48 so ~95% of mention draws land on ONE
@@ -63,6 +65,9 @@ SCALE_FILLERS = {
 # filler sentences) make the per-page work realistic at the same time.
 SCALE_HUB_BOOST = {
     "bench_skew": 48.0,
+    # bench_skew_ctl: identical page count + document shape, DEFAULT hub
+    # boost — the control leg that isolates skew from document length in
+    # the skew-resilience ratio (bench.py pipeline_skew_ratio).
 }
 
 DOMAINS = [f"ref{i}.example.org" for i in range(20)]
