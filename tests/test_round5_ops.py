@@ -214,3 +214,27 @@ def test_anf_hll_registers_equal_exact_set_sketch(spark):
 
     for v in verts:
         assert sk[v] == regs_of(ball[v]), v
+
+
+def test_scc_distributed_branch_random_graph(spark, monkeypatch):
+    """Randomized equivalence pin: on a seeded random digraph (60 nodes,
+    ~150 edges — multiple nontrivial SCCs, tendrils, disconnected bits)
+    the distributed trim+peel branch produces EXACTLY the driver-Tarjan
+    labels. The hand fixture pins the easy shapes; this pins the peel
+    loop's round structure (multi-round assignment, edge restriction)
+    against an independent implementation."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = {(f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+             for _ in range(150)}
+    edges = [(a, b) for a, b in sorted(edges) if a != b]
+    adj = spark.createDataFrame(edges, "subj_id string, obj_id string")
+
+    monkeypatch.delenv("CGC_SCC_SMALL_CUTOVER", raising=False)
+    want = _labels_of(adj)
+    assert want, "seed should produce at least one nontrivial SCC"
+    monkeypatch.setenv("CGC_SCC_SMALL_CUTOVER", "0")
+    got = _labels_of(adj)
+    assert got == want
