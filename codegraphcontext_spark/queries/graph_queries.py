@@ -679,9 +679,11 @@ def _pagerank_ranks(nodes, edges):
     base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n)
     ranks = ids.select("node_id", F.lit(_PR_SCALE // n).alias("rank"))
     for _ in range(_PR_ITERS):
-        # ranks feeds two branches (contribs + dangling sum); checkpointing
-        # it per iteration keeps the lineage linear instead of 2^iters.
-        ranks = ranks.localCheckpoint(eager=True)
+        # ranks feeds two branches (contribs + dangling sum); the LAZY
+        # checkpoint keeps lineage linear instead of 2^iters WITHOUT a
+        # blocking job per iteration — materialization happens once, at
+        # the single final action (the fused-stage runner discipline).
+        ranks = ranks.localCheckpoint(eager=False)
         contribs = (
             adjdeg.join(
                 ranks.withColumnRenamed("node_id", "subj_id"), "subj_id"
@@ -1120,7 +1122,7 @@ def kg_graph_hits(spark, sf_dir):
     hub = ids.select("node_id", F.lit(s // n).cast("long").alias("hub"))
     auth = None
     for _ in range(_HITS_ITERS):
-        hub = hub.localCheckpoint(eager=True)
+        hub = hub.localCheckpoint(eager=False)
         auth_raw = (
             adj.join(hub.withColumnRenamed("node_id", "subj_id"), "subj_id")
             .groupBy(F.col("obj_id").alias("node_id"))
@@ -1136,7 +1138,7 @@ def kg_graph_hits(spark, sf_dir):
                 "node_id",
                 F.expr(f"coalesce(raw, 0L) * {s}L div tot").alias("auth"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hub_raw = (
             adj.join(auth.withColumnRenamed("node_id", "obj_id"), "obj_id")
@@ -1608,7 +1610,7 @@ def ppr_ranks(nodes, edges, seed_id):
         .alias("rank"),
     )
     for _ in range(_PR_ITERS):
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
         contribs = (
             adjdeg.join(
                 ranks.withColumnRenamed("node_id", "subj_id"), "subj_id"
@@ -4718,7 +4720,7 @@ def _lpa_labels(edges: DataFrame):
             .select(
                 "v", F.coalesce("new_label", F.col("v")).alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return rel, e2, lab
 
@@ -4861,7 +4863,7 @@ def kg_graph_katz(spark, sf_dir):
     )
     x = ids.select("node_id", F.lit(_KATZ_BASE).cast("long").alias("x"))
     for _ in range(_KATZ_ITERS):
-        x = x.localCheckpoint(eager=True)
+        x = x.localCheckpoint(eager=False)
         raw = (
             rel.join(x.withColumnRenamed("node_id", "subj_id"), "subj_id")
             .groupBy(F.col("obj_id").alias("node_id"))
