@@ -15,8 +15,9 @@ north rule's metric is docs/sec, not query latency.
 
 Modes:
     python bench.py              # the driver's per-round bench (one JSON line)
-    python bench.py --scaling    # two-parallelism scaling run (local[8] vs
-                                 # local[32], same input & partitioning) —
+    python bench.py --scaling    # two-parallelism scaling run (N vs 4N
+                                 # cores, default local[4] vs local[16];
+                                 # SPARK_GRAFT_SCALING_LO=1 for 1 vs 4) —
                                  # evidence for the N→4N efficiency criterion
 """
 
